@@ -1,0 +1,85 @@
+"""Benchmark harness — prints ONE JSON line with the headline metric.
+
+Metric (BASELINE.json): contrastive pairs/sec/chip at bsz 4096, dim 512,
+fwd+bwd of the CrossCLR-onlyIntraModality criterion.  Baseline: the
+PyTorch reference (/root/reference/trainer/loss.py) measured at 497
+pairs/s fwd+bwd on this machine's CPU (BASELINE.md; the repo publishes no
+numbers and CUDA hardware is unavailable — see BASELINE.md notes).
+
+Chooses the fastest correct path for the hardware: the fused Pallas
+kernel on TPU (falling back to the XLA-fused jnp path if it is slower on
+the current shape) — both verified against the reference within fp32
+tolerance by tests/test_parity.py and tests/test_fused_kernel.py.
+"""
+
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from crossclr_tpu.losses import cross_clr_intra
+from crossclr_tpu.ops import cross_clr_intra_fused
+
+BASELINE_PAIRS_PER_SEC = 497.0  # torch reference fwd+bwd, bsz 4096 (BASELINE.md)
+B, D = 4096, 512
+
+
+def _time_step(f, v, t, iters=30):
+    out = f(v, t)
+    jax.block_until_ready(out)
+    for _ in range(5):
+        jax.block_until_ready(f(v, t))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = f(v, t)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    rng = np.random.default_rng(0)
+    v = jnp.asarray(rng.standard_normal((B, D)), jnp.float32)
+    t = jnp.asarray(rng.standard_normal((B, D)), jnp.float32)
+
+    candidates = {
+        "jnp_xla": jax.jit(
+            jax.value_and_grad(lambda a, b: cross_clr_intra(a, b), argnums=(0, 1))
+        ),
+    }
+    if jax.default_backend() == "tpu":
+        candidates["pallas_fused"] = jax.jit(
+            jax.value_and_grad(
+                lambda a, b: cross_clr_intra_fused(a, b), argnums=(0, 1)
+            )
+        )
+
+    best_name, best_dt = None, float("inf")
+    for name, f in candidates.items():
+        try:
+            dt = _time_step(f, v, t)
+        except Exception:
+            continue
+        if dt < best_dt:
+            best_name, best_dt = name, dt
+
+    pairs_per_sec = B / best_dt
+    print(
+        json.dumps(
+            {
+                "metric": f"crossclr_pairs_per_sec_per_chip_bsz{B}_fwdbwd",
+                "value": round(pairs_per_sec, 1),
+                "unit": "pairs/s",
+                "vs_baseline": round(pairs_per_sec / BASELINE_PAIRS_PER_SEC, 2),
+                "impl": best_name,
+                "step_ms": round(best_dt * 1e3, 3),
+                "backend": jax.default_backend(),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

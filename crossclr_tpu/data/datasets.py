@@ -1,0 +1,123 @@
+"""Feature datasets and batching.
+
+The reference ships no data pipeline (SURVEY.md §1); the paper trains on
+pre-extracted clip/caption features (YouCook2, LSMDC).  This module
+provides:
+
+* :class:`SyntheticPairs` — seeded synthetic correlated video/text feature
+  pairs for tests and benchmarks (a shared latent makes retrieval
+  learnable: overfitting to R@1=1.0 is the integration-test criterion).
+* :class:`FeaturePairDataset` — memory-mapped ``.npy`` feature files
+  (video features, text features, aligned by row), the storage format for
+  YouCook2/LSMDC-style pre-extracted features.
+* :func:`epoch_batches` — host-side batcher producing device-ready dicts;
+  deterministic per (seed, epoch) so a resumed run replays the exact
+  shard order (the checkpoint/resume recovery story, SURVEY.md §5).
+
+Host→device transfer happens once per batch on the already-assembled
+array — never per-mask like the reference's per-step numpy-eye uploads
+(loss.py:66,102-104).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+from typing import Iterator
+
+import numpy as np
+
+__all__ = ["SyntheticPairs", "FeaturePairDataset", "epoch_batches", "infinite_batches"]
+
+
+@dataclasses.dataclass
+class SyntheticPairs:
+    """Correlated random feature pairs with a shared latent.
+
+    ``video = W_v z + noise``, ``text = W_t z + noise`` — rows with the
+    same index share the latent ``z``, so a contrastive model can align
+    them; mismatched rows cannot be aligned above chance.
+    """
+
+    num_pairs: int = 2048
+    video_dim: int = 512
+    text_dim: int = 384
+    latent_dim: int = 64
+    noise: float = 0.1
+    seed: int = 0
+
+    def __post_init__(self):
+        rng = np.random.default_rng(self.seed)
+        z = rng.standard_normal((self.num_pairs, self.latent_dim)).astype(np.float32)
+        w_v = rng.standard_normal((self.latent_dim, self.video_dim)).astype(
+            np.float32
+        ) / np.sqrt(self.latent_dim)
+        w_t = rng.standard_normal((self.latent_dim, self.text_dim)).astype(
+            np.float32
+        ) / np.sqrt(self.latent_dim)
+        self.video = z @ w_v + self.noise * rng.standard_normal(
+            (self.num_pairs, self.video_dim)
+        ).astype(np.float32)
+        self.text = z @ w_t + self.noise * rng.standard_normal(
+            (self.num_pairs, self.text_dim)
+        ).astype(np.float32)
+
+    def __len__(self) -> int:
+        return self.num_pairs
+
+
+class FeaturePairDataset:
+    """Aligned pre-extracted features from two ``.npy`` files.
+
+    Files are memory-mapped, so arbitrarily large feature stores never
+    load fully into host RAM; batch assembly gathers only the touched rows.
+    """
+
+    def __init__(self, video_path: str | Path, text_path: str | Path):
+        self.video = np.load(video_path, mmap_mode="r")
+        self.text = np.load(text_path, mmap_mode="r")
+        if self.video.shape[0] != self.text.shape[0]:
+            raise ValueError(
+                f"row mismatch: video {self.video.shape[0]} vs text "
+                f"{self.text.shape[0]}"
+            )
+
+    def __len__(self) -> int:
+        return self.video.shape[0]
+
+
+def epoch_batches(
+    dataset,
+    batch_size: int,
+    *,
+    seed: int = 0,
+    epoch: int = 0,
+    shuffle: bool = True,
+    drop_remainder: bool = True,
+) -> Iterator[dict]:
+    """Yield ``{"video": [B, Dv], "text": [B, Dt]}`` numpy batches.
+
+    Deterministic in (seed, epoch): restart-from-checkpoint replays the
+    same order.  ``drop_remainder`` keeps shapes static for jit.
+    """
+    from .native_io import gather_rows
+
+    n = len(dataset)
+    order = np.arange(n)
+    if shuffle:
+        np.random.default_rng((seed, epoch)).shuffle(order)
+    end = n - (n % batch_size) if drop_remainder else n
+    for start in range(0, end, batch_size):
+        idx = np.sort(order[start : start + batch_size])  # sorted: mmap-friendly
+        yield {
+            "video": gather_rows(dataset.video, idx),
+            "text": gather_rows(dataset.text, idx),
+        }
+
+
+def infinite_batches(dataset, batch_size: int, *, seed: int = 0, **kw) -> Iterator[dict]:
+    """Endless stream of epoch batches with per-epoch reshuffling."""
+    epoch = 0
+    while True:
+        yield from epoch_batches(dataset, batch_size, seed=seed, epoch=epoch, **kw)
+        epoch += 1

@@ -1,0 +1,110 @@
+"""ctypes bindings for the native host-IO kernels (native/crossclr_io.cc).
+
+Batch assembly for contrastive training is host-bound: gathering shuffled
+rows from a memory-mapped feature store and optionally down-converting
+fp32→bf16 before the H2D copy.  The C++ library does both with a thread
+pool; this module loads it lazily, builds it on first use if a compiler
+is available, and falls back to numpy transparently otherwise — every
+caller works without the native library, just slower.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from pathlib import Path
+
+import numpy as np
+
+__all__ = ["gather_rows", "f32_to_bf16", "native_available"]
+
+_NATIVE_DIR = Path(__file__).resolve().parents[2] / "native"
+_LIB_PATH = _NATIVE_DIR / "libcrossclr_io.so"
+_lock = threading.Lock()
+_lib: ctypes.CDLL | None = None
+_tried = False
+_DEFAULT_THREADS = min(os.cpu_count() or 1, 16)
+
+
+def _load() -> ctypes.CDLL | None:
+    global _lib, _tried
+    with _lock:
+        if _tried:
+            return _lib
+        _tried = True
+        if not _LIB_PATH.exists():
+            try:
+                subprocess.run(
+                    ["make", "-C", str(_NATIVE_DIR)],
+                    check=True,
+                    capture_output=True,
+                    timeout=120,
+                )
+            except Exception:
+                return None
+        try:
+            lib = ctypes.CDLL(str(_LIB_PATH))
+        except OSError:
+            return None
+        lib.crossclr_gather_rows.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_int,
+        ]
+        lib.crossclr_f32_to_bf16.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_int64,
+            ctypes.c_int,
+        ]
+        lib.crossclr_io_version.restype = ctypes.c_int
+        _lib = lib
+        return _lib
+
+
+def native_available() -> bool:
+    return _load() is not None
+
+
+def gather_rows(
+    src: np.ndarray, idx: np.ndarray, *, threads: int = _DEFAULT_THREADS
+) -> np.ndarray:
+    """``src[idx]`` as a fresh contiguous array, multithreaded when native.
+
+    ``src`` may be a np.memmap; rows are copied directly out of the mapped
+    pages.  Works for any 2-D dtype.
+    """
+    lib = _load()
+    if lib is None or src.ndim != 2 or not src.flags['C_CONTIGUOUS']:
+        return np.ascontiguousarray(src[idx])
+    idx64 = np.ascontiguousarray(idx, dtype=np.int64)
+    out = np.empty((idx64.shape[0], src.shape[1]), dtype=src.dtype)
+    row_bytes = src.shape[1] * src.dtype.itemsize
+    lib.crossclr_gather_rows(
+        src.ctypes.data,
+        out.ctypes.data,
+        idx64.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        idx64.shape[0],
+        row_bytes,
+        threads,
+    )
+    return out
+
+
+def f32_to_bf16(x: np.ndarray, *, threads: int = _DEFAULT_THREADS) -> np.ndarray:
+    """fp32 → bf16 (round-to-nearest-even, matching XLA) as uint16 payload
+    viewed through ml_dtypes.bfloat16."""
+    import ml_dtypes
+
+    x = np.ascontiguousarray(x, dtype=np.float32)
+    lib = _load()
+    if lib is None:
+        return x.astype(ml_dtypes.bfloat16)
+    out = np.empty(x.shape, dtype=np.uint16)
+    lib.crossclr_f32_to_bf16(x.ctypes.data, out.ctypes.data, x.size, threads)
+    return out.view(ml_dtypes.bfloat16)

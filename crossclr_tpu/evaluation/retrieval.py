@@ -1,0 +1,68 @@
+"""Video↔text retrieval metrics: R@K, Median Rank, Mean Rank.
+
+The reference repo evaluates nothing (SURVEY.md §1: eval layer absent);
+the paper reports YouCook2 / LSMDC retrieval R@1/5/10 and MdR
+(README.md:7 → arXiv 2109.14910).  This module computes those metrics
+under ``jit`` on device: a single similarity matmul plus rank extraction —
+no host-side sorting of the full matrix.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..losses.functional import l2_normalize
+
+__all__ = ["retrieval_metrics", "similarity_matrix", "rank_of_ground_truth"]
+
+
+def similarity_matrix(video_emb: jax.Array, text_emb: jax.Array) -> jax.Array:
+    """Cosine similarity ``[Nv, Nt]`` between normalized embeddings."""
+    v = l2_normalize(video_emb.astype(jnp.float32), axis=1)
+    t = l2_normalize(text_emb.astype(jnp.float32), axis=1)
+    return jnp.matmul(v, t.T, precision=jax.lax.Precision.HIGHEST)
+
+
+def rank_of_ground_truth(sim: jax.Array) -> jax.Array:
+    """0-based rank of the diagonal (ground-truth pair) per row.
+
+    rank_i = #\\{j : sim[i, j] > sim[i, i]\\} — ties resolve in favor of the
+    ground truth (standard retrieval convention, matches COOT's evaluator).
+    Computed with a comparison + rowsum instead of a full argsort: O(N²)
+    elementwise on the VPU, no sort network.
+    """
+    diag = jnp.diagonal(sim)[:, None]
+    return jnp.sum(sim > diag, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("ks",))
+def _metrics_from_sim(sim: jax.Array, ks: tuple[int, ...]) -> dict:
+    def one_direction(s):
+        ranks = rank_of_ground_truth(s)
+        out = {f"R@{k}": jnp.mean((ranks < k).astype(jnp.float32)) * 100 for k in ks}
+        out["MdR"] = jnp.median(ranks).astype(jnp.float32) + 1  # 1-based
+        out["MnR"] = jnp.mean(ranks.astype(jnp.float32)) + 1
+        return out
+
+    v2t = one_direction(sim)
+    t2v = one_direction(sim.T)
+    out = {f"v2t/{k}": v for k, v in v2t.items()}
+    out.update({f"t2v/{k}": v for k, v in t2v.items()})
+    return out
+
+
+def retrieval_metrics(
+    video_emb: jax.Array,
+    text_emb: jax.Array,
+    ks: tuple[int, ...] = (1, 5, 10),
+) -> dict[str, float]:
+    """Bidirectional retrieval metrics as host floats.
+
+    ``video_emb`` / ``text_emb``: aligned ``[N, D]`` embeddings (row i of
+    each is a ground-truth pair).
+    """
+    sim = similarity_matrix(video_emb, text_emb)
+    return {k: float(v) for k, v in _metrics_from_sim(sim, ks).items()}

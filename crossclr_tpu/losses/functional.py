@@ -1,0 +1,308 @@
+"""Pure-functional CrossCLR losses in jnp — the numerical parity core.
+
+Everything here is stateless, jit-friendly (static shapes, no Python control
+flow on traced values), and differentiable with plain ``jax.grad``.
+
+Parity surface (reference: ``/root/reference/trainer/loss.py``):
+
+* :func:`cross_clr_intra_per_row` / :func:`cross_clr_intra` reproduce
+  ``CrossCLR_onlyIntraModality.forward`` (loss.py:68-113) exactly, including
+  the zeroed-diagonal quirk: the intra-modal self-similarity logit is
+  *zeroed*, not excluded, so each softmax denominator carries a spurious
+  ``exp(0) = 1`` term (loss.py:95-97).  The reference runs its softmax tail
+  in float64 (numpy-eye masks promote, loss.py:102-104); we accumulate in
+  fp32 by default, which matches within fp32 tolerance, and the functions
+  honor float64 inputs when ``jax_enable_x64`` is on for bit-tight tests.
+* :func:`max_margin` is the *intended* behavior of ``MaxMargin_coot``
+  (loss.py:17-41) — the shipped class cannot be instantiated (NameError at
+  loss.py:24: ``super(ContrastiveLoss_coot, ...)`` references an undefined
+  name).
+* :func:`cross_clr` is the full CrossCLR loss (inter+intra with
+  influential-sample pruning and positive weighting).  The reference repo
+  never shipped it (README.md:19 — only the onlyIntraModality variant was
+  released); semantics follow the paper (arXiv 2109.14910): connectivity
+  scores from *input* features, pruning of highly-connected samples from
+  negative sets, and connectivity-softmax positive weights.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+# Similarity matmuls run at HIGHEST precision: JAX's default matmul precision
+# may use bf16 passes (on TPU *and* the oneDNN CPU backend), which breaks the
+# fp32-tolerance parity contract with the torch reference.  With fp32 inputs
+# HIGHEST is true fp32 on the MXU; callers wanting bf16 speed pass bf16
+# features (accumulation stays fp32 via preferred_element_type semantics).
+_SIM_PRECISION = jax.lax.Precision.HIGHEST
+
+
+def _matmul(a: jax.Array, b: jax.Array) -> jax.Array:
+    return jnp.matmul(a, b, precision=_SIM_PRECISION)
+
+
+__all__ = [
+    "l2_normalize",
+    "cosine_sim",
+    "cross_clr_intra",
+    "cross_clr_intra_per_row",
+    "cross_clr",
+    "connectivity_scores",
+    "max_margin",
+    "info_nce",
+]
+
+
+def l2_normalize(x: jax.Array, axis: int = -1, eps: float = 1e-12) -> jax.Array:
+    """L2-normalize along ``axis`` with torch.nn.functional.normalize semantics.
+
+    torch clamps the norm at ``eps`` (default 1e-12) rather than adding it,
+    so we do the same for parity (reference normalizes at loss.py:79-80).
+    """
+    norm = jnp.linalg.norm(x, ord=2, axis=axis, keepdims=True)
+    return x / jnp.maximum(norm, eps)
+
+
+def cosine_sim(emb1: jax.Array, emb2: jax.Array) -> jax.Array:
+    """Raw dot-product similarity matrix ``[B1, B2]``.
+
+    Mirrors ``cosine_sim`` (loss.py:7-15), which — despite its docstring —
+    does NOT normalize: it is cosine similarity only if inputs already are.
+    """
+    return _matmul(emb1, emb2.T)
+
+
+def _intra_logit_rows(
+    anchor_sim: jax.Array,
+    inter_sim: jax.Array,
+    temperature: float,
+    negative_weight: float,
+) -> jax.Array:
+    """Per-row loss for one direction of CrossCLR_onlyIntraModality.
+
+    ``inter_sim``: [B, B] cross-modal similarities (anchor rows).
+    ``anchor_sim``: [B, B] intra-modal similarities of the anchor modality.
+
+    Row i's candidate set is the 2B-column concatenation
+    ``[inter / τ  ‖  w · ((anchor_sim / τ) ⊙ (1 − I))]`` (loss.py:90-100);
+    the loss is ``−log softmax`` picked at the inter diagonal
+    (loss.py:59-60,102-112).  Implemented as ``logsumexp(row) − z_ii`` —
+    identical math, numerically stable.  The zeroed (NOT −inf) diagonal of
+    the intra block is deliberate parity with loss.py:95-97.
+    """
+    b = inter_sim.shape[0]
+    inter = inter_sim / temperature
+    eye = jnp.eye(b, dtype=anchor_sim.dtype)
+    intra = negative_weight * (anchor_sim / temperature) * (1.0 - eye)
+    logits = jnp.concatenate([inter, intra], axis=1)  # [B, 2B]
+    lse = jax.scipy.special.logsumexp(logits, axis=1)
+    pos = jnp.diagonal(inter)
+    return lse - pos
+
+
+def cross_clr_intra_per_row(
+    video_features: jax.Array,
+    text_features: jax.Array,
+    *,
+    temperature: float = 0.03,
+    negative_weight: float = 0.8,
+) -> tuple[jax.Array, jax.Array]:
+    """Per-row (video-anchored, text-anchored) CrossCLR-onlyIntraModality losses.
+
+    Inputs are raw ``[B, D]`` features; both are L2-normalized internally
+    (loss.py:79-80).  Defaults mirror loss.py:50.
+    """
+    v = l2_normalize(video_features, axis=1)
+    t = l2_normalize(text_features, axis=1)
+    sim_vt = _matmul(v, t.T)  # logits_per_vid (loss.py:83)
+    sim_tv = sim_vt.T  # reference recomputes t @ v.T (loss.py:84); equal up to fp assoc
+    sim_vv = _matmul(v, v.T)
+    sim_tt = _matmul(t, t.T)
+    loss_v = _intra_logit_rows(sim_vv, sim_vt, temperature, negative_weight)
+    loss_t = _intra_logit_rows(sim_tt, sim_tv, temperature, negative_weight)
+    return loss_v, loss_t
+
+
+def cross_clr_intra(
+    video_features: jax.Array,
+    text_features: jax.Array,
+    *,
+    temperature: float = 0.03,
+    negative_weight: float = 0.8,
+) -> jax.Array:
+    """CrossCLR-onlyIntraModality scalar loss (loss.py:44-113 parity).
+
+    Returns ``(mean_i L^v_i + mean_i L^t_i) / 2`` (loss.py:113).
+    """
+    loss_v, loss_t = cross_clr_intra_per_row(
+        video_features,
+        text_features,
+        temperature=temperature,
+        negative_weight=negative_weight,
+    )
+    return (jnp.mean(loss_v) + jnp.mean(loss_t)) / 2
+
+
+def info_nce(
+    video_features: jax.Array,
+    text_features: jax.Array,
+    *,
+    temperature: float = 0.03,
+) -> jax.Array:
+    """Symmetric InfoNCE (CLIP-style) over inter-modal logits only.
+
+    Property anchor for tests: ``cross_clr_intra`` with ``negative_weight=0``
+    equals InfoNCE whose denominator carries B extra ``exp(0)=1`` terms —
+    see tests/test_properties.py.  This plain version is the standard loss
+    offered alongside CrossCLR for ablation configs.
+    """
+    v = l2_normalize(video_features, axis=1)
+    t = l2_normalize(text_features, axis=1)
+    logits = _matmul(v, t.T) / temperature
+    labels = jnp.arange(logits.shape[0])
+    loss_v = _cross_entropy_rows(logits, labels)
+    loss_t = _cross_entropy_rows(logits.T, labels)
+    return (jnp.mean(loss_v) + jnp.mean(loss_t)) / 2
+
+
+def _cross_entropy_rows(logits: jax.Array, labels: jax.Array) -> jax.Array:
+    lse = jax.scipy.special.logsumexp(logits, axis=1)
+    pos = jnp.take_along_axis(logits, labels[:, None], axis=1)[:, 0]
+    return lse - pos
+
+
+def connectivity_scores(input_features: jax.Array) -> jax.Array:
+    """Per-sample connectivity (influence) score within one modality.
+
+    Mean cosine similarity of sample i to the *other* samples of the batch,
+    computed on input-space features (pre-encoder), per the CrossCLR paper:
+    highly-connected samples are semantically entangled with many others and
+    make harmful negatives.  Returns ``[B]``.
+    """
+    x = l2_normalize(input_features.astype(jnp.float32), axis=1)
+    sim = _matmul(x, x.T)
+    b = sim.shape[0]
+    off_sum = jnp.sum(sim, axis=1) - jnp.diagonal(sim)
+    return off_sum / jnp.maximum(b - 1, 1)
+
+
+def _pruned_direction_rows(
+    inter_sim: jax.Array,
+    anchor_sim: jax.Array,
+    keep_neg: jax.Array,
+    temperature: float,
+    negative_weight: float,
+) -> jax.Array:
+    """Per-row full-CrossCLR loss for one direction with pruned negatives.
+
+    ``keep_neg``: [B] bool — False marks influential samples to drop from
+    the negative sets.  The positive (diagonal) inter term is always kept.
+    Unlike the onlyIntraModality parity path, exclusion here is true −inf
+    masking (no shipped reference dictates the exp(0) quirk for this
+    variant).
+    """
+    b = inter_sim.shape[0]
+    neg_inf = jnp.asarray(-jnp.inf, dtype=inter_sim.dtype)
+    eye = jnp.eye(b, dtype=bool)
+    keep_cols = keep_neg[None, :]
+
+    inter = inter_sim / temperature
+    # negatives pruned; positives (diagonal) always kept
+    inter_masked = jnp.where(keep_cols | eye, inter, neg_inf)
+
+    intra = negative_weight * (anchor_sim / temperature)
+    # self-similarity excluded outright; influential columns pruned
+    intra_masked = jnp.where(keep_cols & ~eye, intra, neg_inf)
+
+    logits = jnp.concatenate([inter_masked, intra_masked], axis=1)
+    lse = jax.scipy.special.logsumexp(logits, axis=1)
+    pos = jnp.diagonal(inter)
+    return lse - pos
+
+
+def cross_clr(
+    video_features: jax.Array,
+    text_features: jax.Array,
+    video_inputs: jax.Array | None = None,
+    text_inputs: jax.Array | None = None,
+    *,
+    temperature: float = 0.03,
+    negative_weight: float = 0.8,
+    weight_temperature: float = 0.0035,
+    prune_percent: float = 0.10,
+) -> jax.Array:
+    """Full CrossCLR: inter+intra InfoNCE with influential-sample pruning
+    and connectivity-weighted positives (paper arXiv 2109.14910; NOT in the
+    released reference file — README.md:19 ships only onlyIntraModality).
+
+    Args:
+      video_features / text_features: learned embeddings ``[B, D]``.
+      video_inputs / text_inputs: raw input-space features used for
+        connectivity scoring.  Default to the embeddings themselves when
+        omitted (the two-argument criterion signature still works).
+      weight_temperature: softmax temperature for positive weights.
+      prune_percent: fraction of the batch (per modality) treated as
+        influential and removed from negative sets.  0 disables pruning.
+
+    Per modality m with connectivity c^m: samples above the
+    ``1 − prune_percent`` quantile of c^m are pruned from m's negative
+    columns; per-row losses are averaged with weights
+    ``softmax(c^m / τ_w) · B`` (mean-one normalization) so prototypical
+    pairs pull harder.
+    """
+    if video_inputs is None:
+        video_inputs = video_features
+    if text_inputs is None:
+        text_inputs = text_features
+
+    v = l2_normalize(video_features, axis=1)
+    t = l2_normalize(text_features, axis=1)
+    sim_vt = _matmul(v, t.T)
+    sim_vv = _matmul(v, v.T)
+    sim_tt = _matmul(t, t.T)
+
+    b = sim_vt.shape[0]
+    c_v = connectivity_scores(video_inputs)
+    c_t = connectivity_scores(text_inputs)
+
+    if prune_percent > 0.0:
+        q = 1.0 - prune_percent
+        thr_v = jnp.quantile(c_v, q)
+        thr_t = jnp.quantile(c_t, q)
+        keep_v = c_v <= thr_v
+        keep_t = c_t <= thr_t
+    else:
+        keep_v = jnp.ones((b,), dtype=bool)
+        keep_t = jnp.ones((b,), dtype=bool)
+
+    loss_v = _pruned_direction_rows(sim_vt, sim_vv, keep_v, temperature, negative_weight)
+    loss_t = _pruned_direction_rows(sim_vt.T, sim_tt, keep_t, temperature, negative_weight)
+
+    w_v = jax.nn.softmax(c_v / weight_temperature) * b
+    w_t = jax.nn.softmax(c_t / weight_temperature) * b
+    return (jnp.mean(w_v * loss_v) + jnp.mean(w_t * loss_t)) / 2
+
+
+def max_margin(
+    im: jax.Array,
+    s: jax.Array,
+    *,
+    margin: float = 0.1,
+) -> jax.Array:
+    """COOT bidirectional max-margin ranking loss — the *intended* behavior
+    of ``MaxMargin_coot`` (loss.py:17-41; unrunnable as shipped — NameError
+    at loss.py:24).
+
+    ``scores = im @ s.T`` (raw dot products, loss.py:30 via cosine_sim);
+    hinge costs against the diagonal in both directions with the diagonal
+    zeroed (loss.py:34-40), summed and scaled by ``1/(B_im · B_s)``
+    (loss.py:41).  Margin default mirrors loss.py:23.
+    """
+    scores = cosine_sim(im, s)
+    diag = jnp.diagonal(scores)
+    cost_s = jnp.clip(margin + scores - diag[:, None], min=0)
+    cost_im = jnp.clip(margin + scores - diag[None, :], min=0)
+    off = 1.0 - jnp.eye(scores.shape[0], dtype=scores.dtype)
+    total = jnp.sum(cost_s * off) + jnp.sum(cost_im * off)
+    return total / (im.shape[0] * s.shape[0])

@@ -1,0 +1,188 @@
+"""Dual video/text encoder towers (Flax linen).
+
+The reference ships no model code — its README (README.md:30-32) assumes
+the user brings ``[bsz, f_dim]`` features from their own encoders; the
+paper trained COOT-style dual towers over pre-extracted S3D video and text
+features.  This module supplies the TPU-native equivalents
+(BASELINE.json configs 2-4):
+
+* :class:`MLPTower` — projection tower over pooled, pre-extracted clip /
+  caption features (the paper's actual setting).
+* :class:`TransformerTower` — small transformer encoder over *sequences*
+  of features (frame features / token embeddings) with masked mean
+  pooling, for config 3's "dual transformer encoders".
+* :class:`DualEncoder` — bundles a video tower and a text tower behind one
+  ``apply``; emits L2-normalizable embeddings for the contrastive loss.
+
+TPU notes: every matmul runs in ``dtype`` (bf16 by default) with fp32
+parameters and fp32 layernorm statistics — the standard mixed-precision
+recipe; static shapes throughout so XLA tiles cleanly onto the MXU.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+__all__ = ["MLPTower", "TransformerTower", "DualEncoder", "TowerConfig"]
+
+
+@dataclasses.dataclass(frozen=True)
+class TowerConfig:
+    """Static architecture config for one tower."""
+
+    kind: str = "mlp"  # "mlp" | "transformer"
+    input_dim: int = 512
+    embed_dim: int = 256
+    hidden_dim: int = 1024
+    num_layers: int = 2
+    num_heads: int = 8
+    max_seq_len: int = 32
+    dropout: float = 0.0
+    dtype: Any = jnp.bfloat16
+
+
+class MLPTower(nn.Module):
+    """Gated MLP projection over pooled features.
+
+    feature → Dense(hidden) → GELU → Dense(embed) with a residual linear
+    skip and a final fp32 LayerNorm, mirroring the gated-embedding units
+    used by COOT-style retrieval towers.
+    """
+
+    cfg: TowerConfig
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
+        cfg = self.cfg
+        x = x.astype(cfg.dtype)
+        skip = nn.Dense(cfg.embed_dim, dtype=cfg.dtype, name="skip")(x)
+        h = nn.Dense(cfg.hidden_dim, dtype=cfg.dtype, name="fc1")(x)
+        h = nn.gelu(h)
+        if cfg.dropout > 0:
+            h = nn.Dropout(cfg.dropout, deterministic=not train)(h)
+        h = nn.Dense(cfg.embed_dim, dtype=cfg.dtype, name="fc2")(h)
+        out = skip + h
+        # LayerNorm statistics in fp32 for stability
+        out = nn.LayerNorm(dtype=jnp.float32, name="norm")(out.astype(jnp.float32))
+        return out
+
+
+class _Block(nn.Module):
+    cfg: TowerConfig
+
+    @nn.compact
+    def __call__(self, x, mask, *, train: bool):
+        cfg = self.cfg
+        attn_mask = None
+        if mask is not None:
+            attn_mask = nn.make_attention_mask(mask, mask, dtype=cfg.dtype)
+        y = nn.LayerNorm(dtype=jnp.float32)(x.astype(jnp.float32)).astype(cfg.dtype)
+        y = nn.MultiHeadDotProductAttention(
+            num_heads=cfg.num_heads,
+            dtype=cfg.dtype,
+            dropout_rate=cfg.dropout,
+            deterministic=not train,
+        )(y, y, mask=attn_mask)
+        x = x + y
+        y = nn.LayerNorm(dtype=jnp.float32)(x.astype(jnp.float32)).astype(cfg.dtype)
+        y = nn.Dense(cfg.hidden_dim, dtype=cfg.dtype)(y)
+        y = nn.gelu(y)
+        y = nn.Dense(cfg.embed_dim, dtype=cfg.dtype)(y)
+        return x + y
+
+
+class TransformerTower(nn.Module):
+    """Transformer encoder over ``[B, S, input_dim]`` feature sequences.
+
+    Learned positional embeddings, pre-norm blocks, masked mean pooling,
+    and a projection to ``embed_dim``.  ``mask``: ``[B, S]`` (1 = valid).
+    """
+
+    cfg: TowerConfig
+
+    @nn.compact
+    def __call__(
+        self, x: jax.Array, mask: jax.Array | None = None, *, train: bool = False
+    ) -> jax.Array:
+        cfg = self.cfg
+        b, s, _ = x.shape
+        h = nn.Dense(cfg.embed_dim, dtype=cfg.dtype, name="input_proj")(
+            x.astype(cfg.dtype)
+        )
+        pos = self.param(
+            "pos_embed",
+            nn.initializers.normal(0.02),
+            (cfg.max_seq_len, cfg.embed_dim),
+            jnp.float32,
+        )
+        h = h + pos[None, :s, :].astype(cfg.dtype)
+        for layer in range(cfg.num_layers):
+            h = _Block(cfg, name=f"block_{layer}")(h, mask, train=train)
+        h = nn.LayerNorm(dtype=jnp.float32, name="final_norm")(
+            h.astype(jnp.float32)
+        )
+        if mask is None:
+            pooled = jnp.mean(h, axis=1)
+        else:
+            w = mask.astype(jnp.float32)[:, :, None]
+            pooled = jnp.sum(h * w, axis=1) / jnp.maximum(
+                jnp.sum(w, axis=1), 1.0
+            )
+        return nn.Dense(cfg.embed_dim, dtype=jnp.float32, name="output_proj")(pooled)
+
+
+def _build_tower(cfg: TowerConfig, name: str) -> nn.Module:
+    if cfg.kind == "mlp":
+        return MLPTower(cfg, name=name)
+    if cfg.kind == "transformer":
+        return TransformerTower(cfg, name=name)
+    raise ValueError(f"unknown tower kind: {cfg.kind!r}")
+
+
+class DualEncoder(nn.Module):
+    """Video tower + text tower → ``(video_emb, text_emb)`` in fp32.
+
+    Output embeddings are NOT normalized — the criterion normalizes
+    (parity with loss.py:79-80, which normalizes inside the loss).
+    """
+
+    video_cfg: TowerConfig
+    text_cfg: TowerConfig
+
+    def setup(self):
+        self.video_tower = _build_tower(self.video_cfg, "video_tower")
+        self.text_tower = _build_tower(self.text_cfg, "text_tower")
+
+    def __call__(
+        self,
+        video: jax.Array,
+        text: jax.Array,
+        video_mask: jax.Array | None = None,
+        text_mask: jax.Array | None = None,
+        *,
+        train: bool = False,
+    ) -> tuple[jax.Array, jax.Array]:
+        v = self._apply_tower(self.video_tower, self.video_cfg, video, video_mask, train)
+        t = self._apply_tower(self.text_tower, self.text_cfg, text, text_mask, train)
+        return v.astype(jnp.float32), t.astype(jnp.float32)
+
+    def encode_video(self, video, mask=None, *, train: bool = False) -> jax.Array:
+        return self._apply_tower(
+            self.video_tower, self.video_cfg, video, mask, train
+        ).astype(jnp.float32)
+
+    def encode_text(self, text, mask=None, *, train: bool = False) -> jax.Array:
+        return self._apply_tower(
+            self.text_tower, self.text_cfg, text, mask, train
+        ).astype(jnp.float32)
+
+    @staticmethod
+    def _apply_tower(tower, cfg, x, mask, train):
+        if cfg.kind == "transformer":
+            return tower(x, mask, train=train)
+        return tower(x, train=train)

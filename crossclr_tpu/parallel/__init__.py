@@ -1,0 +1,14 @@
+"""Mesh construction and distributed (global-negative) loss wrappers."""
+
+from .mesh import DATA_AXIS, MODEL_AXIS, data_sharding, make_mesh, replicated_sharding
+from .global_loss import global_cross_clr_intra, local_rows_cross_clr_intra
+
+__all__ = [
+    "DATA_AXIS",
+    "MODEL_AXIS",
+    "data_sharding",
+    "make_mesh",
+    "replicated_sharding",
+    "global_cross_clr_intra",
+    "local_rows_cross_clr_intra",
+]

@@ -1,0 +1,119 @@
+"""CLI training entry point: ``python -m crossclr_tpu.train [options]``.
+
+The reference has no CLI (SURVEY.md §1); this drives the full pipeline:
+data → dual encoders → CrossCLR loss (local or global negatives) → AdamW
+→ retrieval eval → Orbax checkpoints, from an ExperimentConfig JSON plus
+``section.key=value`` overrides.
+
+Examples:
+  python -m crossclr_tpu.train --steps 500
+  python -m crossclr_tpu.train --config configs/youcook2.json \\
+      train.loss=crossclr_intra_fused data.batch_size=4096
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import sys
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def main(argv: list[str] | None = None) -> int:
+    from .data import FeaturePairDataset, SyntheticPairs, epoch_batches, infinite_batches
+    from .evaluation import retrieval_metrics
+    from .parallel import data_sharding, make_mesh
+    from .training import CheckpointManager, Trainer
+    from .utils import MetricsWriter
+    from .utils.config import ExperimentConfig, apply_overrides, load_config, save_config
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--config", default=None, help="ExperimentConfig JSON path")
+    ap.add_argument("--steps", type=int, default=None, help="override total steps")
+    ap.add_argument("--metrics-csv", default=None)
+    ap.add_argument("--save-config", default=None, help="dump resolved config and exit")
+    ap.add_argument("overrides", nargs="*", help="section.key=value overrides")
+    args = ap.parse_args(argv)
+
+    cfg = load_config(args.config) if args.config else ExperimentConfig()
+    if args.overrides:
+        cfg = apply_overrides(cfg, args.overrides)
+    if args.steps is not None:
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, total_steps=args.steps)
+        )
+    if args.save_config:
+        save_config(cfg, args.save_config)
+        print(f"wrote {args.save_config}")
+        return 0
+
+    # -- data ---------------------------------------------------------------
+    if cfg.data.source == "synthetic":
+        dataset = SyntheticPairs(
+            num_pairs=cfg.data.num_pairs,
+            video_dim=cfg.data.video_dim,
+            text_dim=cfg.data.text_dim,
+            seed=cfg.data.seed,
+        )
+    elif cfg.data.source == "files":
+        dataset = FeaturePairDataset(cfg.data.video_path, cfg.data.text_path)
+    else:
+        raise SystemExit(f"unknown data.source {cfg.data.source!r}")
+
+    n_eval = max(int(len(dataset) * cfg.data.eval_fraction), 1)
+    eval_batch = {
+        "video": np.asarray(dataset.video[:n_eval]),
+        "text": np.asarray(dataset.text[:n_eval]),
+    }
+
+    # -- mesh / trainer -----------------------------------------------------
+    mesh = make_mesh() if len(jax.devices()) > 1 else None
+    trainer = Trainer(cfg.video_tower, cfg.text_tower, cfg.train, mesh=mesh)
+
+    batches = infinite_batches(dataset, cfg.data.batch_size, seed=cfg.data.seed)
+    first = next(epoch_batches(dataset, cfg.data.batch_size, shuffle=False))
+    state = trainer.init_state(first["video"], first["text"])
+
+    ckpt = CheckpointManager(cfg.checkpoint_dir) if cfg.checkpoint_dir else None
+    if ckpt is not None and ckpt.latest_step() is not None:
+        state = ckpt.restore(state)
+        print(f"resumed from step {int(state.step)}", file=sys.stderr)
+
+    writer = MetricsWriter(args.metrics_csv)
+    sharding = data_sharding(mesh) if mesh is not None else None
+
+    def device_batches():
+        for b in batches:
+            if sharding is not None:
+                b = {k: jax.device_put(jnp.asarray(v), sharding) for k, v in b.items()}
+            yield b
+
+    # -- train --------------------------------------------------------------
+    steps = cfg.train.total_steps
+    done = int(state.step)
+    it = device_batches()
+    while done < steps:
+        chunk = min(cfg.eval_every, steps - done)
+        state, history = trainer.fit(
+            state, it, steps=chunk, log_every=cfg.log_every, writer=writer
+        )
+        done += chunk
+        v_emb, t_emb = trainer.encode(state, eval_batch)
+        metrics = retrieval_metrics(v_emb, t_emb)
+        metrics["step"] = done
+        writer({f"eval/{k}" if k != "step" else k: v for k, v in metrics.items()})
+        if ckpt is not None:
+            ckpt.save(done, state)
+    if ckpt is not None:
+        ckpt.wait()
+        ckpt.close()
+    writer.close()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

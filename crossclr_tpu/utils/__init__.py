@@ -1,0 +1,16 @@
+"""Configs, logging, profiling."""
+
+from .config import DataConfig, ExperimentConfig, load_config, save_config
+from .logging import MetricsWriter
+from .profiling import StepTimer, nan_debug, trace
+
+__all__ = [
+    "DataConfig",
+    "ExperimentConfig",
+    "load_config",
+    "save_config",
+    "MetricsWriter",
+    "StepTimer",
+    "nan_debug",
+    "trace",
+]

@@ -1,0 +1,106 @@
+"""Fused Pallas kernel vs the pure-jnp reference math (SURVEY.md §4 item 4).
+
+On CPU the kernel runs in interpreter mode (same kernel code, no Mosaic);
+the real-hardware path is exercised by bench.py and by running this file
+with ``CROSSCLR_TESTS_BACKEND=tpu``.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from crossclr_tpu.losses import cross_clr_intra
+from crossclr_tpu.ops import cross_clr_intra_fused, pallas_supported
+from crossclr_tpu.ops.fused_crossclr import fused_lse_pair
+
+ON_TPU = jax.default_backend() == "tpu"
+# interpret=True runs the identical kernel logic through the Pallas
+# interpreter on CPU; on TPU we compile for real.
+INTERPRET = not ON_TPU
+
+
+def _pair(rng, b, d):
+    return (
+        jnp.asarray(rng.standard_normal((b, d)), jnp.float32),
+        jnp.asarray(rng.standard_normal((b, d)), jnp.float32),
+    )
+
+
+@pytest.mark.parametrize("b,d", [(16, 32), (64, 128), (128, 100)])
+def test_fused_forward_matches_jnp(rng, b, d):
+    v, t = _pair(rng, b, d)
+    want = float(cross_clr_intra(v, t))
+    got = float(cross_clr_intra_fused(v, t, use_pallas=True, interpret=INTERPRET))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize(
+    "temperature,negative_weight", [(0.03, 0.8), (0.1, 0.0), (0.5, 1.0)]
+)
+def test_fused_forward_hparams(rng, temperature, negative_weight):
+    v, t = _pair(rng, 32, 64)
+    want = float(
+        cross_clr_intra(
+            v, t, temperature=temperature, negative_weight=negative_weight
+        )
+    )
+    got = float(
+        cross_clr_intra_fused(
+            v,
+            t,
+            temperature=temperature,
+            negative_weight=negative_weight,
+            use_pallas=True,
+            interpret=INTERPRET,
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_fused_gradients_match_jnp(rng):
+    v, t = _pair(rng, 32, 64)
+    want = jax.grad(lambda a, b_: cross_clr_intra(a, b_), argnums=(0, 1))(v, t)
+    got = jax.grad(
+        lambda a, b_: cross_clr_intra_fused(
+            a, b_, use_pallas=True, interpret=INTERPRET
+        ),
+        argnums=(0, 1),
+    )(v, t)
+    for g_want, g_got in zip(want, got):
+        np.testing.assert_allclose(
+            np.asarray(g_got), np.asarray(g_want), rtol=1e-4, atol=1e-6
+        )
+
+
+def test_fused_lse_pair_shapes(rng):
+    v, t = _pair(rng, 16, 32)
+    from crossclr_tpu.losses.functional import l2_normalize
+
+    lse_v, lse_t = fused_lse_pair(
+        l2_normalize(v, 1), l2_normalize(t, 1), use_pallas=True, interpret=INTERPRET
+    )
+    assert lse_v.shape == (16, 1) and lse_t.shape == (16, 1)
+
+
+def test_fallback_used_for_unsupported_shapes(rng):
+    # B not divisible by 8 → jnp fallback, still correct
+    v, t = _pair(rng, 10, 24)
+    want = float(cross_clr_intra(v, t))
+    got = float(cross_clr_intra_fused(v, t))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+    assert not pallas_supported(10, 24)
+
+
+def test_fused_bf16_inputs(rng):
+    v, t = _pair(rng, 32, 128)
+    f32 = float(cross_clr_intra_fused(v, t, use_pallas=True, interpret=INTERPRET))
+    bf16 = float(
+        cross_clr_intra_fused(
+            v.astype(jnp.bfloat16),
+            t.astype(jnp.bfloat16),
+            use_pallas=True,
+            interpret=INTERPRET,
+        )
+    )
+    np.testing.assert_allclose(bf16, f32, rtol=2e-2)
