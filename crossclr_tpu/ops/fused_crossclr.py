@@ -65,32 +65,49 @@ _LANE = 128
 _NEG_INF = float("-inf")
 
 
-# MXU precision for fp32 inputs inside the kernels.  HIGHEST keeps the
-# loss inside the fp32 parity tolerance vs the torch reference; module
-# global so benchmarks can trade precision for speed (bf16 feature inputs
-# always take the fast single-pass path regardless).
+# Default MXU precision for fp32 inputs inside the kernels.  "highest"
+# keeps loss AND gradients inside the strict parity tolerances vs the torch
+# reference (loss err ~2e-6, grad err ~1e-8 measured at bsz 4096); "default"
+# is ~2.3x faster on v5e (measured 4.1 ms vs 9.4 ms fwd+bwd at bsz 4096)
+# with loss err ~6e-6 — still inside fp32 forward tolerance — but grad rel
+# err ~1e-3, which is fine for (bf16-style) training and too loose for the
+# parity tests.  Training configs opt into "default" via the ``precision``
+# argument.  Module globals remain as sweep/benchmark overrides.
 KERNEL_PRECISION = jax.lax.Precision.HIGHEST
 # tile-size override for benchmarking; None = _pick_tiles heuristic
 TILE_OVERRIDE: tuple[int, int] | None = None
 
+_PRECISIONS = {
+    "highest": jax.lax.Precision.HIGHEST,
+    "default": jax.lax.Precision.DEFAULT,
+}
 
-def _dot_nt(a: jax.Array, b: jax.Array) -> jax.Array:
+
+def _resolve_precision(precision):
+    if precision is None:
+        return KERNEL_PRECISION
+    if isinstance(precision, str):
+        return _PRECISIONS[precision]
+    return precision
+
+
+def _dot_nt(a: jax.Array, b: jax.Array, precision) -> jax.Array:
     """a @ b.T contracting the feature dim without an explicit transpose."""
     return jax.lax.dot_general(
         a,
         b,
         (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=KERNEL_PRECISION,
+        precision=precision,
     )
 
 
-def _dot(a: jax.Array, b: jax.Array) -> jax.Array:
+def _dot(a: jax.Array, b: jax.Array, precision) -> jax.Array:
     return jnp.dot(
         a,
         b,
         preferred_element_type=jnp.float32,
-        precision=KERNEL_PRECISION,
+        precision=precision,
     )
 
 
@@ -111,6 +128,7 @@ def _lse_fwd_kernel(
     neg_weight: float,
     tb: int,
     tc: int,
+    precision,
 ):
     i = pl.program_id(0)
     j = pl.program_id(1)
@@ -122,8 +140,8 @@ def _lse_fwd_kernel(
         l_scr[:] = jnp.zeros_like(l_scr[:])
 
     a_i = a_row_ref[:]
-    inter = scale * _dot_nt(a_i, o_col_ref[:])  # [TB, TC]
-    intra = (neg_weight * scale) * _dot_nt(a_i, a_col_ref[:])
+    inter = scale * _dot_nt(a_i, o_col_ref[:], precision)  # [TB, TC]
+    intra = (neg_weight * scale) * _dot_nt(a_i, a_col_ref[:], precision)
 
     rows = i * tb + jax.lax.broadcasted_iota(jnp.int32, (tb, tc), 0)
     cols = j * tc + jax.lax.broadcasted_iota(jnp.int32, (tb, tc), 1)
@@ -159,11 +177,17 @@ def _lse_fwd_direction(
     tb: int,
     tc: int,
     interpret: bool,
+    precision=None,
 ) -> jax.Array:
     b, d = anchor.shape
     grid = (b // tb, b // tc)
     kernel = functools.partial(
-        _lse_fwd_kernel, scale=scale, neg_weight=neg_weight, tb=tb, tc=tc
+        _lse_fwd_kernel,
+        scale=scale,
+        neg_weight=neg_weight,
+        tb=tb,
+        tc=tc,
+        precision=_resolve_precision(precision),
     )
     return pl.pallas_call(
         kernel,
@@ -209,6 +233,7 @@ def _lse_bwd_kernel(
     neg_weight: float,
     tb: int,
     tc: int,
+    precision,
 ):
     i = pl.program_id(0)
     j = pl.program_id(1)
@@ -223,27 +248,31 @@ def _lse_bwd_kernel(
     a_j = a_col_ref[:]  # [TC, D]
     lse_a_i = lse_a_row_ref[:]  # [TB, 1]
     ga_i = ga_row_ref[:]  # [TB, 1]
-    lse_o_j = lse_o_col_ref[:].reshape(1, tc)  # [1, TC] column factors
-    lse_a_j = lse_a_col_ref[:].reshape(1, tc)
-    ga_j = ga_col_ref[:].reshape(1, tc)
-    go_j = go_col_ref[:].reshape(1, tc)
+    # column-side vectors arrive PRE-TRANSPOSED as (1, B) blocks: an
+    # in-kernel (tc,1)->(1,tc) reshape is a sublane->lane relayout that
+    # Mosaic lowers to a slow strided copy per grid step (measured ~10x
+    # whole-kernel slowdown); the host-side transpose is free
+    lse_o_j = lse_o_col_ref[:]  # [1, TC]
+    lse_a_j = lse_a_col_ref[:]  # [1, TC]
+    ga_j = ga_col_ref[:]  # [1, TC]
+    go_j = go_col_ref[:]  # [1, TC]
 
     # ---- inter-modal block: one MXU product serves both softmax factors
-    z_inter = scale * _dot_nt(a_i, o_j)  # s·aᵢ·oⱼ  [TB, TC]
+    z_inter = scale * _dot_nt(a_i, o_j, precision)  # s·aᵢ·oⱼ  [TB, TC]
     # diag(g_a)·P rows: anchor-direction softmax normalized per row i
     p_row = ga_i * jnp.exp(z_inter - lse_a_i)
     # (Pᵗ)ᵀ·diag(g_o) columns: other-direction softmax normalized per col j
     p_col = go_j * jnp.exp(z_inter - lse_o_j)
-    acc = _dot(p_row + p_col, o_j)
+    acc = _dot(p_row + p_col, o_j, precision)
 
     # ---- intra-modal block
-    z_intra = (neg_weight * scale) * _dot_nt(a_i, a_j)
+    z_intra = (neg_weight * scale) * _dot_nt(a_i, a_j, precision)
     rows = i * tb + jax.lax.broadcasted_iota(jnp.int32, (tb, tc), 0)
     cols = j * tc + jax.lax.broadcasted_iota(jnp.int32, (tb, tc), 1)
     on_diag = rows == cols  # zeroed logit ⇒ constant ⇒ no gradient
     q_row = jnp.where(on_diag, 0.0, ga_i * jnp.exp(z_intra - lse_a_i))
     q_col = jnp.where(on_diag, 0.0, ga_j * jnp.exp(z_intra - lse_a_j))
-    acc = acc + neg_weight * _dot(q_row + q_col, a_j)
+    acc = acc + neg_weight * _dot(q_row + q_col, a_j, precision)
 
     acc_scr[:] = acc_scr[:] + acc
 
@@ -264,15 +293,27 @@ def _lse_bwd_direction(
     tb: int,
     tc: int,
     interpret: bool,
+    precision=None,
 ) -> jax.Array:
     """Gradient of (g_a·lse_a + g_o·lse_o) w.r.t. the *anchor* features."""
     b, d = anchor.shape
     grid = (b // tb, b // tc)
     kernel = functools.partial(
-        _lse_bwd_kernel, scale=scale, neg_weight=neg_weight, tb=tb, tc=tc
+        _lse_bwd_kernel,
+        scale=scale,
+        neg_weight=neg_weight,
+        tb=tb,
+        tc=tc,
+        precision=_resolve_precision(precision),
     )
     row = lambda i, j: (i, 0)  # noqa: E731
     col = lambda i, j: (j, 0)  # noqa: E731
+    colT = lambda i, j: (0, j)  # noqa: E731
+    # (1, B) layouts for the column-broadcast factors (see kernel comment)
+    lse_a_t = lse_a.reshape(1, b)
+    lse_o_t = lse_o.reshape(1, b)
+    g_a_t = g_a.reshape(1, b)
+    g_o_t = g_o.reshape(1, b)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -282,10 +323,10 @@ def _lse_bwd_direction(
             pl.BlockSpec((tb, 1), row, memory_space=pltpu.VMEM),
             pl.BlockSpec((tc, d), col, memory_space=pltpu.VMEM),
             pl.BlockSpec((tc, d), col, memory_space=pltpu.VMEM),
-            pl.BlockSpec((tc, 1), col, memory_space=pltpu.VMEM),
-            pl.BlockSpec((tc, 1), col, memory_space=pltpu.VMEM),
-            pl.BlockSpec((tc, 1), col, memory_space=pltpu.VMEM),
-            pl.BlockSpec((tc, 1), col, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tc), colT, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tc), colT, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tc), colT, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tc), colT, memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((tb, d), row, memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, d), jnp.float32),
@@ -295,7 +336,7 @@ def _lse_bwd_direction(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(anchor, lse_a, g_a, other, anchor, lse_o, lse_a, g_a, g_o)
+    )(anchor, lse_a, g_a, other, anchor, lse_o_t, lse_a_t, g_a_t, g_o_t)
 
 
 # ---------------------------------------------------------------------------
@@ -333,7 +374,7 @@ def _pick_tiles(b: int, d: int) -> tuple[int, int] | None:
     """
     # tiles < 64 make Mosaic compile times pathological (grid explodes)
     # and underutilize the MXU; such shapes take the jnp fallback instead
-    for tile in (256, 128, 64):
+    for tile in (512, 256, 128, 64):
         if b % tile == 0 and tile * max(d, 128) * 4 * 8 < 64 * 1024 * 1024:
             return tile, tile
     return None
@@ -347,7 +388,7 @@ def pallas_supported(b: int, d: int, backend: str | None = None) -> bool:
     return backend == "tpu"
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
 def _fused_lse_pair(
     v_norm: jax.Array,
     t_norm: jax.Array,
@@ -356,29 +397,40 @@ def _fused_lse_pair(
     tb: int,
     tc: int,
     interpret: bool,
+    precision: str | None,
 ) -> tuple[jax.Array, jax.Array]:
-    lse_v = _lse_fwd_direction(v_norm, t_norm, scale, neg_weight, tb, tc, interpret)
-    lse_t = _lse_fwd_direction(t_norm, v_norm, scale, neg_weight, tb, tc, interpret)
+    lse_v = _lse_fwd_direction(
+        v_norm, t_norm, scale, neg_weight, tb, tc, interpret, precision
+    )
+    lse_t = _lse_fwd_direction(
+        t_norm, v_norm, scale, neg_weight, tb, tc, interpret, precision
+    )
     return lse_v, lse_t
 
 
-def _fused_lse_pair_fwd(v_norm, t_norm, scale, neg_weight, tb, tc, interpret):
+def _fused_lse_pair_fwd(
+    v_norm, t_norm, scale, neg_weight, tb, tc, interpret, precision
+):
     lse_v, lse_t = _fused_lse_pair(
-        v_norm, t_norm, scale, neg_weight, tb, tc, interpret
+        v_norm, t_norm, scale, neg_weight, tb, tc, interpret, precision
     )
     return (lse_v, lse_t), (v_norm, t_norm, lse_v, lse_t)
 
 
-def _fused_lse_pair_bwd(scale, neg_weight, tb, tc, interpret, residuals, cotangents):
+def _fused_lse_pair_bwd(
+    scale, neg_weight, tb, tc, interpret, precision, residuals, cotangents
+):
     v_norm, t_norm, lse_v, lse_t = residuals
     g_v, g_t = cotangents
     g_v = jnp.asarray(g_v, jnp.float32).reshape(-1, 1)
     g_t = jnp.asarray(g_t, jnp.float32).reshape(-1, 1)
     dv = _lse_bwd_direction(
-        v_norm, t_norm, lse_v, lse_t, g_v, g_t, scale, neg_weight, tb, tc, interpret
+        v_norm, t_norm, lse_v, lse_t, g_v, g_t,
+        scale, neg_weight, tb, tc, interpret, precision,
     )
     dt = _lse_bwd_direction(
-        t_norm, v_norm, lse_t, lse_v, g_t, g_v, scale, neg_weight, tb, tc, interpret
+        t_norm, v_norm, lse_t, lse_v, g_t, g_v,
+        scale, neg_weight, tb, tc, interpret, precision,
     )
     return dv.astype(v_norm.dtype), dt.astype(t_norm.dtype)
 
@@ -399,11 +451,13 @@ def fused_lse_pair(
     negative_weight: float = 0.8,
     use_pallas: bool | None = None,
     interpret: bool = False,
+    precision: str | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Per-row logsumexp over each direction's virtual ``[B, 2B]`` candidates.
 
     Inputs must already be L2-normalized.  Returns ``(lse_v, lse_t)`` each
-    shaped ``[B, 1]`` in fp32.
+    shaped ``[B, 1]`` in fp32.  ``precision``: None/"highest" for
+    parity-grade fp32 dots, "default" for the ~2.3x-faster training path.
     """
     b, d = v_norm.shape
     scale = 1.0 / temperature
@@ -435,6 +489,7 @@ def fused_lse_pair(
         tb,
         tc,
         interpret,
+        precision,
     )
 
 
@@ -446,6 +501,7 @@ def cross_clr_intra_fused(
     negative_weight: float = 0.8,
     use_pallas: bool | None = None,
     interpret: bool = False,
+    precision: str | None = None,
 ) -> jax.Array:
     """Drop-in fused equivalent of ``losses.cross_clr_intra``.
 
@@ -463,6 +519,7 @@ def cross_clr_intra_fused(
         negative_weight=negative_weight,
         use_pallas=use_pallas,
         interpret=interpret,
+        precision=precision,
     )
     # positive logit is identical for both directions: s·ṽᵢ·t̃ᵢ
     pos = jnp.sum(v * t, axis=1, keepdims=True) / temperature

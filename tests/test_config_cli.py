@@ -1,0 +1,120 @@
+"""Config round-trip and CLI entry-point tests."""
+
+import dataclasses
+import json
+import subprocess
+import sys
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from crossclr_tpu.models import TowerConfig
+from crossclr_tpu.utils.config import (
+    DataConfig,
+    ExperimentConfig,
+    apply_overrides,
+    load_config,
+    save_config,
+)
+
+
+def test_config_roundtrip(tmp_path):
+    cfg = ExperimentConfig(
+        name="t",
+        video_tower=TowerConfig(kind="transformer", input_dim=64, dtype=jnp.bfloat16),
+        data=DataConfig(batch_size=128),
+    )
+    path = tmp_path / "c.json"
+    save_config(cfg, path)
+    loaded = load_config(path)
+    assert loaded.name == "t"
+    assert loaded.video_tower.kind == "transformer"
+    assert loaded.video_tower.input_dim == 64
+    assert loaded.video_tower.dtype is jnp.bfloat16
+    assert loaded.data.batch_size == 128
+
+
+def test_shipped_configs_parse():
+    for name in ("configs/youcook2_mlp.json", "configs/lsmdc_transformer.json"):
+        cfg = load_config(name)
+        assert cfg.train.temperature == 0.03  # loss.py:50 default preserved
+        assert cfg.train.negative_weight == 0.8
+
+
+def test_overrides():
+    cfg = ExperimentConfig()
+    cfg2 = apply_overrides(
+        cfg, ["train.loss=info_nce", "data.batch_size=32", "train.temperature=0.5"]
+    )
+    assert cfg2.train.loss == "info_nce"
+    assert cfg2.data.batch_size == 32
+    assert cfg2.train.temperature == 0.5
+    # original untouched (frozen dataclasses)
+    assert cfg.train.loss == "crossclr_intra"
+
+
+def test_override_unknown_key_raises():
+    with pytest.raises(KeyError):
+        apply_overrides(ExperimentConfig(), ["train.nope=1"])
+
+
+def test_cli_save_config(tmp_path):
+    out = tmp_path / "resolved.json"
+    from crossclr_tpu.train import main
+
+    rc = main(["--save-config", str(out), "train.total_steps=7"])
+    assert rc == 0
+    assert json.loads(out.read_text())["train"]["total_steps"] == 7
+
+
+def test_cli_end_to_end_smoke(tmp_path):
+    """Full CLI: synthetic data, tiny towers, a few steps, metrics CSV."""
+    from crossclr_tpu.train import main
+
+    csv_path = tmp_path / "metrics.csv"
+    rc = main(
+        [
+            "--steps", "6",
+            "--metrics-csv", str(csv_path),
+            "data.num_pairs=64",
+            "data.batch_size=32",
+            "data.video_dim=24",
+            "data.text_dim=16",
+            "video_tower.input_dim=24",
+            "video_tower.embed_dim=16",
+            "video_tower.hidden_dim=32",
+            "video_tower.dtype=float32",
+            "text_tower.input_dim=16",
+            "text_tower.embed_dim=16",
+            "text_tower.hidden_dim=32",
+            "text_tower.dtype=float32",
+            "train.warmup_steps=2",
+            "eval_every=3",
+            "log_every=2",
+        ]
+    )
+    assert rc == 0
+    assert csv_path.exists()
+    rows = csv_path.read_text().strip().splitlines()
+    assert len(rows) >= 2  # header + at least one metric row
+
+
+def test_checkpoint_resume_via_cli(tmp_path):
+    from crossclr_tpu.train import main
+
+    args = [
+        "--steps", "4",
+        "data.num_pairs=64", "data.batch_size=32",
+        "data.video_dim=24", "data.text_dim=16",
+        "video_tower.input_dim=24", "video_tower.embed_dim=16",
+        "video_tower.hidden_dim=32", "video_tower.dtype=float32",
+        "text_tower.input_dim=16", "text_tower.embed_dim=16",
+        "text_tower.hidden_dim=32", "text_tower.dtype=float32",
+        "train.warmup_steps=2", "eval_every=2", "log_every=2",
+        f"checkpoint_dir={tmp_path}/ck",
+    ]
+    assert main(args) == 0
+    # resume: bump steps, should pick up from step 4
+    args[1] = "8"
+    assert main(args) == 0
