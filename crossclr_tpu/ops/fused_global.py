@@ -1,0 +1,430 @@
+"""Fused Pallas kernels for the GLOBAL-negative CrossCLR loss.
+
+The single-chip kernel (fused_crossclr.py) assumes anchor rows == anchor
+columns.  Under all-gathered global negatives (BASELINE.json config 5:
+v5e-16, bsz 32k) each device owns a row *block* of the loss: its local
+anchors against the full gathered candidate set.  These kernels compute,
+for local rows ``r`` at global offset ``off``:
+
+    lse_r = log( Σ_j exp(s·aᵣ·o_all_j) + Σ_{j≠off+r} exp(w·s·aᵣ·a_all_j) + 1 )
+
+and the three gradients (w.r.t. local rows, gathered anchors, gathered
+others).  Combined with ``jax.lax.all_gather`` under ``shard_map``, the
+transpose of the gather (psum_scatter) turns the gathered-array gradients
+into exact per-shard gradients — see parallel/global_loss.py.
+
+Without the fused path, a [b_loc, 2B] softmax materializes per device
+(b_loc=4096, B=32768 → 1 GiB of fp32 logits); here only [b_loc, 1]
+logsumexps and [*, D] gradients touch HBM.
+
+The row offset is passed as a traced fp32 scalar (SMEM) so one compiled
+kernel serves every device in the mesh.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .fused_crossclr import (
+    _LANE,
+    _NEG_INF,
+    _dot_nt,
+    _pick_tiles,
+    _resolve_precision,
+)
+
+__all__ = ["fused_lse_rows", "rows_supported"]
+
+
+def _dot_tn(a: jax.Array, b: jax.Array, precision) -> jax.Array:
+    """aᵀ @ b contracting dim 0 of both (no explicit transpose)."""
+    return jax.lax.dot_general(
+        a,
+        b,
+        (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    )
+
+
+def _global_ids(i, j, off_ref, tb: int, tc: int):
+    rows = (
+        off_ref[0, 0].astype(jnp.int32)
+        + i * tb
+        + jax.lax.broadcasted_iota(jnp.int32, (tb, tc), 0)
+    )
+    cols = j * tc + jax.lax.broadcasted_iota(jnp.int32, (tb, tc), 1)
+    return rows, cols
+
+
+# ---------------------------------------------------------------------------
+# forward: lse over the virtual [b_loc, 2B] candidates
+# ---------------------------------------------------------------------------
+
+
+def _rows_lse_kernel(
+    off_ref,
+    a_row_ref,
+    o_all_ref,
+    a_all_ref,
+    lse_ref,
+    m_scr,
+    l_scr,
+    *,
+    scale,
+    neg_weight,
+    tb,
+    tc,
+    precision,
+):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr[:], _NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr[:])
+
+    a_i = a_row_ref[:]
+    inter = scale * _dot_nt(a_i, o_all_ref[:], precision)
+    intra = (neg_weight * scale) * _dot_nt(a_i, a_all_ref[:], precision)
+    rows, cols = _global_ids(i, j, off_ref, tb, tc)
+    intra = jnp.where(rows == cols, 0.0, intra)  # parity: zeroed, not dropped
+
+    m_prev = m_scr[:]
+    m_new = jnp.maximum(
+        m_prev,
+        jnp.maximum(
+            jnp.max(inter, axis=1, keepdims=True),
+            jnp.max(intra, axis=1, keepdims=True),
+        ),
+    )
+    l_new = (
+        l_scr[:] * jnp.exp(m_prev - m_new)
+        + jnp.sum(jnp.exp(inter - m_new), axis=1, keepdims=True)
+        + jnp.sum(jnp.exp(intra - m_new), axis=1, keepdims=True)
+    )
+    m_scr[:] = m_new
+    l_scr[:] = l_new
+
+    @pl.when(j == nj - 1)
+    def _finalize():
+        lse_ref[:] = m_new + jnp.log(l_new)
+
+
+# ---------------------------------------------------------------------------
+# backward 1: gradient w.r.t. the LOCAL anchor rows
+# ---------------------------------------------------------------------------
+
+
+def _rows_bwd_rows_kernel(
+    off_ref,
+    a_row_ref,
+    lse_row_ref,
+    g_row_ref,
+    o_all_ref,
+    a_all_ref,
+    out_ref,
+    acc_scr,
+    *,
+    scale,
+    neg_weight,
+    tb,
+    tc,
+    precision,
+):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _init():
+        acc_scr[:] = jnp.zeros_like(acc_scr[:])
+
+    a_i = a_row_ref[:]
+    o_j = o_all_ref[:]
+    a_j = a_all_ref[:]
+    lse_i = lse_row_ref[:]
+    g_i = g_row_ref[:]
+
+    z_inter = scale * _dot_nt(a_i, o_j, precision)
+    p = g_i * jnp.exp(z_inter - lse_i)
+    acc = jnp.dot(p, o_j, preferred_element_type=jnp.float32, precision=precision)
+
+    z_intra = (neg_weight * scale) * _dot_nt(a_i, a_j, precision)
+    rows, cols = _global_ids(i, j, off_ref, tb, tc)
+    q = jnp.where(rows == cols, 0.0, g_i * jnp.exp(z_intra - lse_i))
+    acc = acc + neg_weight * jnp.dot(
+        q, a_j, preferred_element_type=jnp.float32, precision=precision
+    )
+
+    acc_scr[:] = acc_scr[:] + acc
+
+    @pl.when(j == nj - 1)
+    def _finalize():
+        out_ref[:] = scale * acc_scr[:]
+
+
+# ---------------------------------------------------------------------------
+# backward 2: gradients w.r.t. the GATHERED candidate arrays
+# ---------------------------------------------------------------------------
+
+
+def _rows_bwd_cols_kernel(
+    off_ref,
+    o_all_ref,
+    a_all_ref,
+    a_row_ref,
+    lse_row_ref,
+    g_row_ref,
+    d_o_ref,
+    d_a_ref,
+    do_scr,
+    da_scr,
+    *,
+    scale,
+    neg_weight,
+    tb,
+    tc,
+    precision,
+):
+    # grid is (col tiles, row tiles): j parallel, i arbitrary
+    j = pl.program_id(0)
+    i = pl.program_id(1)
+    ni = pl.num_programs(1)
+
+    @pl.when(i == 0)
+    def _init():
+        do_scr[:] = jnp.zeros_like(do_scr[:])
+        da_scr[:] = jnp.zeros_like(da_scr[:])
+
+    a_i = a_row_ref[:]  # [TB, D]
+    o_j = o_all_ref[:]  # [TC, D]
+    a_j = a_all_ref[:]  # [TC, D]
+    lse_i = lse_row_ref[:]  # [TB, 1]
+    g_i = g_row_ref[:]  # [TB, 1]
+
+    z_inter = scale * _dot_nt(a_i, o_j, precision)  # [TB, TC]
+    p = g_i * jnp.exp(z_inter - lse_i)
+    do_scr[:] = do_scr[:] + _dot_tn(p, a_i, precision)  # [TC, D]
+
+    z_intra = (neg_weight * scale) * _dot_nt(a_i, a_j, precision)
+    rows, cols = _global_ids(i, j, off_ref, tb, tc)
+    q = jnp.where(rows == cols, 0.0, g_i * jnp.exp(z_intra - lse_i))
+    da_scr[:] = da_scr[:] + neg_weight * _dot_tn(q, a_i, precision)
+
+    @pl.when(i == ni - 1)
+    def _finalize():
+        d_o_ref[:] = scale * do_scr[:]
+        d_a_ref[:] = scale * da_scr[:]
+
+
+# ---------------------------------------------------------------------------
+# wrappers + custom VJP
+# ---------------------------------------------------------------------------
+
+
+def _compiler_params():
+    return pltpu.CompilerParams(
+        dimension_semantics=("parallel", "arbitrary"),
+        vmem_limit_bytes=100 * 1024 * 1024,
+    )
+
+
+def _off_spec():
+    return pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM)
+
+
+def _rows_lse_fwd(anchor_rows, anchor_all, other_all, off, scale, neg_weight,
+                  tb, tc, interpret, precision):
+    bl, d = anchor_rows.shape
+    bg = anchor_all.shape[0]
+    kernel = functools.partial(
+        _rows_lse_kernel, scale=scale, neg_weight=neg_weight, tb=tb, tc=tc,
+        precision=_resolve_precision(precision),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(bl // tb, bg // tc),
+        in_specs=[
+            _off_spec(),
+            pl.BlockSpec((tb, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tc, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tc, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tb, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bl, 1), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((tb, 1), jnp.float32),
+            pltpu.VMEM((tb, 1), jnp.float32),
+        ],
+        compiler_params=_compiler_params(),
+        interpret=interpret,
+    )(off, anchor_rows, other_all, anchor_all)
+
+
+def _rows_bwd(anchor_rows, anchor_all, other_all, off, lse, g,
+              scale, neg_weight, tb, tc, interpret, precision):
+    bl, d = anchor_rows.shape
+    bg = anchor_all.shape[0]
+    prec = _resolve_precision(precision)
+
+    d_rows = pl.pallas_call(
+        functools.partial(
+            _rows_bwd_rows_kernel, scale=scale, neg_weight=neg_weight,
+            tb=tb, tc=tc, precision=prec,
+        ),
+        grid=(bl // tb, bg // tc),
+        in_specs=[
+            _off_spec(),
+            pl.BlockSpec((tb, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tc, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tc, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tb, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bl, d), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((tb, d), jnp.float32)],
+        compiler_params=_compiler_params(),
+        interpret=interpret,
+    )(off, anchor_rows, lse, g, other_all, anchor_all)
+
+    d_other, d_anchor_all = pl.pallas_call(
+        functools.partial(
+            _rows_bwd_cols_kernel, scale=scale, neg_weight=neg_weight,
+            tb=tb, tc=tc, precision=prec,
+        ),
+        grid=(bg // tc, bl // tb),
+        in_specs=[
+            _off_spec(),
+            pl.BlockSpec((tc, d), lambda j, i: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tc, d), lambda j, i: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, d), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, 1), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, 1), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((tc, d), lambda j, i: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tc, d), lambda j, i: (j, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bg, d), jnp.float32),
+            jax.ShapeDtypeStruct((bg, d), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((tc, d), jnp.float32),
+            pltpu.VMEM((tc, d), jnp.float32),
+        ],
+        compiler_params=_compiler_params(),
+        interpret=interpret,
+    )(off, other_all, anchor_all, anchor_rows, lse, g)
+
+    return d_rows, d_anchor_all, d_other
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
+def _fused_lse_rows(anchor_rows, anchor_all, other_all, off,
+                    scale, neg_weight, tb, tc, interpret, precision):
+    return _rows_lse_fwd(
+        anchor_rows, anchor_all, other_all, off,
+        scale, neg_weight, tb, tc, interpret, precision,
+    )
+
+
+def _fused_lse_rows_fwd(anchor_rows, anchor_all, other_all, off,
+                        scale, neg_weight, tb, tc, interpret, precision):
+    lse = _fused_lse_rows(
+        anchor_rows, anchor_all, other_all, off,
+        scale, neg_weight, tb, tc, interpret, precision,
+    )
+    return lse, (anchor_rows, anchor_all, other_all, off, lse)
+
+
+def _fused_lse_rows_bwd(scale, neg_weight, tb, tc, interpret, precision,
+                        residuals, g):
+    anchor_rows, anchor_all, other_all, off, lse = residuals
+    g = jnp.asarray(g, jnp.float32).reshape(-1, 1)
+    d_rows, d_anchor_all, d_other = _rows_bwd(
+        anchor_rows, anchor_all, other_all, off, lse, g,
+        scale, neg_weight, tb, tc, interpret, precision,
+    )
+    return (
+        d_rows.astype(anchor_rows.dtype),
+        d_anchor_all.astype(anchor_all.dtype),
+        d_other.astype(other_all.dtype),
+        jnp.zeros_like(off),  # fp32 offset: no gradient
+    )
+
+
+_fused_lse_rows.defvjp(_fused_lse_rows_fwd, _fused_lse_rows_bwd)
+
+
+def rows_supported(b_local: int, b_global: int, d: int) -> bool:
+    return (
+        _pick_tiles(b_local, d) is not None
+        and _pick_tiles(b_global, d) is not None
+    )
+
+
+def fused_lse_rows(
+    anchor_rows: jax.Array,
+    anchor_all: jax.Array,
+    other_all: jax.Array,
+    row_offset: jax.Array,
+    *,
+    temperature: float = 0.03,
+    negative_weight: float = 0.8,
+    interpret: bool = False,
+    precision: str | None = None,
+) -> jax.Array:
+    """Per-row logsumexp of the global-candidate CrossCLR direction.
+
+    ``anchor_rows``: [b_loc, D] normalized local anchors; ``anchor_all`` /
+    ``other_all``: [B, D] normalized gathered features; ``row_offset``:
+    traced scalar — global index of local row 0.  Returns [b_loc, 1] fp32.
+    Differentiable w.r.t. all three feature arrays (exact, via the
+    rematerializing backward kernels).
+    """
+    bl, d = anchor_rows.shape
+    bg = anchor_all.shape[0]
+    scale = 1.0 / temperature
+    tiles_r = _pick_tiles(bl, d)
+    tiles_c = _pick_tiles(bg, d)
+    if interpret:
+        # the interpreter has no Mosaic compile-time cost, so tiny tiles
+        # are fine — lets the 8-virtual-device CPU tests use small batches
+        small = [t for t in (64, 32, 16, 8) if bl % t == 0]
+        tiles_r = tiles_r or ((small[0], small[0]) if small else None)
+        small_c = [t for t in (64, 32, 16, 8) if bg % t == 0]
+        tiles_c = tiles_c or ((small_c[0], small_c[0]) if small_c else None)
+    if tiles_r is None or tiles_c is None:
+        raise ValueError(
+            f"unsupported shapes for fused rows kernel: [{bl},{d}] x [{bg},{d}]"
+        )
+    tb, tc = tiles_r[0], tiles_c[1]
+    if d % _LANE != 0:
+        pad = _LANE - d % _LANE
+        anchor_rows = jnp.pad(anchor_rows, ((0, 0), (0, pad)))
+        anchor_all = jnp.pad(anchor_all, ((0, 0), (0, pad)))
+        other_all = jnp.pad(other_all, ((0, 0), (0, pad)))
+    # fp32 scalar in SMEM: exactly represents offsets < 2^24
+    off = jnp.asarray(row_offset, jnp.float32).reshape(1, 1)
+    return _fused_lse_rows(
+        anchor_rows.astype(jnp.float32),
+        anchor_all.astype(jnp.float32),
+        other_all.astype(jnp.float32),
+        off,
+        scale,
+        negative_weight,
+        tb,
+        tc,
+        interpret,
+        precision,
+    )

@@ -2,6 +2,7 @@
 
 from .mesh import DATA_AXIS, MODEL_AXIS, data_sharding, make_mesh, replicated_sharding
 from .global_loss import global_cross_clr_intra, local_rows_cross_clr_intra
+from .multihost import host_local_batch_size, initialize_multihost, is_multihost
 
 __all__ = [
     "DATA_AXIS",
@@ -11,4 +12,7 @@ __all__ = [
     "replicated_sharding",
     "global_cross_clr_intra",
     "local_rows_cross_clr_intra",
+    "host_local_batch_size",
+    "initialize_multihost",
+    "is_multihost",
 ]

@@ -64,6 +64,25 @@ def local_rows_cross_clr_intra(
     return lse - pos
 
 
+def _fused_rows_losses(v_loc, t_loc, v_all, t_all, offset, temperature,
+                       negative_weight, interpret, precision):
+    """Per-row losses via the rectangular Pallas kernels (ops.fused_global):
+    lse over the gathered candidates minus the positive logit (which lives
+    in the local shard: pos_r = s·ṽᵣ·t̃ᵣ, identical for both directions)."""
+    from ..ops.fused_global import fused_lse_rows
+
+    kw = dict(
+        temperature=temperature,
+        negative_weight=negative_weight,
+        interpret=interpret,
+        precision=precision,
+    )
+    lse_v = fused_lse_rows(v_loc, v_all, t_all, offset, **kw)
+    lse_t = fused_lse_rows(t_loc, t_all, v_all, offset, **kw)
+    pos = jnp.sum(v_loc * t_loc, axis=1, keepdims=True) / temperature
+    return (lse_v - pos)[:, 0], (lse_t - pos)[:, 0]
+
+
 def global_cross_clr_intra(
     video_features: jax.Array,
     text_features: jax.Array,
@@ -72,6 +91,9 @@ def global_cross_clr_intra(
     axis: str = DATA_AXIS,
     temperature: float = 0.03,
     negative_weight: float = 0.8,
+    use_fused: bool = False,
+    interpret: bool = False,
+    precision: str | None = None,
 ) -> jax.Array:
     """CrossCLR-onlyIntraModality over the GLOBAL batch on a device mesh.
 
@@ -80,6 +102,11 @@ def global_cross_clr_intra(
     shard_map partitions them).  Returns the replicated scalar loss, equal
     (within fp32 tolerance) to the single-device loss on the concatenated
     batch.  Differentiable; gradients land on the local shards.
+
+    ``use_fused=True`` routes each shard's row block through the
+    rectangular Pallas kernels (ops.fused_global) instead of materializing
+    the ``[b_loc, 2B]`` candidate matrix — required headroom for 32k-batch
+    configs, where the jnp path would hold ~1 GiB of logits per device.
     """
 
     @functools.partial(
@@ -87,6 +114,9 @@ def global_cross_clr_intra(
         mesh=mesh,
         in_specs=(P(axis), P(axis)),
         out_specs=P(),
+        # pallas_call outputs carry no varying-mesh-axes metadata, which
+        # trips shard_map's vma checker on the fused path
+        check_vma=False,
     )
     def _sharded(v_loc, t_loc):
         v_loc = l2_normalize(v_loc, axis=1)
@@ -96,22 +126,20 @@ def global_cross_clr_intra(
         b_loc = v_loc.shape[0]
         n = v_all.shape[0]
         offset = jax.lax.axis_index(axis) * b_loc
-        loss_v = local_rows_cross_clr_intra(
-            v_loc,
-            v_all,
-            t_all,
-            offset,
-            temperature=temperature,
-            negative_weight=negative_weight,
-        )
-        loss_t = local_rows_cross_clr_intra(
-            t_loc,
-            t_all,
-            v_all,
-            offset,
-            temperature=temperature,
-            negative_weight=negative_weight,
-        )
+        if use_fused:
+            loss_v, loss_t = _fused_rows_losses(
+                v_loc, t_loc, v_all, t_all, offset,
+                temperature, negative_weight, interpret, precision,
+            )
+        else:
+            loss_v = local_rows_cross_clr_intra(
+                v_loc, v_all, t_all, offset,
+                temperature=temperature, negative_weight=negative_weight,
+            )
+            loss_t = local_rows_cross_clr_intra(
+                t_loc, t_all, v_all, offset,
+                temperature=temperature, negative_weight=negative_weight,
+            )
         total = jax.lax.psum(jnp.sum(loss_v) + jnp.sum(loss_t), axis)
         return total / (2 * n)
 

@@ -34,7 +34,7 @@ from ..losses import functional as F
 from ..models import DualEncoder, TowerConfig
 from ..ops import cross_clr_intra_fused
 from ..parallel.global_loss import local_rows_cross_clr_intra
-from ..parallel.mesh import DATA_AXIS
+from ..parallel.mesh import DATA_AXIS, MODEL_AXIS
 
 __all__ = ["TrainConfig", "TrainState", "Trainer", "make_loss_fn"]
 
@@ -100,9 +100,11 @@ def _global_rows_loss(
     t_emb: jax.Array,
     cfg: TrainConfig,
     axis: str,
+    use_fused: bool = False,
 ) -> jax.Array:
     """CrossCLR-intra over the global batch, called inside shard_map/jit
-    with sharded activations: gathers normalized features over ``axis``."""
+    with sharded activations: gathers normalized features over ``axis``.
+    ``use_fused`` routes through the rectangular Pallas kernels."""
     v = F.l2_normalize(v_emb, axis=1)
     t = F.l2_normalize(t_emb, axis=1)
     v_all = jax.lax.all_gather(v, axis, tiled=True)
@@ -110,15 +112,38 @@ def _global_rows_loss(
     b_loc = v.shape[0]
     n = v_all.shape[0]
     offset = jax.lax.axis_index(axis) * b_loc
-    loss_v = local_rows_cross_clr_intra(
-        v, v_all, t_all, offset,
-        temperature=cfg.temperature, negative_weight=cfg.negative_weight,
-    )
-    loss_t = local_rows_cross_clr_intra(
-        t, t_all, v_all, offset,
-        temperature=cfg.temperature, negative_weight=cfg.negative_weight,
-    )
-    return jax.lax.psum(jnp.sum(loss_v) + jnp.sum(loss_t), axis) / (2 * n)
+    if use_fused:
+        from ..ops.fused_global import rows_supported
+
+        interpret = jax.default_backend() != "tpu"
+        if interpret:
+            supported = b_loc % 8 == 0 and n % 8 == 0
+        else:
+            supported = rows_supported(b_loc, n, v.shape[1])
+        if not supported:
+            use_fused = False  # odd shapes: jnp row-block path below
+    if use_fused:
+        from ..parallel.global_loss import _fused_rows_losses
+
+        loss_v, loss_t = _fused_rows_losses(
+            v, t, v_all, t_all, offset,
+            cfg.temperature, cfg.negative_weight,
+            interpret=interpret,
+            precision=None,
+        )
+    else:
+        loss_v = local_rows_cross_clr_intra(
+            v, v_all, t_all, offset,
+            temperature=cfg.temperature, negative_weight=cfg.negative_weight,
+        )
+        loss_t = local_rows_cross_clr_intra(
+            t, t_all, v_all, offset,
+            temperature=cfg.temperature, negative_weight=cfg.negative_weight,
+        )
+    # return the LOCAL contribution only — differentiating through a psum
+    # inside a shard_map body re-psums the cotangent (each device would see
+    # an n_devices-times gradient); the step psums loss and grads itself
+    return (jnp.sum(loss_v) + jnp.sum(loss_t)) / (2 * n)
 
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
@@ -134,8 +159,50 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
     )
 
 
+def _tp_spec_for_param(path: tuple, value) -> P:
+    """Tensor-parallel PartitionSpec for one tower parameter.
+
+    Megatron-style column/row split of the MLP pair over the ``model``
+    axis: the hidden dimension is sharded, activations stay sharded
+    between fc1 and fc2, and XLA inserts the reducing collective after
+    the row-parallel matmul.  Attention is split over heads.  Everything
+    unmatched (biases, layernorms, embeddings) is replicated.
+    """
+    names = tuple(str(p) for p in path)
+    leaf = names[-1]
+    parent = names[-2] if len(names) >= 2 else ""
+    if leaf == "kernel":
+        if parent in ("fc1", "skip", "input_proj"):
+            return P(None, MODEL_AXIS)  # column-parallel: shard output dim
+        if parent in ("fc2", "output_proj"):
+            return P(MODEL_AXIS, None)  # row-parallel: shard input dim
+        if parent in ("query", "key", "value"):
+            return P(None, MODEL_AXIS, None)  # shard attention heads
+        if parent == "out":
+            return P(MODEL_AXIS, None, None)
+        if parent.startswith("Dense_") and hasattr(value, "shape"):
+            # transformer block MLP: (embed, hidden) then (hidden, embed)
+            if value.shape[0] < value.shape[-1]:
+                return P(None, MODEL_AXIS)
+            if value.shape[0] > value.shape[-1]:
+                return P(MODEL_AXIS, None)
+    if leaf == "bias" and parent in ("fc1", "input_proj"):
+        return P(MODEL_AXIS)
+    return P()
+
+
 class Trainer:
-    """Owns model init, the jitted sharded train step, and eval encoding."""
+    """Owns model init, the jitted sharded train step, and eval encoding.
+
+    Parallelism layout over the mesh (see parallel.mesh):
+      * ``data`` axis — batch sharding (+ all-gathered global negatives
+        through shard_map when the loss is a CrossCLR-intra variant)
+      * ``model`` axis — Megatron-style tensor parallelism of the tower
+        matmuls via parameter PartitionSpecs; XLA/GSPMD inserts the
+        collectives.  When the model axis is active the step runs under
+        plain jit (GSPMD), which also computes global negatives
+        implicitly since the loss sees the full (sharded) batch.
+    """
 
     def __init__(
         self,
@@ -165,10 +232,53 @@ class Trainer:
             tx=make_optimizer(self.cfg),
         )
         if self.mesh is not None:
-            state = jax.device_put(
-                state, NamedSharding(self.mesh, P())
-            )
+            if self.mesh.shape[MODEL_AXIS] > 1:
+                state = self._shard_state_tp(state)
+            else:
+                state = jax.device_put(state, NamedSharding(self.mesh, P()))
         return state
+
+    def _shard_state_tp(self, state: TrainState) -> TrainState:
+        """Place params (and matching optimizer moments) with tensor-parallel
+        PartitionSpecs over the model axis; everything else replicated."""
+        mesh = self.mesh
+
+        param_specs = jax.tree_util.tree_map_with_path(
+            lambda path, v: _tp_spec_for_param(
+                tuple(getattr(p, "key", getattr(p, "idx", p)) for p in path), v
+            ),
+            state.params,
+        )
+
+        def place(tree, specs):
+            return jax.tree.map(
+                lambda v, s: jax.device_put(v, NamedSharding(mesh, s)),
+                tree,
+                specs,
+            )
+
+        params = place(state.params, param_specs)
+
+        # optimizer moments (adam mu/nu) mirror the param tree; shard them
+        # identically or every apply_gradients inserts resharding copies.
+        # Walk the optax state structure and place any subtree whose pytree
+        # structure equals the params'.
+        params_structure = jax.tree.structure(state.params)
+
+        def place_opt(node):
+            if jax.tree.structure(node) == params_structure:
+                return place(node, param_specs)
+            if isinstance(node, tuple):  # includes optax NamedTuple states
+                placed = [place_opt(child) for child in node]
+                return type(node)(*placed) if hasattr(node, "_fields") else tuple(
+                    placed
+                )
+            if hasattr(node, "shape"):
+                return jax.device_put(node, NamedSharding(mesh, P()))
+            return node
+
+        opt_state = place_opt(state.opt_state)
+        return state.replace(params=params, opt_state=opt_state)
 
     # -- the step -----------------------------------------------------------
 
@@ -181,6 +291,7 @@ class Trainer:
             mesh is not None
             and cfg.global_negatives
             and mesh.shape[DATA_AXIS] > 1
+            and mesh.shape[MODEL_AXIS] == 1  # tp runs under plain GSPMD jit
             and cfg.loss in ("crossclr_intra", "crossclr_intra_fused")
         )
 
@@ -195,7 +306,13 @@ class Trainer:
                 train=True,
             )
             if use_global:
-                loss = _global_rows_loss(v_emb, t_emb, cfg, DATA_AXIS)
+                loss = _global_rows_loss(
+                    v_emb,
+                    t_emb,
+                    cfg,
+                    DATA_AXIS,
+                    use_fused=cfg.loss == "crossclr_intra_fused",
+                )
             else:
                 loss = plain_loss(v_emb, t_emb, batch["video"], batch["text"])
             return loss, (v_emb, t_emb)
@@ -206,7 +323,8 @@ class Trainer:
             )(state.params, batch)
             if use_global:
                 # inside shard_map each device holds only its batch rows'
-                # gradient contribution; the true gradient is their sum
+                # loss/gradient contribution; the true values are their sums
+                loss = jax.lax.psum(loss, DATA_AXIS)
                 grads = jax.tree.map(
                     lambda g: jax.lax.psum(g, DATA_AXIS), grads
                 )

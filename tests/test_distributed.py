@@ -106,3 +106,53 @@ def test_global_loss_nondefault_hparams(rng):
     )
     want = float(cross_clr_intra(v, t, temperature=0.1, negative_weight=0.5))
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+@needs_multidevice
+def test_fused_global_loss_matches_single_device(rng):
+    """Rectangular Pallas kernels (interpret mode on CPU) under shard_map
+    + all_gather reproduce the single-device loss and gradients."""
+    mesh = make_mesh()
+    b, d = 64, 32
+    v = jnp.asarray(rng.standard_normal((b, d)), jnp.float32)
+    t = jnp.asarray(rng.standard_normal((b, d)), jnp.float32)
+    sharding = data_sharding(mesh)
+    vs, ts = jax.device_put(v, sharding), jax.device_put(t, sharding)
+
+    want = float(cross_clr_intra(v, t))
+    got = float(
+        global_cross_clr_intra(vs, ts, mesh=mesh, use_fused=True, interpret=True)
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+    gw = jax.grad(lambda a, b_: cross_clr_intra(a, b_), argnums=(0, 1))(v, t)
+    gg = jax.grad(
+        lambda a, b_: global_cross_clr_intra(
+            a, b_, mesh=mesh, use_fused=True, interpret=True
+        ),
+        argnums=(0, 1),
+    )(vs, ts)
+    np.testing.assert_allclose(np.asarray(gg[0]), np.asarray(gw[0]), rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gg[1]), np.asarray(gw[1]), rtol=1e-4, atol=1e-6)
+
+
+@needs_multidevice
+def test_fused_global_nondefault_hparams(rng):
+    mesh = make_mesh()
+    b, d = 64, 48
+    v = jnp.asarray(rng.standard_normal((b, d)), jnp.float32)
+    t = jnp.asarray(rng.standard_normal((b, d)), jnp.float32)
+    sharding = data_sharding(mesh)
+    got = float(
+        global_cross_clr_intra(
+            jax.device_put(v, sharding),
+            jax.device_put(t, sharding),
+            mesh=mesh,
+            temperature=0.2,
+            negative_weight=0.4,
+            use_fused=True,
+            interpret=True,
+        )
+    )
+    want = float(cross_clr_intra(v, t, temperature=0.2, negative_weight=0.4))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)

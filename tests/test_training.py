@@ -144,3 +144,37 @@ def test_metrics_are_scalars():
     for k, v in metrics.items():
         assert np.asarray(v).shape == (), k
         assert np.isfinite(float(v)), k
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_tensor_parallel_step_matches_single_device():
+    """dp=4 x tp=2 mesh: Megatron-style sharded tower matmuls under GSPMD
+    produce the same loss/grad-norm as an unsharded single-device step."""
+    from crossclr_tpu.data import SyntheticPairs, epoch_batches
+    from crossclr_tpu.parallel import data_sharding, make_mesh
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    data = SyntheticPairs(num_pairs=128, video_dim=48, text_dim=32, seed=0)
+    vc = TowerConfig(kind="mlp", input_dim=48, embed_dim=32, hidden_dim=64,
+                     dtype=jnp.float32)
+    tc = TowerConfig(kind="mlp", input_dim=32, embed_dim=32, hidden_dim=64,
+                     dtype=jnp.float32)
+    batch = next(epoch_batches(data, 32, shuffle=False))
+
+    tr_tp = Trainer(vc, tc, TrainConfig(total_steps=10), mesh=mesh)
+    st_tp = tr_tp.init_state(batch["video"], batch["text"])
+    assert "model" in str(
+        st_tp.params["video_tower"]["fc1"]["kernel"].sharding.spec
+    )
+    sh = data_sharding(mesh)
+    dbatch = {k: jax.device_put(jnp.asarray(v), sh) for k, v in batch.items()}
+    _, m_tp = tr_tp.train_step(st_tp, dbatch)
+
+    tr_1 = Trainer(vc, tc, TrainConfig(total_steps=10), mesh=None)
+    st_1 = tr_1.init_state(batch["video"], batch["text"])
+    _, m_1 = tr_1.train_step(st_1, batch)
+
+    np.testing.assert_allclose(float(m_tp["loss"]), float(m_1["loss"]), rtol=1e-5)
+    np.testing.assert_allclose(
+        float(m_tp["grad_norm"]), float(m_1["grad_norm"]), rtol=1e-4
+    )
