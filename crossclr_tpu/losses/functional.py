@@ -113,14 +113,17 @@ def cross_clr_intra_per_row(
     Inputs are raw ``[B, D]`` features; both are L2-normalized internally
     (loss.py:79-80).  Defaults mirror loss.py:50.
     """
-    v = l2_normalize(video_features, axis=1)
-    t = l2_normalize(text_features, axis=1)
-    sim_vt = _matmul(v, t.T)  # logits_per_vid (loss.py:83)
-    sim_tv = sim_vt.T  # reference recomputes t @ v.T (loss.py:84); equal up to fp assoc
-    sim_vv = _matmul(v, v.T)
-    sim_tt = _matmul(t, t.T)
-    loss_v = _intra_logit_rows(sim_vv, sim_vt, temperature, negative_weight)
-    loss_t = _intra_logit_rows(sim_tt, sim_tv, temperature, negative_weight)
+    with jax.named_scope("crossclr/normalize"):
+        v = l2_normalize(video_features, axis=1)
+        t = l2_normalize(text_features, axis=1)
+    with jax.named_scope("crossclr/similarities"):
+        sim_vt = _matmul(v, t.T)  # logits_per_vid (loss.py:83)
+        sim_tv = sim_vt.T  # reference recomputes t @ v.T (loss.py:84); equal up to fp assoc
+        sim_vv = _matmul(v, v.T)
+        sim_tt = _matmul(t, t.T)
+    with jax.named_scope("crossclr/row_losses"):
+        loss_v = _intra_logit_rows(sim_vv, sim_vt, temperature, negative_weight)
+        loss_t = _intra_logit_rows(sim_tt, sim_tv, temperature, negative_weight)
     return loss_v, loss_t
 
 

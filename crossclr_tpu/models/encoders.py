@@ -44,6 +44,10 @@ class TowerConfig:
     max_seq_len: int = 32
     dropout: float = 0.0
     dtype: Any = jnp.bfloat16
+    # rematerialize transformer blocks in the backward pass: trades FLOPs
+    # for activation memory (jax.checkpoint), the standard recipe for deep
+    # towers at large batch
+    remat: bool = False
 
 
 class MLPTower(nn.Module):
@@ -76,7 +80,7 @@ class _Block(nn.Module):
     cfg: TowerConfig
 
     @nn.compact
-    def __call__(self, x, mask, *, train: bool):
+    def __call__(self, x, mask, train: bool = False):
         cfg = self.cfg
         attn_mask = None
         if mask is not None:
@@ -121,8 +125,10 @@ class TransformerTower(nn.Module):
             jnp.float32,
         )
         h = h + pos[None, :s, :].astype(cfg.dtype)
+        # static_argnums: 3 is `train` in (self, x, mask, train)
+        block_cls = nn.remat(_Block, static_argnums=(3,)) if cfg.remat else _Block
         for layer in range(cfg.num_layers):
-            h = _Block(cfg, name=f"block_{layer}")(h, mask, train=train)
+            h = block_cls(cfg, name=f"block_{layer}")(h, mask, train)
         h = nn.LayerNorm(dtype=jnp.float32, name="final_norm")(
             h.astype(jnp.float32)
         )

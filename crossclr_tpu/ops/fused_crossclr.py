@@ -80,6 +80,10 @@ TILE_OVERRIDE: tuple[int, int] | None = None
 _PRECISIONS = {
     "highest": jax.lax.Precision.HIGHEST,
     "default": jax.lax.Precision.DEFAULT,
+    # "bf16": features are cast to bf16 before the kernels (the wrapper
+    # handles the cast); dots run single-pass on the MXU with fp32
+    # accumulation.  Halves VMEM/HBM traffic on top of "default" speed.
+    "bf16": jax.lax.Precision.DEFAULT,
 }
 
 
@@ -257,22 +261,43 @@ def _lse_bwd_kernel(
     ga_j = ga_col_ref[:]  # [1, TC]
     go_j = go_col_ref[:]  # [1, TC]
 
+    # The VPU exp is the non-MXU hot spot; halve it by factoring the two
+    # softmax normalizations through a single exp of the raw logits:
+    #   g_a·exp(z − lse_a) + g_o·exp(z − lse_o)
+    #     = exp(z) · (g_a·e^{−lse_a} + g_o·e^{−lse_o})
+    # Safe because normalized features bound |z| ≤ s = 1/τ (< 88 keeps
+    # exp(z) finite in fp32) and lse ≥ 0; _lse_bwd_direction falls back to
+    # the subtract-first form for extreme temperatures.
+    factored = 0.0 < scale < 80.0 and 0.0 <= neg_weight * scale < 80.0
+
     # ---- inter-modal block: one MXU product serves both softmax factors
     z_inter = scale * _dot_nt(a_i, o_j, precision)  # s·aᵢ·oⱼ  [TB, TC]
-    # diag(g_a)·P rows: anchor-direction softmax normalized per row i
-    p_row = ga_i * jnp.exp(z_inter - lse_a_i)
-    # (Pᵗ)ᵀ·diag(g_o) columns: other-direction softmax normalized per col j
-    p_col = go_j * jnp.exp(z_inter - lse_o_j)
-    acc = _dot(p_row + p_col, o_j, precision)
+    if factored:
+        # rows: diag(g_a)·P; cols: (Pᵗ)ᵀ·diag(g_o) — one exp, two FMAs
+        p_sum = jnp.exp(z_inter) * (
+            ga_i * jnp.exp(-lse_a_i) + go_j * jnp.exp(-lse_o_j)
+        )
+    else:
+        p_sum = ga_i * jnp.exp(z_inter - lse_a_i) + go_j * jnp.exp(
+            z_inter - lse_o_j
+        )
+    acc = _dot(p_sum, o_j, precision)
 
     # ---- intra-modal block
     z_intra = (neg_weight * scale) * _dot_nt(a_i, a_j, precision)
     rows = i * tb + jax.lax.broadcasted_iota(jnp.int32, (tb, tc), 0)
     cols = j * tc + jax.lax.broadcasted_iota(jnp.int32, (tb, tc), 1)
     on_diag = rows == cols  # zeroed logit ⇒ constant ⇒ no gradient
-    q_row = jnp.where(on_diag, 0.0, ga_i * jnp.exp(z_intra - lse_a_i))
-    q_col = jnp.where(on_diag, 0.0, ga_j * jnp.exp(z_intra - lse_a_j))
-    acc = acc + neg_weight * _dot(q_row + q_col, a_j, precision)
+    if factored:
+        q_sum = jnp.exp(z_intra) * (
+            ga_i * jnp.exp(-lse_a_i) + ga_j * jnp.exp(-lse_a_j)
+        )
+    else:
+        q_sum = ga_i * jnp.exp(z_intra - lse_a_i) + ga_j * jnp.exp(
+            z_intra - lse_a_j
+        )
+    q_sum = jnp.where(on_diag, 0.0, q_sum)
+    acc = acc + neg_weight * _dot(q_sum, a_j, precision)
 
     acc_scr[:] = acc_scr[:] + acc
 
@@ -481,9 +506,10 @@ def fused_lse_pair(
         pad = _LANE - d % _LANE
         v_norm = jnp.pad(v_norm, ((0, 0), (0, pad)))
         t_norm = jnp.pad(t_norm, ((0, 0), (0, pad)))
+    feat_dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
     return _fused_lse_pair(
-        v_norm.astype(jnp.float32),
-        t_norm.astype(jnp.float32),
+        v_norm.astype(feat_dtype),
+        t_norm.astype(feat_dtype),
         scale,
         negative_weight,
         tb,

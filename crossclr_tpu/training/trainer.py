@@ -397,9 +397,15 @@ class Trainer:
         steps: int,
         log_every: int = 50,
         writer: Any = None,
+        step_offset: int | None = None,
     ) -> tuple[TrainState, list[dict]]:
+        """Run ``steps`` train steps.  ``step_offset`` sets the global step
+        reported in metrics (defaults to the state's own step counter, so
+        chunked/resumed runs log a monotonically increasing step)."""
         history = []
         it = iter(batches)
+        if step_offset is None:
+            step_offset = int(state.step)
         t0 = time.perf_counter()
         for i in range(steps):
             batch = next(it)
@@ -408,7 +414,10 @@ class Trainer:
                 metrics = {k: float(v) for k, v in metrics.items()}
                 dt = time.perf_counter() - t0
                 metrics["steps_per_sec"] = (i + 1) / dt
-                metrics["step"] = i + 1
+                metrics["pairs_per_sec"] = metrics["steps_per_sec"] * (
+                    batch["video"].shape[0]
+                )
+                metrics["step"] = step_offset + i + 1
                 history.append(metrics)
                 if writer is not None:
                     writer(metrics)

@@ -55,6 +55,14 @@ def _to_dict(obj: Any) -> Any:
     return obj
 
 
+_NESTED_FIELDS = {
+    "video_tower": TowerConfig,
+    "text_tower": TowerConfig,
+    "train": TrainConfig,
+    "data": DataConfig,
+}
+
+
 def _from_dict(cls, d: dict):
     import jax.numpy as jnp
 
@@ -63,14 +71,8 @@ def _from_dict(cls, d: dict):
         if f.name not in d:
             continue
         val = d[f.name]
-        if dataclasses.is_dataclass(f.type) if isinstance(f.type, type) else False:
-            val = _from_dict(f.type, val)
-        elif f.name.endswith("_tower") or f.name in ("video_tower", "text_tower"):
-            val = _from_dict(TowerConfig, val)
-        elif f.name == "train":
-            val = _from_dict(TrainConfig, val)
-        elif f.name == "data":
-            val = _from_dict(DataConfig, val)
+        if f.name in _NESTED_FIELDS:
+            val = _from_dict(_NESTED_FIELDS[f.name], val)
         elif f.name == "dtype" and isinstance(val, str):
             val = getattr(jnp, val)
         kwargs[f.name] = val

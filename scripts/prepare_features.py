@@ -1,0 +1,114 @@
+"""Convert pre-extracted clip/caption feature archives into the framework's
+aligned ``.npy`` pair format (see crossclr_tpu.data.FeaturePairDataset).
+
+The CrossCLR paper trains on pre-extracted features (YouCook2, LSMDC);
+distribution of those archives varies (npz bundles, per-clip .npy dirs,
+pickled dicts).  This tool normalizes any of them into two row-aligned
+arrays plus an id manifest:
+
+    <out>/video_feats.npy   [N, Dv] float32
+    <out>/text_feats.npy    [N, Dt] float32
+    <out>/ids.json          N clip ids, row-aligned
+
+Usage:
+  python scripts/prepare_features.py --npz feats.npz \\
+      --video-key video --text-key text --out data/youcook2
+  python scripts/prepare_features.py --video-dir vids/ --text-dir caps/ \\
+      --out data/lsmdc       # matches basenames, sorts, aligns
+  python scripts/prepare_features.py --pickle feats.pkl \\
+      --video-key vid_feats --text-key txt_feats --out data/x
+
+Sequence features ([N, S, D]) are mean-pooled unless --keep-sequence.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import pickle
+from pathlib import Path
+
+import numpy as np
+
+
+def _pool(x: np.ndarray, keep_sequence: bool) -> np.ndarray:
+    x = np.asarray(x, dtype=np.float32)
+    if x.ndim == 3 and not keep_sequence:
+        return x.mean(axis=1)
+    return x
+
+
+def _from_npz(path, video_key, text_key, keep_sequence):
+    with np.load(path, allow_pickle=True) as z:
+        return (
+            _pool(z[video_key], keep_sequence),
+            _pool(z[text_key], keep_sequence),
+            [str(i) for i in range(z[video_key].shape[0])],
+        )
+
+
+def _from_pickle(path, video_key, text_key, keep_sequence):
+    with open(path, "rb") as fh:
+        obj = pickle.load(fh)
+    video, text = obj[video_key], obj[text_key]
+    if isinstance(video, dict):
+        ids = sorted(set(video) & set(text))
+        v = np.stack([_pool(np.asarray(video[i]), keep_sequence) for i in ids])
+        t = np.stack([_pool(np.asarray(text[i]), keep_sequence) for i in ids])
+        return v.astype(np.float32), t.astype(np.float32), list(map(str, ids))
+    return (
+        _pool(video, keep_sequence),
+        _pool(text, keep_sequence),
+        [str(i) for i in range(len(video))],
+    )
+
+
+def _from_dirs(video_dir, text_dir, keep_sequence):
+    vd, td = Path(video_dir), Path(text_dir)
+    v_files = {p.stem: p for p in vd.glob("*.npy")}
+    t_files = {p.stem: p for p in td.glob("*.npy")}
+    ids = sorted(set(v_files) & set(t_files))
+    if not ids:
+        raise SystemExit("no matching basenames between the two directories")
+    v = np.stack([_pool(np.load(v_files[i]), keep_sequence) for i in ids])
+    t = np.stack([_pool(np.load(t_files[i]), keep_sequence) for i in ids])
+    return v.astype(np.float32), t.astype(np.float32), ids
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    src = ap.add_mutually_exclusive_group(required=True)
+    src.add_argument("--npz")
+    src.add_argument("--pickle")
+    src.add_argument("--video-dir")
+    ap.add_argument("--text-dir")
+    ap.add_argument("--video-key", default="video")
+    ap.add_argument("--text-key", default="text")
+    ap.add_argument("--keep-sequence", action="store_true")
+    ap.add_argument("--out", required=True)
+    args = ap.parse_args(argv)
+
+    if args.npz:
+        v, t, ids = _from_npz(args.npz, args.video_key, args.text_key, args.keep_sequence)
+    elif args.pickle:
+        v, t, ids = _from_pickle(
+            args.pickle, args.video_key, args.text_key, args.keep_sequence
+        )
+    else:
+        if not args.text_dir:
+            raise SystemExit("--video-dir requires --text-dir")
+        v, t, ids = _from_dirs(args.video_dir, args.text_dir, args.keep_sequence)
+
+    if v.shape[0] != t.shape[0]:
+        raise SystemExit(f"row mismatch: {v.shape[0]} video vs {t.shape[0]} text")
+    out = Path(args.out)
+    out.mkdir(parents=True, exist_ok=True)
+    np.save(out / "video_feats.npy", v)
+    np.save(out / "text_feats.npy", t)
+    (out / "ids.json").write_text(json.dumps(ids))
+    print(f"wrote {v.shape} video / {t.shape} text features to {out}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
