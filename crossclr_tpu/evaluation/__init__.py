@@ -1,5 +1,17 @@
-"""Retrieval evaluation."""
+"""Retrieval evaluation and serving."""
 
-from .retrieval import rank_of_ground_truth, retrieval_metrics, similarity_matrix
+from .retrieval import (
+    encode_corpus,
+    rank_of_ground_truth,
+    retrieval_metrics,
+    retrieve_topk,
+    similarity_matrix,
+)
 
-__all__ = ["rank_of_ground_truth", "retrieval_metrics", "similarity_matrix"]
+__all__ = [
+    "encode_corpus",
+    "rank_of_ground_truth",
+    "retrieval_metrics",
+    "retrieve_topk",
+    "similarity_matrix",
+]

@@ -16,7 +16,13 @@ import jax.numpy as jnp
 
 from ..losses.functional import l2_normalize
 
-__all__ = ["retrieval_metrics", "similarity_matrix", "rank_of_ground_truth"]
+__all__ = [
+    "retrieval_metrics",
+    "similarity_matrix",
+    "rank_of_ground_truth",
+    "retrieve_topk",
+    "encode_corpus",
+]
 
 
 def similarity_matrix(video_emb: jax.Array, text_emb: jax.Array) -> jax.Array:
@@ -66,3 +72,51 @@ def retrieval_metrics(
     """
     sim = similarity_matrix(video_emb, text_emb)
     return {k: float(v) for k, v in _metrics_from_sim(sim, ks).items()}
+
+
+@functools.partial(jax.jit, static_argnames=("k", "query_chunk"))
+def retrieve_topk(
+    query_emb: jax.Array,
+    corpus_emb: jax.Array,
+    *,
+    k: int = 10,
+    query_chunk: int = 1024,
+) -> tuple[jax.Array, jax.Array]:
+    """Serving path: top-k corpus indices/scores per query by cosine sim.
+
+    Queries are processed in ``query_chunk`` blocks with ``lax.map`` so a
+    large query set never materializes the full ``[Nq, Nc]`` similarity
+    matrix — only ``[chunk, Nc]`` lives at a time, and ``lax.top_k`` runs
+    on device.  Returns ``(scores [Nq, k], indices [Nq, k])``.
+    """
+    q = l2_normalize(query_emb.astype(jnp.float32), axis=1)
+    c = l2_normalize(corpus_emb.astype(jnp.float32), axis=1)
+    nq = q.shape[0]
+    chunk = min(query_chunk, nq)
+    pad = (-nq) % chunk
+    q_padded = jnp.pad(q, ((0, pad), (0, 0)))
+    blocks = q_padded.reshape(-1, chunk, q.shape[1])
+
+    def one_block(qb):
+        sim = jnp.matmul(qb, c.T, precision=jax.lax.Precision.HIGHEST)
+        return jax.lax.top_k(sim, k)
+
+    scores, idx = jax.lax.map(one_block, blocks)
+    scores = scores.reshape(-1, k)[:nq]
+    idx = idx.reshape(-1, k)[:nq]
+    return scores, idx
+
+
+def encode_corpus(encode_fn, batches, *, side: str = "video") -> jax.Array:
+    """Encode an iterable of batches into a single embedding matrix.
+
+    ``encode_fn(batch) -> (video_emb, text_emb)`` (e.g. Trainer.encode
+    with state bound); ``side`` picks which modality to collect.
+    """
+    import numpy as np
+
+    out = []
+    for batch in batches:
+        v, t = encode_fn(batch)
+        out.append(np.asarray(v if side == "video" else t))
+    return jnp.asarray(np.concatenate(out, axis=0))

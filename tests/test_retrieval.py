@@ -47,3 +47,30 @@ def test_similarity_matrix_is_cosine():
     sim = np.asarray(similarity_matrix(v, v))
     np.testing.assert_allclose(np.diagonal(sim), 1.0, atol=1e-5)
     assert np.all(sim <= 1.0 + 1e-5) and np.all(sim >= -1.0 - 1e-5)
+
+
+def test_retrieve_topk_exact():
+    rng = np.random.default_rng(3)
+    corpus = jnp.asarray(rng.standard_normal((200, 16)), jnp.float32)
+    queries = corpus[np.asarray([5, 17, 123])]  # exact matches exist
+    from crossclr_tpu.evaluation import retrieve_topk
+
+    scores, idx = retrieve_topk(queries, corpus, k=3)
+    assert idx.shape == (3, 3) and scores.shape == (3, 3)
+    np.testing.assert_array_equal(np.asarray(idx[:, 0]), [5, 17, 123])
+    np.testing.assert_allclose(np.asarray(scores[:, 0]), 1.0, atol=1e-5)
+    # scores sorted descending
+    s = np.asarray(scores)
+    assert np.all(s[:, :-1] >= s[:, 1:] - 1e-7)
+
+
+def test_retrieve_topk_chunking_matches_unchunked():
+    rng = np.random.default_rng(4)
+    corpus = jnp.asarray(rng.standard_normal((64, 8)), jnp.float32)
+    queries = jnp.asarray(rng.standard_normal((50, 8)), jnp.float32)
+    from crossclr_tpu.evaluation import retrieve_topk
+
+    s1, i1 = retrieve_topk(queries, corpus, k=5, query_chunk=16)  # pads 50->64
+    s2, i2 = retrieve_topk(queries, corpus, k=5, query_chunk=50)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-6)

@@ -1,0 +1,63 @@
+"""Utils tests: metrics writer, profiling hooks, multihost helpers."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from crossclr_tpu.utils import MetricsWriter, StepTimer, nan_debug
+from crossclr_tpu.parallel import (
+    host_local_batch_size,
+    initialize_multihost,
+    is_multihost,
+)
+
+
+def test_metrics_writer_csv(tmp_path):
+    path = tmp_path / "m.csv"
+    w = MetricsWriter(path, echo=False)
+    w({"loss": 1.5, "step": 1})
+    w({"loss": 1.2, "step": 2})
+    w.close()
+    rows = path.read_text().strip().splitlines()
+    assert rows[0] == "loss,step"
+    assert rows[1].startswith("1.5")
+    assert len(rows) == 3
+
+
+def test_metrics_writer_no_path():
+    w = MetricsWriter(None, echo=False)
+    w({"loss": 1.0})  # must not raise
+    w.close()
+
+
+def test_step_timer():
+    t = StepTimer(batch_size=32)
+    t.tick(10)
+    sps = t.steps_per_sec
+    assert sps > 0
+    # pairs/sec tracks steps/sec by the batch size (properties re-read the
+    # clock, so compare with slack rather than exact equality)
+    assert abs(t.pairs_per_sec / t.steps_per_sec - 32) < 1.0
+
+
+def test_nan_debug_restores_flag():
+    prev = jax.config.jax_debug_nans
+    with nan_debug(True):
+        assert jax.config.jax_debug_nans is True
+    assert jax.config.jax_debug_nans == prev
+
+
+def test_nan_debug_catches_nan():
+    with nan_debug(True):
+        with pytest.raises(Exception):
+            jax.jit(lambda x: jnp.log(x))(jnp.asarray(-1.0)).block_until_ready()
+
+
+def test_multihost_noop_single_host():
+    assert initialize_multihost() is False  # no coordinator configured
+    assert is_multihost() is False
+    assert host_local_batch_size(64) == 64
+    # single host: any batch size divides evenly
+    assert host_local_batch_size(63) == 63
