@@ -33,13 +33,13 @@ def test_metrics_writer_no_path():
 
 
 def test_step_timer():
+    import time
+
     t = StepTimer(batch_size=32)
     t.tick(10)
-    sps = t.steps_per_sec
-    assert sps > 0
-    # pairs/sec tracks steps/sec by the batch size (properties re-read the
-    # clock, so compare with slack rather than exact equality)
-    assert abs(t.pairs_per_sec / t.steps_per_sec - 32) < 1.0
+    time.sleep(0.05)  # make elapsed time >> clock-read jitter
+    assert t.steps_per_sec > 0
+    assert abs(t.pairs_per_sec / t.steps_per_sec - 32) < 0.5
 
 
 def test_nan_debug_restores_flag():
