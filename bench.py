@@ -1,15 +1,20 @@
 """Benchmark harness — prints ONE JSON line with the headline metric.
 
 Metric (BASELINE.json): contrastive pairs/sec/chip at bsz 4096, dim 512,
-fwd+bwd of the CrossCLR-onlyIntraModality criterion.  Baseline: the
-PyTorch reference (/root/reference/trainer/loss.py) measured at 497
+forward+backward of the CrossCLR-onlyIntraModality criterion.  Baseline:
+the PyTorch reference (/root/reference/trainer/loss.py) measured at 497
 pairs/s fwd+bwd on this machine's CPU (BASELINE.md; the repo publishes no
 numbers and CUDA hardware is unavailable — see BASELINE.md notes).
 
-Chooses the fastest correct path for the hardware: the fused Pallas
-kernel on TPU (falling back to the XLA-fused jnp path if it is slower on
-the current shape) — both verified against the reference within fp32
-tolerance by tests/test_parity.py and tests/test_fused_kernel.py.
+Timing methodology: a K-step dependency-chained ``lax.scan`` (each step's
+inputs are the previous step's gradient update), timed with start inputs
+the device has never seen.  This defeats two failure modes of naive
+loops on this runtime: async dispatch returning before execution, and the
+remote executor memoizing identical (executable, inputs) dispatches —
+repeated-input timing under-reports by >10x.
+
+Candidates are gated on matching the parity-tested jnp loss within fp32
+forward tolerance; the fastest passing implementation is the headline.
 """
 
 import json
@@ -25,60 +30,60 @@ from crossclr_tpu.ops import cross_clr_intra_fused
 
 BASELINE_PAIRS_PER_SEC = 497.0  # torch reference fwd+bwd, bsz 4096 (BASELINE.md)
 B, D = 4096, 512
-
-
-def _time_step(f, v, t, iters=30):
-    out = f(v, t)
-    jax.block_until_ready(out)
-    for _ in range(5):
-        jax.block_until_ready(f(v, t))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = f(v, t)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
-
-
+K = 20  # chained steps per timed dispatch
 FP32_FORWARD_TOL = 2e-5  # fp32 parity tolerance vs the torch reference
+
+
+def _chained(loss_fn):
+    grad_fn = jax.value_and_grad(loss_fn, argnums=(0, 1))
+
+    def body(carry, _):
+        v, t = carry
+        loss, (gv, gt) = grad_fn(v, t)
+        return (v - 0.01 * gv, t - 0.01 * gt), loss
+
+    return jax.jit(lambda v, t: jax.lax.scan(body, (v, t), None, length=K))
+
+
+def _time_chain(f, v_warm, t_warm, v_run, t_run):
+    jax.block_until_ready(f(v_warm, t_warm))  # compile + warm, distinct inputs
+    best = float("inf")
+    for v, t in ((v_run, t_run), (v_run * 1.0000001, t_run)):
+        t0 = time.perf_counter()
+        out = f(v, t)
+        jax.block_until_ready(out)
+        best = min(best, (time.perf_counter() - t0) / K)
+    return best, float(out[1][0])  # per-step seconds, first-step loss
 
 
 def main():
     rng = np.random.default_rng(0)
-    v = jnp.asarray(rng.standard_normal((B, D)), jnp.float32)
-    t = jnp.asarray(rng.standard_normal((B, D)), jnp.float32)
+    v_warm = jnp.asarray(rng.standard_normal((B, D)), jnp.float32)
+    t_warm = jnp.asarray(rng.standard_normal((B, D)), jnp.float32)
+    v_run = jnp.asarray(rng.standard_normal((B, D)), jnp.float32)
+    t_run = jnp.asarray(rng.standard_normal((B, D)), jnp.float32)
 
     # parity anchor: the jnp path is itself tested against the torch
-    # reference (tests/test_parity.py), so candidates are gated on matching
-    # it within the fp32 forward tolerance
-    ref_loss = float(jax.jit(cross_clr_intra)(v, t))
+    # reference (tests/test_parity.py)
+    ref_loss = float(jax.jit(cross_clr_intra)(v_run, t_run))
 
-    candidates = {
-        "jnp_xla": jax.jit(
-            jax.value_and_grad(lambda a, b: cross_clr_intra(a, b), argnums=(0, 1))
-        ),
-    }
+    candidates = {"jnp_xla": cross_clr_intra}
     if jax.default_backend() == "tpu":
-        candidates["pallas_fused_highest"] = jax.jit(
-            jax.value_and_grad(
-                lambda a, b: cross_clr_intra_fused(a, b), argnums=(0, 1)
-            )
-        )
-        candidates["pallas_fused_default"] = jax.jit(
-            jax.value_and_grad(
-                lambda a, b: cross_clr_intra_fused(a, b, precision="default"),
-                argnums=(0, 1),
-            )
+        candidates["pallas_fused_highest"] = lambda a, b: cross_clr_intra_fused(a, b)
+        candidates["pallas_fused_default"] = lambda a, b: cross_clr_intra_fused(
+            a, b, precision="default"
         )
 
     results = {}
     best_name, best_dt = None, float("inf")
-    for name, f in candidates.items():
+    for name, loss_fn in candidates.items():
         try:
-            loss = float(f(v, t)[0])
-            if abs(loss - ref_loss) > FP32_FORWARD_TOL:
-                continue
-            dt = _time_step(f, v, t)
+            dt, first_loss = _time_chain(
+                _chained(loss_fn), v_warm, t_warm, v_run, t_run
+            )
         except Exception:
+            continue
+        if abs(first_loss - ref_loss) > FP32_FORWARD_TOL:
             continue
         results[name] = round(B / dt, 1)
         if dt < best_dt:
