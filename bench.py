@@ -46,14 +46,20 @@ def _chained(loss_fn):
 
 
 def _time_chain(f, v_warm, t_warm, v_run, t_run):
-    jax.block_until_ready(f(v_warm, t_warm))  # compile + warm, distinct inputs
+    # compile + full-execution warmup on distinct inputs; the fence is a
+    # HOST READ of the final chained loss — block_until_ready alone has
+    # been observed returning before execution on this runtime
+    float(f(v_warm, t_warm)[1][-1])
     best = float("inf")
+    first_loss = None
     for v, t in ((v_run, t_run), (v_run * 1.0000001, t_run)):
         t0 = time.perf_counter()
         out = f(v, t)
-        jax.block_until_ready(out)
+        float(out[1][-1])  # forces the whole dependency chain
         best = min(best, (time.perf_counter() - t0) / K)
-    return best, float(out[1][0])  # per-step seconds, first-step loss
+        if first_loss is None:
+            first_loss = float(out[1][0])
+    return best, first_loss  # per-step seconds, first-step loss
 
 
 def main():

@@ -35,6 +35,12 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--config", default=None, help="ExperimentConfig JSON path")
     ap.add_argument("--steps", type=int, default=None, help="override total steps")
     ap.add_argument("--metrics-csv", default=None)
+    ap.add_argument(
+        "--n-model",
+        type=int,
+        default=1,
+        help="mesh model-axis size (tensor parallelism); data axis gets the rest",
+    )
     ap.add_argument("--save-config", default=None, help="dump resolved config and exit")
     ap.add_argument("overrides", nargs="*", help="section.key=value overrides")
     args = ap.parse_args(argv)
@@ -71,7 +77,11 @@ def main(argv: list[str] | None = None) -> int:
     }
 
     # -- mesh / trainer -----------------------------------------------------
-    mesh = make_mesh() if len(jax.devices()) > 1 else None
+    mesh = (
+        make_mesh(n_model=args.n_model)
+        if len(jax.devices()) > 1
+        else None
+    )
     trainer = Trainer(cfg.video_tower, cfg.text_tower, cfg.train, mesh=mesh)
 
     batches = infinite_batches(dataset, cfg.data.batch_size, seed=cfg.data.seed)

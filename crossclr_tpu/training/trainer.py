@@ -371,8 +371,8 @@ class Trainer:
     def encode(self, state: TrainState, batch: dict) -> tuple[jax.Array, jax.Array]:
         if self._encode is None:
             model = self.model
+            mesh = self.mesh
 
-            @jax.jit
             def _enc(params, batch):
                 towers = {k: v for k, v in params.items() if k != "logit_scale"}
                 return model.apply(
@@ -384,7 +384,25 @@ class Trainer:
                     train=False,
                 )
 
-            self._encode = _enc
+            plain = jax.jit(_enc)
+            if mesh is not None:
+                # large eval sets: shard the batch over the data axis and
+                # let GSPMD run the towers in parallel (embeddings come
+                # back sharded the same way — fine for on-device metrics);
+                # fall back to the replicated path when the eval batch
+                # doesn't divide evenly
+                batch_sharding = NamedSharding(mesh, P(DATA_AXIS))
+                sharded = jax.jit(_enc, in_shardings=(None, batch_sharding))
+                n_data = mesh.shape[DATA_AXIS]
+
+                def _dispatch(params, batch):
+                    if batch["video"].shape[0] % n_data == 0:
+                        return sharded(params, batch)
+                    return plain(params, batch)
+
+                self._encode = _dispatch
+            else:
+                self._encode = plain
         return self._encode(state.params, batch)
 
     # -- loop ---------------------------------------------------------------
