@@ -49,6 +49,10 @@ class CrossCLR_onlyIntraModality(_Criterion):
     Mirrors ``CrossCLR_onlyIntraModality`` (loss.py:44-113): defaults
     τ=0.03, w=0.8, unused ``logger`` kwarg, and a vestigial trainable
     ``logit_scale`` scalar (loss.py:52) that never enters the math.
+
+    ``backend``: "jnp" (default — parity path), "fused" (Pallas kernel on
+    TPU, jnp fallback elsewhere), or "fused_fast" (Pallas at training
+    precision — forward stays inside fp32 tolerance, gradients ~1e-3 rel).
     """
 
     def __init__(
@@ -56,16 +60,30 @@ class CrossCLR_onlyIntraModality(_Criterion):
         temperature: float = 0.03,
         negative_weight: float = 0.8,
         logger: Any = None,
+        backend: str = "jnp",
     ):
         self.temperature = float(temperature)
         self.negative_w = float(negative_weight)
         self.logger = logger  # accepted and unused, like loss.py:55
         self.logit_scale = jnp.ones(())  # vestigial parity param (loss.py:52)
+        if backend not in ("jnp", "fused", "fused_fast"):
+            raise ValueError(f"unknown backend {backend!r}")
+        self.backend = backend
 
     def params(self) -> dict[str, jax.Array]:
         return {"logit_scale": self.logit_scale}
 
     def __call__(self, video_features: jax.Array, text_features: jax.Array) -> jax.Array:
+        if self.backend != "jnp":
+            from ..ops import cross_clr_intra_fused
+
+            return cross_clr_intra_fused(
+                video_features,
+                text_features,
+                temperature=self.temperature,
+                negative_weight=self.negative_w,
+                precision="default" if self.backend == "fused_fast" else None,
+            )
         return F.cross_clr_intra(
             video_features,
             text_features,

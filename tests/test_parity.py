@@ -146,3 +146,17 @@ def test_max_margin_criterion_class_signature(rng):
         oracle_max_margin(torch.from_numpy(v), torch.from_numpy(t), margin=0.2)
     )
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_criterion_backend_fused_matches_jnp(rng):
+    v, t = _pair(rng, 64, 32)
+    jnp_val = float(
+        CrossCLR_onlyIntraModality(backend="jnp")(jnp.asarray(v), jnp.asarray(t))
+    )
+    # off-TPU the fused backend transparently falls back to the jnp path
+    fused_val = float(
+        CrossCLR_onlyIntraModality(backend="fused")(jnp.asarray(v), jnp.asarray(t))
+    )
+    np.testing.assert_allclose(fused_val, jnp_val, rtol=2e-5)
+    with pytest.raises(ValueError):
+        CrossCLR_onlyIntraModality(backend="nope")

@@ -178,3 +178,27 @@ def test_tensor_parallel_step_matches_single_device():
     np.testing.assert_allclose(
         float(m_tp["grad_norm"]), float(m_1["grad_norm"]), rtol=1e-4
     )
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_fused_global_step_matches_single_device():
+    """Trainer with loss=crossclr_intra_fused on a data mesh routes through
+    the rectangular Pallas kernels (interpret mode on CPU) and matches the
+    unsharded step."""
+    from crossclr_tpu.parallel import make_mesh
+
+    mesh = make_mesh()
+    data, trainer_sh, state_sh, bsz = _tiny_setup(
+        loss="crossclr_intra_fused", mesh=mesh
+    )
+    _, trainer_1, state_1, _ = _tiny_setup(loss="crossclr_intra", mesh=None)
+
+    batch = next(epoch_batches(data, bsz, shuffle=False))
+    _, m_sh = trainer_sh.train_step(state_sh, batch)
+    _, m_1 = trainer_1.train_step(state_1, batch)
+    np.testing.assert_allclose(
+        float(m_sh["loss"]), float(m_1["loss"]), rtol=2e-5, atol=2e-5
+    )
+    np.testing.assert_allclose(
+        float(m_sh["grad_norm"]), float(m_1["grad_norm"]), rtol=1e-3
+    )
