@@ -53,6 +53,10 @@ class TrainConfig:
     total_steps: int = 10_000
     clip_norm: float = 1.0
     global_negatives: bool = True
+    # kernel precision for the fused loss paths: None/"highest" =
+    # parity-grade, "default" = ~2.3x faster training tier (fwd inside
+    # fp32 tolerance, grads ~1e-3 rel), "bf16" = bf16 feature storage
+    loss_precision: str | None = None
     seed: int = 0
 
 
@@ -74,7 +78,9 @@ def make_loss_fn(cfg: TrainConfig, mesh: Mesh | None = None) -> Callable:
     if cfg.loss == "crossclr_intra":
         return lambda v, t, vr=None, tr=None: F.cross_clr_intra(v, t, **kw)
     if cfg.loss == "crossclr_intra_fused":
-        return lambda v, t, vr=None, tr=None: cross_clr_intra_fused(v, t, **kw)
+        return lambda v, t, vr=None, tr=None: cross_clr_intra_fused(
+            v, t, precision=cfg.loss_precision, **kw
+        )
     if cfg.loss == "crossclr":
         return lambda v, t, vr=None, tr=None: F.cross_clr(
             v,
@@ -129,7 +135,7 @@ def _global_rows_loss(
             v, t, v_all, t_all, offset,
             cfg.temperature, cfg.negative_weight,
             interpret=interpret,
-            precision=None,
+            precision=cfg.loss_precision,
         )
     else:
         loss_v = local_rows_cross_clr_intra(
