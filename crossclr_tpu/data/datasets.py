@@ -45,22 +45,32 @@ class SyntheticPairs:
     latent_dim: int = 64
     noise: float = 0.1
     seed: int = 0
+    # sequence lengths; 0 = pooled [N, D] features, >0 = [N, S, D] frame /
+    # token sequences sharing the pair latent (for transformer towers)
+    video_seq_len: int = 0
+    text_seq_len: int = 0
 
     def __post_init__(self):
         rng = np.random.default_rng(self.seed)
         z = rng.standard_normal((self.num_pairs, self.latent_dim)).astype(np.float32)
-        w_v = rng.standard_normal((self.latent_dim, self.video_dim)).astype(
-            np.float32
-        ) / np.sqrt(self.latent_dim)
-        w_t = rng.standard_normal((self.latent_dim, self.text_dim)).astype(
-            np.float32
-        ) / np.sqrt(self.latent_dim)
-        self.video = z @ w_v + self.noise * rng.standard_normal(
-            (self.num_pairs, self.video_dim)
-        ).astype(np.float32)
-        self.text = z @ w_t + self.noise * rng.standard_normal(
-            (self.num_pairs, self.text_dim)
-        ).astype(np.float32)
+
+        def modality(dim: int, seq_len: int) -> np.ndarray:
+            w = rng.standard_normal((self.latent_dim, dim)).astype(
+                np.float32
+            ) / np.sqrt(self.latent_dim)
+            pooled = z @ w
+            if seq_len == 0:
+                return pooled + self.noise * rng.standard_normal(
+                    pooled.shape
+                ).astype(np.float32)
+            # each timestep = shared pair signal + per-step noise
+            seq = np.repeat(pooled[:, None, :], seq_len, axis=1)
+            return seq + self.noise * rng.standard_normal(seq.shape).astype(
+                np.float32
+            )
+
+        self.video = modality(self.video_dim, self.video_seq_len)
+        self.text = modality(self.text_dim, self.text_seq_len)
 
     def __len__(self) -> int:
         return self.num_pairs

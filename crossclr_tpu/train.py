@@ -63,6 +63,8 @@ def main(argv: list[str] | None = None) -> int:
             num_pairs=cfg.data.num_pairs,
             video_dim=cfg.data.video_dim,
             text_dim=cfg.data.text_dim,
+            video_seq_len=cfg.data.video_seq_len,
+            text_seq_len=cfg.data.text_seq_len,
             seed=cfg.data.seed,
         )
     elif cfg.data.source == "files":

@@ -27,6 +27,8 @@ class DataConfig:
     num_pairs: int = 4096
     video_dim: int = 512
     text_dim: int = 384
+    video_seq_len: int = 0  # >0: synthetic [N, S, D] sequences (transformers)
+    text_seq_len: int = 0
     batch_size: int = 256
     eval_fraction: float = 0.1
     seed: int = 0
