@@ -1,0 +1,110 @@
+"""Direct unit tests for the rectangular global-negative kernels
+(ops/fused_global.py), run through the Pallas interpreter on CPU.
+
+The invariant: for local rows at offset k·b_loc of a global batch,
+``fused_lse_rows`` equals the lse implied by the jnp row-block reference
+(parallel.global_loss.local_rows_cross_clr_intra), and its three-way
+custom VJP matches autodiff of that reference.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from crossclr_tpu.losses.functional import l2_normalize
+from crossclr_tpu.ops.fused_global import fused_lse_rows, rows_supported
+from crossclr_tpu.parallel.global_loss import local_rows_cross_clr_intra
+
+ON_TPU = jax.default_backend() == "tpu"
+INTERPRET = not ON_TPU
+
+
+def _setup(rng, b_loc=16, b_glob=64, d=32):
+    v_all = l2_normalize(
+        jnp.asarray(rng.standard_normal((b_glob, d)), jnp.float32), 1
+    )
+    t_all = l2_normalize(
+        jnp.asarray(rng.standard_normal((b_glob, d)), jnp.float32), 1
+    )
+    return v_all, t_all, b_loc
+
+
+def _ref_lse(rows, v_all, t_all, offset, temperature=0.03, negative_weight=0.8):
+    """lse = per-row loss + positive logit (reference math)."""
+    loss_rows = local_rows_cross_clr_intra(
+        rows, v_all, t_all, offset,
+        temperature=temperature, negative_weight=negative_weight,
+    )
+    pos = (
+        jnp.sum(rows * jax.lax.dynamic_slice_in_dim(t_all, offset, rows.shape[0]), axis=1)
+        / temperature
+    )
+    return loss_rows + pos
+
+
+@pytest.mark.parametrize("block", [0, 1, 3])
+def test_lse_matches_reference_at_offsets(rng, block):
+    v_all, t_all, b_loc = _setup(rng)
+    offset = block * b_loc
+    rows = v_all[offset : offset + b_loc]
+    want = _ref_lse(rows, v_all, t_all, offset)
+    got = fused_lse_rows(
+        rows, v_all, t_all, jnp.asarray(offset), interpret=INTERPRET
+    )[:, 0]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+
+def test_three_way_gradients_match_autodiff(rng):
+    v_all, t_all, b_loc = _setup(rng, b_loc=8, b_glob=32, d=16)
+    offset = 2 * b_loc
+    rows = v_all[offset : offset + b_loc]
+
+    def fused_sum(r, va, ta):
+        return jnp.sum(
+            fused_lse_rows(r, va, ta, jnp.asarray(offset), interpret=INTERPRET)
+        )
+
+    def ref_sum(r, va, ta):
+        inter = (r @ ta.T) / 0.03
+        intra = 0.8 * (r @ va.T) / 0.03
+        ids_r = offset + jnp.arange(r.shape[0])[:, None]
+        ids_c = jnp.arange(va.shape[0])[None, :]
+        intra = jnp.where(ids_r == ids_c, 0.0, intra)
+        cand = jnp.concatenate([inter, intra], axis=1)
+        return jnp.sum(jax.scipy.special.logsumexp(cand, axis=1))
+
+    got = jax.grad(fused_sum, argnums=(0, 1, 2))(rows, v_all, t_all)
+    want = jax.grad(ref_sum, argnums=(0, 1, 2))(rows, v_all, t_all)
+    for g, w, name in zip(got, want, ("d_rows", "d_v_all", "d_t_all")):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(w), rtol=1e-4, atol=1e-6, err_msg=name
+        )
+
+
+def test_nondefault_hparams(rng):
+    v_all, t_all, b_loc = _setup(rng)
+    rows = v_all[:b_loc]
+    want = _ref_lse(rows, v_all, t_all, 0, temperature=0.2, negative_weight=0.3)
+    got = fused_lse_rows(
+        rows, v_all, t_all, jnp.asarray(0),
+        temperature=0.2, negative_weight=0.3, interpret=INTERPRET,
+    )[:, 0]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+
+def test_unsupported_shape_raises(rng):
+    v_all, t_all, _ = _setup(rng, b_glob=64)
+    rows = v_all[:10]  # 10 not divisible by any tile
+    with pytest.raises(ValueError):
+        fused_lse_rows(rows, v_all, t_all, jnp.asarray(0), interpret=False)
+    assert not rows_supported(10, 64, 32)
+
+
+def test_feature_dim_padding(rng):
+    """d=100 (not lane-aligned) is zero-padded; results identical."""
+    v_all, t_all, b_loc = _setup(rng, d=100)
+    rows = v_all[:b_loc]
+    want = _ref_lse(rows, v_all, t_all, 0)
+    got = fused_lse_rows(rows, v_all, t_all, jnp.asarray(0), interpret=INTERPRET)[:, 0]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
