@@ -5,6 +5,7 @@ from .datasets import (
     SyntheticPairs,
     epoch_batches,
     infinite_batches,
+    prefetch_to_device,
 )
 
 __all__ = [
@@ -12,4 +13,5 @@ __all__ = [
     "SyntheticPairs",
     "epoch_batches",
     "infinite_batches",
+    "prefetch_to_device",
 ]

@@ -131,3 +131,40 @@ def infinite_batches(dataset, batch_size: int, *, seed: int = 0, **kw) -> Iterat
     while True:
         yield from epoch_batches(dataset, batch_size, seed=seed, epoch=epoch, **kw)
         epoch += 1
+
+
+def prefetch_to_device(batches: Iterator[dict], size: int = 2, sharding=None):
+    """Keep ``size`` batches in flight on the device ahead of consumption.
+
+    ``jax.device_put`` is async, so assembling + transferring the next
+    batches overlaps with the current train step — the standard
+    host-input-pipeline recipe that keeps the TPU from stalling on H2D.
+    ``sharding``: optional NamedSharding applied to every array.
+    """
+    import collections
+
+    import jax
+
+    queue = collections.deque()
+
+    def put_next() -> bool:
+        try:
+            batch = next(batches)
+        except StopIteration:
+            return False
+        queue.append(
+            {
+                k: jax.device_put(v, sharding) if sharding is not None
+                else jax.device_put(v)
+                for k, v in batch.items()
+            }
+        )
+        return True
+
+    for _ in range(size):
+        if not put_next():
+            break
+    while queue:
+        out = queue.popleft()
+        put_next()
+        yield out

@@ -24,7 +24,13 @@ import jax.numpy as jnp
 
 
 def main(argv: list[str] | None = None) -> int:
-    from .data import FeaturePairDataset, SyntheticPairs, epoch_batches, infinite_batches
+    from .data import (
+        FeaturePairDataset,
+        SyntheticPairs,
+        epoch_batches,
+        infinite_batches,
+        prefetch_to_device,
+    )
     from .evaluation import retrieval_metrics
     from .parallel import data_sharding, make_mesh
     from .training import CheckpointManager, Trainer
@@ -98,16 +104,12 @@ def main(argv: list[str] | None = None) -> int:
     writer = MetricsWriter(args.metrics_csv)
     sharding = data_sharding(mesh) if mesh is not None else None
 
-    def device_batches():
-        for b in batches:
-            if sharding is not None:
-                b = {k: jax.device_put(jnp.asarray(v), sharding) for k, v in b.items()}
-            yield b
-
     # -- train --------------------------------------------------------------
     steps = cfg.train.total_steps
     done = int(state.step)
-    it = device_batches()
+    # async H2D with 2 batches in flight: batch assembly and transfer
+    # overlap with the running step
+    it = prefetch_to_device(batches, size=2, sharding=sharding)
     while done < steps:
         chunk = min(cfg.eval_every, steps - done)
         state, history = trainer.fit(

@@ -61,3 +61,21 @@ def test_multihost_noop_single_host():
     assert host_local_batch_size(64) == 64
     # single host: any batch size divides evenly
     assert host_local_batch_size(63) == 63
+
+
+def test_prefetch_to_device_preserves_order_and_values(rng):
+    from crossclr_tpu.data import prefetch_to_device
+
+    batches = [{"video": np.full((2, 3), i, np.float32)} for i in range(5)]
+    out = list(prefetch_to_device(iter(batches), size=2))
+    assert len(out) == 5
+    for i, b in enumerate(out):
+        np.testing.assert_array_equal(np.asarray(b["video"]), batches[i]["video"])
+
+
+def test_prefetch_handles_short_iterators():
+    from crossclr_tpu.data import prefetch_to_device
+
+    assert list(prefetch_to_device(iter([]), size=2)) == []
+    one = [{"x": np.ones(2, np.float32)}]
+    assert len(list(prefetch_to_device(iter(one), size=4))) == 1
