@@ -78,6 +78,14 @@ def make_loss_fn(cfg: TrainConfig, mesh: Mesh | None = None) -> Callable:
     if cfg.loss == "crossclr_intra":
         return lambda v, t, vr=None, tr=None: F.cross_clr_intra(v, t, **kw)
     if cfg.loss == "crossclr_intra_fused":
+        # a pallas_call cannot be partitioned by GSPMD: when the step runs
+        # under plain jit over a multi-device mesh (tensor parallelism, or
+        # global_negatives=False with a sharded batch) the fused kernel
+        # would force resharding or fail — use the XLA-fused jnp math
+        # there; the shard_map path feeds the kernel per-device instead
+        multi_device_gspmd = mesh is not None and mesh.devices.size > 1
+        if multi_device_gspmd:
+            return lambda v, t, vr=None, tr=None: F.cross_clr_intra(v, t, **kw)
         return lambda v, t, vr=None, tr=None: cross_clr_intra_fused(
             v, t, precision=cfg.loss_precision, **kw
         )
