@@ -87,19 +87,28 @@ def main():
         )
 
     results = {}
+    excluded = {}
     best_name, best_dt = None, float("inf")
     for name, loss_fn in candidates.items():
         try:
             dt, first_loss = _time_chain(
                 _chained(loss_fn), v_warm, t_warm, v_run, t_run
             )
-        except Exception:
+        except Exception as e:
+            excluded[name] = f"error: {type(e).__name__}: {str(e)[:120]}"
             continue
         if abs(first_loss - ref_loss) > FP32_FORWARD_TOL:
+            excluded[name] = (
+                f"parity gate: loss {first_loss} vs ref {ref_loss}"
+            )
             continue
         results[name] = round(B / dt, 1)
         if dt < best_dt:
             best_name, best_dt = name, dt
+
+    if best_name is None:
+        print(json.dumps({"error": "no candidate passed", "excluded": excluded}))
+        raise SystemExit(1)
 
     pairs_per_sec = B / best_dt
     print(
@@ -113,6 +122,7 @@ def main():
                 "step_ms": round(best_dt * 1e3, 3),
                 "backend": jax.default_backend(),
                 "all_impls_pairs_per_sec": results,
+                **({"excluded": excluded} if excluded else {}),
             }
         )
     )

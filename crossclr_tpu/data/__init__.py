@@ -2,6 +2,7 @@
 
 from .datasets import (
     FeaturePairDataset,
+    HostShard,
     SyntheticPairs,
     epoch_batches,
     infinite_batches,
@@ -10,6 +11,7 @@ from .datasets import (
 
 __all__ = [
     "FeaturePairDataset",
+    "HostShard",
     "SyntheticPairs",
     "epoch_batches",
     "infinite_batches",

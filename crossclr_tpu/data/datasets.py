@@ -27,7 +27,14 @@ from typing import Iterator
 
 import numpy as np
 
-__all__ = ["SyntheticPairs", "FeaturePairDataset", "epoch_batches", "infinite_batches"]
+__all__ = [
+    "SyntheticPairs",
+    "FeaturePairDataset",
+    "epoch_batches",
+    "infinite_batches",
+    "prefetch_to_device",
+    "HostShard",
+]
 
 
 @dataclasses.dataclass
@@ -96,6 +103,23 @@ class FeaturePairDataset:
         return self.video.shape[0]
 
 
+class HostShard:
+    """Per-process row shard of a dataset for multi-host training.
+
+    Process ``p`` of ``P`` sees rows ``p::P`` (a lazy strided view — no
+    copy even for memory-mapped stores).  Every host shuffles ITS shard
+    with the same (seed, epoch) stream, so the global batch is a
+    deterministic disjoint union across hosts.
+    """
+
+    def __init__(self, dataset, process_index: int, process_count: int):
+        self.video = dataset.video[process_index::process_count]
+        self.text = dataset.text[process_index::process_count]
+
+    def __len__(self) -> int:
+        return self.video.shape[0]
+
+
 def epoch_batches(
     dataset,
     batch_size: int,
@@ -104,11 +128,14 @@ def epoch_batches(
     epoch: int = 0,
     shuffle: bool = True,
     drop_remainder: bool = True,
+    start_batch: int = 0,
 ) -> Iterator[dict]:
     """Yield ``{"video": [B, Dv], "text": [B, Dt]}`` numpy batches.
 
     Deterministic in (seed, epoch): restart-from-checkpoint replays the
     same order.  ``drop_remainder`` keeps shapes static for jit.
+    ``start_batch`` skips the first batches WITHOUT gathering their rows
+    (resume support).
     """
     from .native_io import gather_rows
 
@@ -117,7 +144,7 @@ def epoch_batches(
     if shuffle:
         np.random.default_rng((seed, epoch)).shuffle(order)
     end = n - (n % batch_size) if drop_remainder else n
-    for start in range(0, end, batch_size):
+    for start in range(start_batch * batch_size, end, batch_size):
         idx = np.sort(order[start : start + batch_size])  # sorted: mmap-friendly
         yield {
             "video": gather_rows(dataset.video, idx),
@@ -125,11 +152,28 @@ def epoch_batches(
         }
 
 
-def infinite_batches(dataset, batch_size: int, *, seed: int = 0, **kw) -> Iterator[dict]:
-    """Endless stream of epoch batches with per-epoch reshuffling."""
-    epoch = 0
+def infinite_batches(
+    dataset, batch_size: int, *, seed: int = 0, start_step: int = 0, **kw
+) -> Iterator[dict]:
+    """Endless stream of epoch batches with per-epoch reshuffling.
+
+    ``start_step`` fast-forwards the stream to the state it had after that
+    many batches were consumed — resumed-from-checkpoint runs continue the
+    exact sequence instead of re-consuming the start of the stream.  The
+    skip is index-only (no feature rows are gathered).
+    """
+    per_epoch = len(dataset) // batch_size
+    if per_epoch == 0:
+        raise ValueError(
+            f"batch_size {batch_size} exceeds dataset size {len(dataset)}"
+        )
+    epoch, start_batch = divmod(start_step, per_epoch)
     while True:
-        yield from epoch_batches(dataset, batch_size, seed=seed, epoch=epoch, **kw)
+        yield from epoch_batches(
+            dataset, batch_size, seed=seed, epoch=epoch,
+            start_batch=start_batch, **kw
+        )
+        start_batch = 0
         epoch += 1
 
 
@@ -146,19 +190,27 @@ def prefetch_to_device(batches: Iterator[dict], size: int = 2, sharding=None):
     import jax
 
     queue = collections.deque()
+    multi_process = jax.process_count() > 1
+
+    def put(v):
+        if sharding is None:
+            return jax.device_put(v)
+        if multi_process:
+            # each process holds only its rows of the global batch; stitch
+            # them into one globally-sharded array without gathering
+            import numpy as _np
+
+            return jax.make_array_from_process_local_data(
+                sharding, _np.asarray(v)
+            )
+        return jax.device_put(v, sharding)
 
     def put_next() -> bool:
         try:
             batch = next(batches)
         except StopIteration:
             return False
-        queue.append(
-            {
-                k: jax.device_put(v, sharding) if sharding is not None
-                else jax.device_put(v)
-                for k, v in batch.items()
-            }
-        )
+        queue.append({k: put(v) for k, v in batch.items()})
         return True
 
     for _ in range(size):

@@ -193,30 +193,32 @@ def connectivity_scores(input_features: jax.Array) -> jax.Array:
 def _pruned_direction_rows(
     inter_sim: jax.Array,
     anchor_sim: jax.Array,
-    keep_neg: jax.Array,
+    keep_inter_cols: jax.Array,
+    keep_intra_cols: jax.Array,
     temperature: float,
     negative_weight: float,
 ) -> jax.Array:
     """Per-row full-CrossCLR loss for one direction with pruned negatives.
 
-    ``keep_neg``: [B] bool — False marks influential samples to drop from
-    the negative sets.  The positive (diagonal) inter term is always kept.
-    Unlike the onlyIntraModality parity path, exclusion here is true −inf
-    masking (no shipped reference dictates the exp(0) quirk for this
-    variant).
+    Each negative column is pruned by ITS OWN modality's keep mask:
+    ``keep_inter_cols`` is the other modality's (the inter columns are
+    other-modality samples), ``keep_intra_cols`` the anchor modality's.
+    False marks influential samples to drop.  The positive (diagonal)
+    inter term is always kept.  Unlike the onlyIntraModality parity path,
+    exclusion here is true −inf masking (no shipped reference dictates the
+    exp(0) quirk for this variant).
     """
     b = inter_sim.shape[0]
     neg_inf = jnp.asarray(-jnp.inf, dtype=inter_sim.dtype)
     eye = jnp.eye(b, dtype=bool)
-    keep_cols = keep_neg[None, :]
 
     inter = inter_sim / temperature
     # negatives pruned; positives (diagonal) always kept
-    inter_masked = jnp.where(keep_cols | eye, inter, neg_inf)
+    inter_masked = jnp.where(keep_inter_cols[None, :] | eye, inter, neg_inf)
 
     intra = negative_weight * (anchor_sim / temperature)
     # self-similarity excluded outright; influential columns pruned
-    intra_masked = jnp.where(keep_cols & ~eye, intra, neg_inf)
+    intra_masked = jnp.where(keep_intra_cols[None, :] & ~eye, intra, neg_inf)
 
     logits = jnp.concatenate([inter_masked, intra_masked], axis=1)
     lse = jax.scipy.special.logsumexp(logits, axis=1)
@@ -279,8 +281,14 @@ def cross_clr(
         keep_v = jnp.ones((b,), dtype=bool)
         keep_t = jnp.ones((b,), dtype=bool)
 
-    loss_v = _pruned_direction_rows(sim_vt, sim_vv, keep_v, temperature, negative_weight)
-    loss_t = _pruned_direction_rows(sim_vt.T, sim_tt, keep_t, temperature, negative_weight)
+    # video anchors: inter columns are text samples (prune by keep_t),
+    # intra columns are video samples (prune by keep_v); symmetric for text
+    loss_v = _pruned_direction_rows(
+        sim_vt, sim_vv, keep_t, keep_v, temperature, negative_weight
+    )
+    loss_t = _pruned_direction_rows(
+        sim_vt.T, sim_tt, keep_v, keep_t, temperature, negative_weight
+    )
 
     w_v = jax.nn.softmax(c_v / weight_temperature) * b
     w_t = jax.nn.softmax(c_t / weight_temperature) * b

@@ -416,10 +416,11 @@ def fused_lse_rows(
         other_all = jnp.pad(other_all, ((0, 0), (0, pad)))
     # fp32 scalar in SMEM: exactly represents offsets < 2^24
     off = jnp.asarray(row_offset, jnp.float32).reshape(1, 1)
+    feat_dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
     return _fused_lse_rows(
-        anchor_rows.astype(jnp.float32),
-        anchor_all.astype(jnp.float32),
-        other_all.astype(jnp.float32),
+        anchor_rows.astype(feat_dtype),
+        anchor_all.astype(feat_dtype),
+        other_all.astype(feat_dtype),
         off,
         scale,
         negative_weight,

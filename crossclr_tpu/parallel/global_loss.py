@@ -25,7 +25,11 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..losses.functional import l2_normalize
 from .mesh import DATA_AXIS
 
-__all__ = ["global_cross_clr_intra", "local_rows_cross_clr_intra"]
+__all__ = [
+    "global_cross_clr_intra",
+    "global_row_losses",
+    "local_rows_cross_clr_intra",
+]
 
 
 def local_rows_cross_clr_intra(
@@ -62,6 +66,61 @@ def local_rows_cross_clr_intra(
     # positive column for global row r is column r of the inter block
     pos = jnp.squeeze(jnp.take_along_axis(inter, rows, axis=1), axis=1)
     return lse - pos
+
+
+def global_row_losses(
+    v_loc: jax.Array,
+    t_loc: jax.Array,
+    axis: str,
+    *,
+    temperature: float,
+    negative_weight: float,
+    use_fused: bool = False,
+    interpret: bool | None = None,
+    precision: str | None = None,
+) -> tuple[jax.Array, jax.Array, int]:
+    """Per-row global-negative losses for the local shard's anchors.
+
+    Must be called INSIDE a shard_map over ``axis``: normalizes the local
+    features, all-gathers them, and computes each local anchor row's loss
+    against the full candidate set.  Returns ``(loss_v_rows, loss_t_rows,
+    n_global)`` — reduction (psum placement) is the caller's business,
+    because gradient semantics differ between differentiating through the
+    shard_map boundary and differentiating inside the body.  Single source
+    of truth shared by global_cross_clr_intra and the Trainer.
+    """
+    v = l2_normalize(v_loc, axis=1)
+    t = l2_normalize(t_loc, axis=1)
+    v_all = jax.lax.all_gather(v, axis, tiled=True)
+    t_all = jax.lax.all_gather(t, axis, tiled=True)
+    b_loc = v.shape[0]
+    n = v_all.shape[0]
+    offset = jax.lax.axis_index(axis) * b_loc
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if use_fused:
+        if interpret:
+            supported = b_loc % 8 == 0 and n % 8 == 0
+        else:
+            from ..ops.fused_global import rows_supported
+
+            supported = rows_supported(b_loc, n, v.shape[1])
+        use_fused = supported  # odd shapes: jnp row-block path below
+    if use_fused:
+        loss_v, loss_t = _fused_rows_losses(
+            v, t, v_all, t_all, offset,
+            temperature, negative_weight, interpret, precision,
+        )
+    else:
+        loss_v = local_rows_cross_clr_intra(
+            v, v_all, t_all, offset,
+            temperature=temperature, negative_weight=negative_weight,
+        )
+        loss_t = local_rows_cross_clr_intra(
+            t, t_all, v_all, offset,
+            temperature=temperature, negative_weight=negative_weight,
+        )
+    return loss_v, loss_t, n
 
 
 def _fused_rows_losses(v_loc, t_loc, v_all, t_all, offset, temperature,
@@ -119,27 +178,11 @@ def global_cross_clr_intra(
         check_vma=False,
     )
     def _sharded(v_loc, t_loc):
-        v_loc = l2_normalize(v_loc, axis=1)
-        t_loc = l2_normalize(t_loc, axis=1)
-        v_all = jax.lax.all_gather(v_loc, axis, tiled=True)
-        t_all = jax.lax.all_gather(t_loc, axis, tiled=True)
-        b_loc = v_loc.shape[0]
-        n = v_all.shape[0]
-        offset = jax.lax.axis_index(axis) * b_loc
-        if use_fused:
-            loss_v, loss_t = _fused_rows_losses(
-                v_loc, t_loc, v_all, t_all, offset,
-                temperature, negative_weight, interpret, precision,
-            )
-        else:
-            loss_v = local_rows_cross_clr_intra(
-                v_loc, v_all, t_all, offset,
-                temperature=temperature, negative_weight=negative_weight,
-            )
-            loss_t = local_rows_cross_clr_intra(
-                t_loc, t_all, v_all, offset,
-                temperature=temperature, negative_weight=negative_weight,
-            )
+        loss_v, loss_t, n = global_row_losses(
+            v_loc, t_loc, axis,
+            temperature=temperature, negative_weight=negative_weight,
+            use_fused=use_fused, interpret=interpret, precision=precision,
+        )
         total = jax.lax.psum(jnp.sum(loss_v) + jnp.sum(loss_t), axis)
         return total / (2 * n)
 

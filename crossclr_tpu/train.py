@@ -26,13 +26,19 @@ import jax.numpy as jnp
 def main(argv: list[str] | None = None) -> int:
     from .data import (
         FeaturePairDataset,
+        HostShard,
         SyntheticPairs,
         epoch_batches,
         infinite_batches,
         prefetch_to_device,
     )
     from .evaluation import retrieval_metrics
-    from .parallel import data_sharding, make_mesh
+    from .parallel import (
+        data_sharding,
+        host_local_batch_size,
+        initialize_multihost,
+        make_mesh,
+    )
     from .training import CheckpointManager, Trainer
     from .utils import MetricsWriter
     from .utils.config import ExperimentConfig, apply_overrides, load_config, save_config
@@ -63,6 +69,9 @@ def main(argv: list[str] | None = None) -> int:
         print(f"wrote {args.save_config}")
         return 0
 
+    # multi-host: connect processes before any device use (no-op single host)
+    initialize_multihost()
+
     # -- data ---------------------------------------------------------------
     if cfg.data.source == "synthetic":
         dataset = SyntheticPairs(
@@ -92,8 +101,15 @@ def main(argv: list[str] | None = None) -> int:
     )
     trainer = Trainer(cfg.video_tower, cfg.text_tower, cfg.train, mesh=mesh)
 
-    batches = infinite_batches(dataset, cfg.data.batch_size, seed=cfg.data.seed)
-    first = next(epoch_batches(dataset, cfg.data.batch_size, shuffle=False))
+    # multi-host: each process loads a disjoint row shard and a per-host
+    # slice of the global batch; single host: identity
+    local_batch = host_local_batch_size(cfg.data.batch_size)
+    if jax.process_count() > 1:
+        host_data = HostShard(dataset, jax.process_index(), jax.process_count())
+    else:
+        host_data = dataset
+
+    first = next(epoch_batches(host_data, local_batch, shuffle=False))
     state = trainer.init_state(first["video"], first["text"])
 
     ckpt = CheckpointManager(cfg.checkpoint_dir) if cfg.checkpoint_dir else None
@@ -107,8 +123,12 @@ def main(argv: list[str] | None = None) -> int:
     # -- train --------------------------------------------------------------
     steps = cfg.train.total_steps
     done = int(state.step)
-    # async H2D with 2 batches in flight: batch assembly and transfer
-    # overlap with the running step
+    # the data stream fast-forwards to the restored step so a resumed run
+    # continues the exact batch sequence; async H2D with 2 batches in
+    # flight overlaps assembly/transfer with the running step
+    batches = infinite_batches(
+        host_data, local_batch, seed=cfg.data.seed, start_step=done
+    )
     it = prefetch_to_device(batches, size=2, sharding=sharding)
     while done < steps:
         chunk = min(cfg.eval_every, steps - done)

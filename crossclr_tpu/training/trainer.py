@@ -33,7 +33,6 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..losses import functional as F
 from ..models import DualEncoder, TowerConfig
 from ..ops import cross_clr_intra_fused
-from ..parallel.global_loss import local_rows_cross_clr_intra
 from ..parallel.mesh import DATA_AXIS, MODEL_AXIS
 
 __all__ = ["TrainConfig", "TrainState", "Trainer", "make_loss_fn"]
@@ -116,47 +115,26 @@ def _global_rows_loss(
     axis: str,
     use_fused: bool = False,
 ) -> jax.Array:
-    """CrossCLR-intra over the global batch, called inside shard_map/jit
-    with sharded activations: gathers normalized features over ``axis``.
-    ``use_fused`` routes through the rectangular Pallas kernels."""
-    v = F.l2_normalize(v_emb, axis=1)
-    t = F.l2_normalize(t_emb, axis=1)
-    v_all = jax.lax.all_gather(v, axis, tiled=True)
-    t_all = jax.lax.all_gather(t, axis, tiled=True)
-    b_loc = v.shape[0]
-    n = v_all.shape[0]
-    offset = jax.lax.axis_index(axis) * b_loc
-    if use_fused:
-        from ..ops.fused_global import rows_supported
+    """This shard's contribution to the global-negative CrossCLR loss,
+    called inside the step's shard_map (row losses via the shared
+    parallel.global_loss.global_row_losses; ``use_fused`` routes through
+    the rectangular Pallas kernels).
 
-        interpret = jax.default_backend() != "tpu"
-        if interpret:
-            supported = b_loc % 8 == 0 and n % 8 == 0
-        else:
-            supported = rows_supported(b_loc, n, v.shape[1])
-        if not supported:
-            use_fused = False  # odd shapes: jnp row-block path below
-    if use_fused:
-        from ..parallel.global_loss import _fused_rows_losses
+    Returns the LOCAL contribution only — differentiating through a psum
+    inside a shard_map body re-psums the cotangent (each device would see
+    an n_devices-times gradient), so the step psums loss and grads itself.
+    (The standalone global_cross_clr_intra API instead differentiates
+    through the shard_map boundary, where the in-body psum is correct.)
+    """
+    from ..parallel.global_loss import global_row_losses
 
-        loss_v, loss_t = _fused_rows_losses(
-            v, t, v_all, t_all, offset,
-            cfg.temperature, cfg.negative_weight,
-            interpret=interpret,
-            precision=cfg.loss_precision,
-        )
-    else:
-        loss_v = local_rows_cross_clr_intra(
-            v, v_all, t_all, offset,
-            temperature=cfg.temperature, negative_weight=cfg.negative_weight,
-        )
-        loss_t = local_rows_cross_clr_intra(
-            t, t_all, v_all, offset,
-            temperature=cfg.temperature, negative_weight=cfg.negative_weight,
-        )
-    # return the LOCAL contribution only — differentiating through a psum
-    # inside a shard_map body re-psums the cotangent (each device would see
-    # an n_devices-times gradient); the step psums loss and grads itself
+    loss_v, loss_t, n = global_row_losses(
+        v_emb, t_emb, axis,
+        temperature=cfg.temperature,
+        negative_weight=cfg.negative_weight,
+        use_fused=use_fused,
+        precision=cfg.loss_precision,
+    )
     return (jnp.sum(loss_v) + jnp.sum(loss_t)) / (2 * n)
 
 
@@ -309,8 +287,20 @@ class Trainer:
             and cfg.loss in ("crossclr_intra", "crossclr_intra_fused")
         )
 
-        def loss_for_batch(params, batch):
+        needs_dropout = (
+            self.video_cfg.dropout > 0 or self.text_cfg.dropout > 0
+        )
+
+        def loss_for_batch(params, batch, step):
             towers = {k: v for k, v in params.items() if k != "logit_scale"}
+            rngs = None
+            if needs_dropout:
+                # per-step dropout key, deterministic in (seed, step)
+                rngs = {
+                    "dropout": jax.random.fold_in(
+                        jax.random.PRNGKey(cfg.seed), step
+                    )
+                }
             v_emb, t_emb = model.apply(
                 {"params": towers},
                 batch["video"],
@@ -318,6 +308,7 @@ class Trainer:
                 batch.get("video_mask"),
                 batch.get("text_mask"),
                 train=True,
+                rngs=rngs,
             )
             if use_global:
                 loss = _global_rows_loss(
@@ -334,7 +325,7 @@ class Trainer:
         def step(state: TrainState, batch):
             (loss, (v_emb, t_emb)), grads = jax.value_and_grad(
                 loss_for_batch, has_aux=True
-            )(state.params, batch)
+            )(state.params, batch, state.step)
             if use_global:
                 # inside shard_map each device holds only its batch rows'
                 # loss/gradient contribution; the true values are their sums
@@ -442,10 +433,15 @@ class Trainer:
         for i in range(steps):
             batch = next(it)
             state, metrics = self.train_step(state, batch)
+            if i == 0:
+                # first step includes compilation; restart the clock so
+                # steps/sec reflects steady-state throughput
+                jax.block_until_ready(metrics["loss"])
+                t0 = time.perf_counter()
             if (i + 1) % log_every == 0 or i == steps - 1:
                 metrics = {k: float(v) for k, v in metrics.items()}
-                dt = time.perf_counter() - t0
-                metrics["steps_per_sec"] = (i + 1) / dt
+                dt = max(time.perf_counter() - t0, 1e-9)
+                metrics["steps_per_sec"] = max(i, 1) / dt
                 metrics["pairs_per_sec"] = metrics["steps_per_sec"] * (
                     batch["video"].shape[0]
                 )

@@ -43,15 +43,21 @@ class Pool {
     {
       std::unique_lock<std::mutex> lock(m_);
       fn_ = &fn;
-      next_.store(0, std::memory_order_relaxed);
       total_ = n;
       remaining_.store(n, std::memory_order_relaxed);
+      next_.store(0, std::memory_order_release);
+      ++in_work_;  // the caller participates in this epoch too
       ++epoch_;
       cv_.notify_all();
     }
-    work();  // caller participates
+    work(&fn, n);  // caller participates
     std::unique_lock<std::mutex> lock(m_);
-    done_cv_.wait(lock, [&] { return remaining_.load() <= 0; });
+    // wait until every task is done AND every worker has left work() —
+    // a worker descheduled inside work() must not observe the next
+    // epoch's re-initialized counters
+    done_cv_.wait(lock, [&] {
+      return remaining_.load() <= 0 && in_work_ == 0;
+    });
     fn_ = nullptr;
   }
 
@@ -72,9 +78,9 @@ class Pool {
     for (auto& t : workers_) t.join();
   }
 
-  void work() {
-    const std::function<void(int64_t)>* fn = fn_;
-    int64_t total = total_;
+  // fn/total are passed in: they were snapshotted under the mutex by the
+  // caller, so a late-running worker never reads re-initialized state
+  void work(const std::function<void(int64_t)>* fn, int64_t total) {
     int64_t done_here = 0;
     for (;;) {
       int64_t i = next_.fetch_add(1, std::memory_order_relaxed);
@@ -82,11 +88,14 @@ class Pool {
       (*fn)(i);
       ++done_here;
     }
-    if (done_here > 0 &&
+    bool last_tasks =
+        done_here > 0 &&
         remaining_.fetch_sub(done_here, std::memory_order_acq_rel) ==
-            done_here) {
+            done_here;
+    {
       std::unique_lock<std::mutex> lock(m_);
-      done_cv_.notify_all();
+      --in_work_;
+      if (last_tasks || in_work_ == 0) done_cv_.notify_all();
     }
   }
 
@@ -98,8 +107,11 @@ class Pool {
       if (stop_) return;
       seen = epoch_;
       if (fn_ == nullptr) continue;
+      const std::function<void(int64_t)>* fn = fn_;  // snapshot under lock
+      int64_t total = total_;
+      ++in_work_;
       lock.unlock();
-      work();
+      work(fn, total);
     }
   }
 
@@ -110,12 +122,18 @@ class Pool {
   std::atomic<int64_t> next_{0};
   std::atomic<int64_t> remaining_{0};
   int64_t total_ = 0;
+  int in_work_ = 0;  // workers currently inside work(); guarded by m_
   uint64_t epoch_ = 0;
   bool stop_ = false;
 };
 
-// round-to-nearest-even fp32 -> bf16
+// round-to-nearest-even fp32 -> bf16, NaN-preserving (matches XLA /
+// ml_dtypes: truncating a NaN whose payload lives in the low mantissa bits
+// would otherwise round to +/-Inf)
 inline uint16_t to_bf16(uint32_t bits) {
+  if ((bits & 0x7fffffffu) > 0x7f800000u) {  // NaN: keep quiet-NaN payload
+    return static_cast<uint16_t>((bits >> 16) | 0x0040u);
+  }
   uint32_t rounding = 0x7fff + ((bits >> 16) & 1);
   return static_cast<uint16_t>((bits + rounding) >> 16);
 }
@@ -163,6 +181,6 @@ void crossclr_f32_to_bf16(const float* src, uint16_t* dst, int64_t n,
       n_threads);
 }
 
-int crossclr_io_version() { return 2; }
+int crossclr_io_version() { return 3; }
 
 }  // extern "C"

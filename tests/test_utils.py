@@ -79,3 +79,45 @@ def test_prefetch_handles_short_iterators():
     assert list(prefetch_to_device(iter([]), size=2)) == []
     one = [{"x": np.ones(2, np.float32)}]
     assert len(list(prefetch_to_device(iter(one), size=4))) == 1
+
+
+def test_infinite_batches_resume_continues_sequence():
+    """start_step=k must reproduce the same stream as consuming k batches."""
+    from crossclr_tpu.data import SyntheticPairs, infinite_batches
+    import itertools
+
+    data = SyntheticPairs(num_pairs=64, video_dim=8, text_dim=8, seed=1)
+    full = list(itertools.islice(infinite_batches(data, 16, seed=3), 12))
+    resumed = list(
+        itertools.islice(infinite_batches(data, 16, seed=3, start_step=7), 5)
+    )
+    for want, got in zip(full[7:], resumed):
+        np.testing.assert_array_equal(want["video"], got["video"])
+        np.testing.assert_array_equal(want["text"], got["text"])
+
+
+def test_metrics_writer_union_schema(tmp_path):
+    """Late-appearing keys (eval metrics) must not be dropped."""
+    path = tmp_path / "m.csv"
+    w = MetricsWriter(path, echo=False)
+    w({"loss": 1.5, "step": 1})
+    w({"eval/R@1": 50.0, "step": 2})
+    w.close()
+    import csv as _csv
+
+    rows = list(_csv.DictReader(open(path)))
+    assert rows[0]["loss"] == "1.5" and rows[1]["eval/R@1"] == "50.0"
+    assert rows[1]["loss"] == ""
+
+
+def test_native_bf16_preserves_nan():
+    from crossclr_tpu.data.native_io import f32_to_bf16, native_available
+
+    if not native_available():
+        pytest.skip("no native lib")
+    x = np.zeros(8, np.float32)
+    x.view(np.uint32)[0] = 0x7F800001  # NaN with low-mantissa-only payload
+    x.view(np.uint32)[1] = 0x7F800000  # +Inf stays Inf
+    out = np.asarray(f32_to_bf16(x)).astype(np.float32)
+    assert np.isnan(out[0])
+    assert np.isposinf(out[1])
