@@ -97,7 +97,8 @@ def main():
         except Exception as e:
             excluded[name] = f"error: {type(e).__name__}: {str(e)[:120]}"
             continue
-        if abs(first_loss - ref_loss) > FP32_FORWARD_TOL:
+        # `not (<= tol)` so NaN losses fail the gate too
+        if not (abs(first_loss - ref_loss) <= FP32_FORWARD_TOL):
             excluded[name] = (
                 f"parity gate: loss {first_loss} vs ref {ref_loss}"
             )

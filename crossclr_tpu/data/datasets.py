@@ -107,14 +107,18 @@ class HostShard:
     """Per-process row shard of a dataset for multi-host training.
 
     Process ``p`` of ``P`` sees rows ``p::P`` (a lazy strided view — no
-    copy even for memory-mapped stores).  Every host shuffles ITS shard
-    with the same (seed, epoch) stream, so the global batch is a
-    deterministic disjoint union across hosts.
+    copy even for memory-mapped stores), truncated to ``floor(N/P)`` rows
+    so EVERY host has the same shard length: unequal lengths would give
+    hosts different epoch boundaries, desynchronizing the (seed, epoch)
+    shuffle streams and breaking the same-epoch disjoint union.  Every
+    host shuffles its shard with the same stream, so the global batch is
+    a deterministic disjoint union across hosts.
     """
 
     def __init__(self, dataset, process_index: int, process_count: int):
-        self.video = dataset.video[process_index::process_count]
-        self.text = dataset.text[process_index::process_count]
+        usable = len(dataset) // process_count
+        self.video = dataset.video[process_index::process_count][:usable]
+        self.text = dataset.text[process_index::process_count][:usable]
 
     def __len__(self) -> int:
         return self.video.shape[0]
@@ -162,10 +166,14 @@ def infinite_batches(
     exact sequence instead of re-consuming the start of the stream.  The
     skip is index-only (no feature rows are gathered).
     """
-    per_epoch = len(dataset) // batch_size
+    n = len(dataset)
+    if kw.get("drop_remainder", True):
+        per_epoch = n // batch_size
+    else:
+        per_epoch = -(-n // batch_size)  # ceil: last partial batch counts
     if per_epoch == 0:
         raise ValueError(
-            f"batch_size {batch_size} exceeds dataset size {len(dataset)}"
+            f"batch_size {batch_size} exceeds dataset size {n}"
         )
     epoch, start_batch = divmod(start_step, per_epoch)
     while True:

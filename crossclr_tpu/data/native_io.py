@@ -22,10 +22,35 @@ __all__ = ["gather_rows", "f32_to_bf16", "native_available"]
 
 _NATIVE_DIR = Path(__file__).resolve().parents[2] / "native"
 _LIB_PATH = _NATIVE_DIR / "libcrossclr_io.so"
+# must match crossclr_io_version() in crossclr_io.cc: a stale build would
+# silently miss semantic fixes (e.g. NaN-preserving bf16)
+_EXPECTED_VERSION = 4
 _lock = threading.Lock()
 _lib: ctypes.CDLL | None = None
 _tried = False
 _DEFAULT_THREADS = min(os.cpu_count() or 1, 16)
+
+
+def _make() -> bool:
+    try:
+        subprocess.run(
+            ["make", "-C", str(_NATIVE_DIR)],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+        return True
+    except Exception:
+        return False
+
+
+def _open_lib() -> ctypes.CDLL | None:
+    try:
+        lib = ctypes.CDLL(str(_LIB_PATH))
+        lib.crossclr_io_version.restype = ctypes.c_int
+        return lib
+    except (OSError, AttributeError):
+        return None
 
 
 def _load() -> ctypes.CDLL | None:
@@ -34,24 +59,22 @@ def _load() -> ctypes.CDLL | None:
         if _tried:
             return _lib
         _tried = True
-        if not _LIB_PATH.exists():
-            try:
-                subprocess.run(
-                    ["make", "-C", str(_NATIVE_DIR)],
-                    check=True,
-                    capture_output=True,
-                    timeout=120,
-                )
-            except Exception:
-                return None
-        try:
-            lib = ctypes.CDLL(str(_LIB_PATH))
-        except OSError:
+        if not _LIB_PATH.exists() and not _make():
             return None
+        lib = _open_lib()
+        if lib is None or lib.crossclr_io_version() != _EXPECTED_VERSION:
+            # stale build: rebuild (make keys on source mtime) and re-dlopen;
+            # the replaced inode yields a fresh handle
+            if not _make():
+                return None
+            lib = _open_lib()
+            if lib is None or lib.crossclr_io_version() != _EXPECTED_VERSION:
+                return None
         lib.crossclr_gather_rows.argtypes = [
             ctypes.c_void_p,
             ctypes.c_void_p,
             ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
             ctypes.c_int64,
             ctypes.c_int64,
             ctypes.c_int,
@@ -62,7 +85,6 @@ def _load() -> ctypes.CDLL | None:
             ctypes.c_int64,
             ctypes.c_int,
         ]
-        lib.crossclr_io_version.restype = ctypes.c_int
         _lib = lib
         return _lib
 
@@ -80,7 +102,12 @@ def gather_rows(
     pages.  Works for any 2-D dtype.
     """
     lib = _load()
-    if lib is None or src.ndim != 2 or not src.flags['C_CONTIGUOUS']:
+    # rows must be contiguous internally; the ROW STRIDE may differ from the
+    # row size (e.g. HostShard's [p::P] views), which the kernel supports
+    inner_contiguous = (
+        src.ndim == 2 and src.strides[1] == src.dtype.itemsize
+    )
+    if lib is None or not inner_contiguous:
         return np.ascontiguousarray(src[idx])
     idx64 = np.ascontiguousarray(idx, dtype=np.int64)
     out = np.empty((idx64.shape[0], src.shape[1]), dtype=src.dtype)
@@ -91,6 +118,7 @@ def gather_rows(
         idx64.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         idx64.shape[0],
         row_bytes,
+        src.strides[0],
         threads,
     )
     return out

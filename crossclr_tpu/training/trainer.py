@@ -295,12 +295,15 @@ class Trainer:
             towers = {k: v for k, v in params.items() if k != "logit_scale"}
             rngs = None
             if needs_dropout:
-                # per-step dropout key, deterministic in (seed, step)
-                rngs = {
-                    "dropout": jax.random.fold_in(
-                        jax.random.PRNGKey(cfg.seed), step
+                # per-step dropout key, deterministic in (seed, step); inside
+                # shard_map additionally fold in the shard index, or every
+                # data shard would reuse the identical mask
+                key = jax.random.fold_in(jax.random.PRNGKey(cfg.seed), step)
+                if use_global:
+                    key = jax.random.fold_in(
+                        key, jax.lax.axis_index(DATA_AXIS)
                     )
-                }
+                rngs = {"dropout": key}
             v_emb, t_emb = model.apply(
                 {"params": towers},
                 batch["video"],
@@ -429,7 +432,8 @@ class Trainer:
         it = iter(batches)
         if step_offset is None:
             step_offset = int(state.step)
-        t0 = time.perf_counter()
+        t_start = time.perf_counter()
+        t_steady = t_start  # reset after the first (compiling) step
         for i in range(steps):
             batch = next(it)
             state, metrics = self.train_step(state, batch)
@@ -437,14 +441,17 @@ class Trainer:
                 # first step includes compilation; restart the clock so
                 # steps/sec reflects steady-state throughput
                 jax.block_until_ready(metrics["loss"])
-                t0 = time.perf_counter()
+                t_steady = time.perf_counter()
             if (i + 1) % log_every == 0 or i == steps - 1:
                 metrics = {k: float(v) for k, v in metrics.items()}
-                dt = max(time.perf_counter() - t0, 1e-9)
-                metrics["steps_per_sec"] = max(i, 1) / dt
-                metrics["pairs_per_sec"] = metrics["steps_per_sec"] * (
-                    batch["video"].shape[0]
-                )
+                if i == 0:
+                    # only the compiling step has run: report its honest
+                    # (compile-inclusive) rate, not 1/epsilon
+                    rate = 1.0 / max(t_steady - t_start, 1e-9)
+                else:
+                    rate = i / max(time.perf_counter() - t_steady, 1e-9)
+                metrics["steps_per_sec"] = rate
+                metrics["pairs_per_sec"] = rate * batch["video"].shape[0]
                 metrics["step"] = step_offset + i + 1
                 history.append(metrics)
                 if writer is not None:

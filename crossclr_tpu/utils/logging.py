@@ -18,9 +18,11 @@ class MetricsWriter:
     """Echoes metrics to stderr and appends them to a CSV.
 
     Different call sites log different key sets (train metrics vs eval
-    retrieval metrics); the CSV schema is the union of all keys seen, and
-    the file is rewritten when new keys appear so no column is silently
-    dropped.  Rows are buffered in memory (metrics are tiny scalars).
+    retrieval metrics); the CSV schema is the union of all keys seen.
+    Rows are normally APPENDED (one flushed write per call — crash leaves
+    a valid prefix); only when new keys appear is the file rewritten with
+    the widened header.  Rows are also kept in memory to make those rare
+    rewrites possible (metrics are tiny scalars).
     """
 
     def __init__(self, path: str | Path | None = None, *, echo: bool = True):
@@ -28,6 +30,7 @@ class MetricsWriter:
         self.echo = echo
         self._rows: list[dict] = []
         self._fieldnames: list[str] = []
+        self._fh = None
 
     def __call__(self, metrics: dict) -> None:
         if self.echo:
@@ -38,20 +41,39 @@ class MetricsWriter:
             print(parts, file=sys.stderr)
         if self.path is None:
             return
-        self._rows.append(dict(metrics))
-        new_keys = [k for k in metrics if k not in self._fieldnames]
+        row = dict(metrics)
+        self._rows.append(row)
+        new_keys = [k for k in row if k not in self._fieldnames]
         if new_keys:
             self._fieldnames.extend(new_keys)
-        self._flush()
+            self._rewrite()
+        else:
+            self._append(row)
 
-    def _flush(self) -> None:
+    def _writer(self, fh):
+        return csv.DictWriter(fh, fieldnames=self._fieldnames)
+
+    def _rewrite(self) -> None:
+        if self._fh is not None:
+            self._fh.close()
         self.path.parent.mkdir(parents=True, exist_ok=True)
         with open(self.path, "w", newline="") as fh:
-            writer = csv.DictWriter(fh, fieldnames=self._fieldnames)
-            writer.writeheader()
+            w = self._writer(fh)
+            w.writeheader()
             for row in self._rows:
-                writer.writerow({k: row.get(k) for k in self._fieldnames})
+                w.writerow({k: row.get(k) for k in self._fieldnames})
+        self._fh = open(self.path, "a", newline="")
+
+    def _append(self, row: dict) -> None:
+        if self._fh is None:
+            self._rewrite()
+            return
+        self._writer(self._fh).writerow(
+            {k: row.get(k) for k in self._fieldnames}
+        )
+        self._fh.flush()
 
     def close(self) -> None:
-        if self.path is not None and self._rows:
-            self._flush()
+        if self._fh is not None:
+            self._fh.close()
+            self._fh = None

@@ -30,9 +30,12 @@ class Pool {
     return pool;
   }
 
-  // Run fn(i) for i in [0, n), blocking until done.
+  // Run fn(i) for i in [0, n), blocking until done.  Safe for concurrent
+  // callers (ctypes releases the GIL): epochs are serialized by run_m_ —
+  // without it a second caller would repoint fn_/counters mid-epoch.
   void run(int64_t n, const std::function<void(int64_t)>& fn, int max_threads) {
     if (n <= 0) return;
+    std::lock_guard<std::mutex> serialize(run_m_);
     int active = static_cast<int>(std::min<int64_t>(
         {static_cast<int64_t>(workers_.size() + 1), n,
          static_cast<int64_t>(max_threads > 0 ? max_threads : 1)}));
@@ -116,6 +119,7 @@ class Pool {
   }
 
   std::vector<std::thread> workers_;
+  std::mutex run_m_;  // serializes run() epochs across calling threads
   std::mutex m_;
   std::condition_variable cv_, done_cv_;
   const std::function<void(int64_t)>* fn_ = nullptr;
@@ -143,10 +147,13 @@ inline uint16_t to_bf16(uint32_t bits) {
 extern "C" {
 
 // Gather rows: dst[i, :] = src[idx[i], :].  Arbitrary row size in bytes, so
-// one entry point serves fp32/bf16/fp16 features of any dim.  Rows are
-// chunked so each task moves ~256 KiB (amortizes pool dispatch).
+// one entry point serves fp32/bf16/fp16 features of any dim.
+// src_row_stride (bytes between consecutive source rows) may exceed
+// row_bytes: strided row views (e.g. per-host dataset shards src[p::P])
+// keep the native path.  Rows are chunked so each task moves ~256 KiB.
 void crossclr_gather_rows(const void* src, void* dst, const int64_t* idx,
-                          int64_t n_idx, int64_t row_bytes, int n_threads) {
+                          int64_t n_idx, int64_t row_bytes,
+                          int64_t src_row_stride, int n_threads) {
   const char* s = static_cast<const char*>(src);
   char* d = static_cast<char*>(dst);
   int64_t rows_per_task = (256 * 1024) / (row_bytes > 0 ? row_bytes : 1);
@@ -158,7 +165,7 @@ void crossclr_gather_rows(const void* src, void* dst, const int64_t* idx,
         int64_t start = task * rows_per_task;
         int64_t end = std::min(start + rows_per_task, n_idx);
         for (int64_t i = start; i < end; ++i) {
-          std::memcpy(d + i * row_bytes, s + idx[i] * row_bytes,
+          std::memcpy(d + i * row_bytes, s + idx[i] * src_row_stride,
                       static_cast<size_t>(row_bytes));
         }
       },
@@ -181,6 +188,6 @@ void crossclr_f32_to_bf16(const float* src, uint16_t* dst, int64_t n,
       n_threads);
 }
 
-int crossclr_io_version() { return 3; }
+int crossclr_io_version() { return 4; }
 
 }  // extern "C"

@@ -62,3 +62,38 @@ def test_gather_repeated_calls_stable(rng):
     for _ in range(50):
         idx = rng.integers(0, 1000, size=256)
         np.testing.assert_array_equal(gather_rows(src, idx), src[idx])
+
+
+def test_gather_strided_host_shard_view(rng):
+    """[p::P] row views (inner-contiguous, strided rows) take the native
+    path and match numpy."""
+    src = rng.standard_normal((256, 32)).astype(np.float32)
+    view = src[1::4]
+    assert not view.flags["C_CONTIGUOUS"]
+    idx = rng.integers(0, view.shape[0], size=48)
+    np.testing.assert_array_equal(gather_rows(view, idx), view[idx])
+
+
+def test_gather_concurrent_callers(rng):
+    """Pool epochs are serialized: concurrent gathers from two threads
+    never corrupt each other."""
+    import threading
+
+    src = rng.standard_normal((2000, 64)).astype(np.float32)
+    errs = []
+
+    def worker(seed):
+        r = np.random.default_rng(seed)
+        try:
+            for _ in range(60):
+                idx = r.integers(0, 2000, size=512)
+                np.testing.assert_array_equal(gather_rows(src, idx), src[idx])
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=worker, args=(s,)) for s in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs

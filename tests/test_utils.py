@@ -121,3 +121,27 @@ def test_native_bf16_preserves_nan():
     out = np.asarray(f32_to_bf16(x)).astype(np.float32)
     assert np.isnan(out[0])
     assert np.isposinf(out[1])
+
+
+def test_infinite_batches_resume_no_drop_remainder():
+    """start_step alignment must account for the partial last batch when
+    drop_remainder=False."""
+    from crossclr_tpu.data import SyntheticPairs, infinite_batches
+    import itertools
+
+    data = SyntheticPairs(num_pairs=50, video_dim=4, text_dim=4, seed=2)
+    kw = dict(seed=5, drop_remainder=False)
+    full = list(itertools.islice(infinite_batches(data, 16, **kw), 10))
+    resumed = list(
+        itertools.islice(infinite_batches(data, 16, start_step=5, **kw), 5)
+    )
+    for want, got in zip(full[5:], resumed):
+        np.testing.assert_array_equal(want["video"], got["video"])
+
+
+def test_host_shard_equal_lengths():
+    from crossclr_tpu.data import HostShard, SyntheticPairs
+
+    data = SyntheticPairs(num_pairs=101, video_dim=4, text_dim=4)
+    shards = [HostShard(data, p, 4) for p in range(4)]
+    assert {len(s) for s in shards} == {25}
