@@ -206,10 +206,8 @@ def prefetch_to_device(batches: Iterator[dict], size: int = 2, sharding=None):
         if multi_process:
             # each process holds only its rows of the global batch; stitch
             # them into one globally-sharded array without gathering
-            import numpy as _np
-
             return jax.make_array_from_process_local_data(
-                sharding, _np.asarray(v)
+                sharding, np.asarray(v)
             )
         return jax.device_put(v, sharding)
 

@@ -50,25 +50,25 @@ class MetricsWriter:
         else:
             self._append(row)
 
-    def _writer(self, fh):
-        return csv.DictWriter(fh, fieldnames=self._fieldnames)
-
     def _rewrite(self) -> None:
         if self._fh is not None:
             self._fh.close()
         self.path.parent.mkdir(parents=True, exist_ok=True)
         with open(self.path, "w", newline="") as fh:
-            w = self._writer(fh)
+            w = csv.DictWriter(fh, fieldnames=self._fieldnames)
             w.writeheader()
             for row in self._rows:
                 w.writerow({k: row.get(k) for k in self._fieldnames})
         self._fh = open(self.path, "a", newline="")
+        self._append_writer = csv.DictWriter(
+            self._fh, fieldnames=self._fieldnames
+        )
 
     def _append(self, row: dict) -> None:
         if self._fh is None:
             self._rewrite()
             return
-        self._writer(self._fh).writerow(
+        self._append_writer.writerow(
             {k: row.get(k) for k in self._fieldnames}
         )
         self._fh.flush()
