@@ -33,23 +33,13 @@ from jax.experimental.pallas import tpu as pltpu
 from .fused_crossclr import (
     _LANE,
     _NEG_INF,
+    _dot,
     _dot_nt,
     _pick_tiles,
     _resolve_precision,
 )
 
 __all__ = ["fused_lse_rows", "rows_supported"]
-
-
-def _dot_tn(a: jax.Array, b: jax.Array, precision) -> jax.Array:
-    """aᵀ @ b contracting dim 0 of both (no explicit transpose)."""
-    return jax.lax.dot_general(
-        a,
-        b,
-        (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=precision,
-    )
 
 
 def _global_ids(i, j, off_ref, tb: int, tc: int):
@@ -181,8 +171,8 @@ def _rows_bwd_cols_kernel(
     o_all_ref,
     a_all_ref,
     a_row_ref,
-    lse_row_ref,
-    g_row_ref,
+    lse_rowT_ref,
+    g_rowT_ref,
     d_o_ref,
     d_a_ref,
     do_scr,
@@ -194,7 +184,11 @@ def _rows_bwd_cols_kernel(
     tc,
     precision,
 ):
-    # grid is (col tiles, row tiles): j parallel, i arbitrary
+    # grid is (col tiles, row tiles): j parallel, i arbitrary.  Everything
+    # is computed in TRANSPOSED orientation ([TC, TB] logits, row factors
+    # as (1, TB) lane vectors): a dim-0 contraction (Pᵀ·A) or an in-kernel
+    # transpose costs Mosaic a lossy/slow relayout — see the symmetric
+    # backward kernel's layout note.
     j = pl.program_id(0)
     i = pl.program_id(1)
     ni = pl.num_programs(1)
@@ -207,17 +201,26 @@ def _rows_bwd_cols_kernel(
     a_i = a_row_ref[:]  # [TB, D]
     o_j = o_all_ref[:]  # [TC, D]
     a_j = a_all_ref[:]  # [TC, D]
-    lse_i = lse_row_ref[:]  # [TB, 1]
-    g_i = g_row_ref[:]  # [TB, 1]
+    lse_iT = lse_rowT_ref[:]  # [1, TB]
+    g_iT = g_rowT_ref[:]  # [1, TB]
 
-    z_inter = scale * _dot_nt(a_i, o_j, precision)  # [TB, TC]
-    p = g_i * jnp.exp(z_inter - lse_i)
-    do_scr[:] = do_scr[:] + _dot_tn(p, a_i, precision)  # [TC, D]
+    # zT[c, r] = s·o_c·a_r — transposed inter logits
+    zT_inter = scale * _dot_nt(o_j, a_i, precision)  # [TC, TB]
+    pT = g_iT * jnp.exp(zT_inter - lse_iT)
+    do_scr[:] = do_scr[:] + _dot(pT, a_i, precision)  # [TC, D]
 
-    z_intra = (neg_weight * scale) * _dot_nt(a_i, a_j, precision)
-    rows, cols = _global_ids(i, j, off_ref, tb, tc)
-    q = jnp.where(rows == cols, 0.0, g_i * jnp.exp(z_intra - lse_i))
-    da_scr[:] = da_scr[:] + neg_weight * _dot_tn(q, a_i, precision)
+    zT_intra = (neg_weight * scale) * _dot_nt(a_j, a_i, precision)
+    # transposed orientation: axis 0 = candidate columns, axis 1 = rows
+    cand_ids = j * tc + jax.lax.broadcasted_iota(jnp.int32, (tc, tb), 0)
+    row_ids = (
+        off_ref[0, 0].astype(jnp.int32)
+        + i * tb
+        + jax.lax.broadcasted_iota(jnp.int32, (tc, tb), 1)
+    )
+    qT = jnp.where(
+        cand_ids == row_ids, 0.0, g_iT * jnp.exp(zT_intra - lse_iT)
+    )
+    da_scr[:] = da_scr[:] + neg_weight * _dot(qT, a_i, precision)
 
     @pl.when(i == ni - 1)
     def _finalize():
@@ -296,6 +299,8 @@ def _rows_bwd(anchor_rows, anchor_all, other_all, off, lse, g,
         interpret=interpret,
     )(off, anchor_rows, lse, g, other_all, anchor_all)
 
+    lse_t = lse.reshape(1, bl)
+    g_t = g.reshape(1, bl)
     d_other, d_anchor_all = pl.pallas_call(
         functools.partial(
             _rows_bwd_cols_kernel, scale=scale, neg_weight=neg_weight,
@@ -307,8 +312,8 @@ def _rows_bwd(anchor_rows, anchor_all, other_all, off, lse, g,
             pl.BlockSpec((tc, d), lambda j, i: (j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tc, d), lambda j, i: (j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tb, d), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tb, 1), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tb, 1), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tb), lambda j, i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tb), lambda j, i: (0, i), memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((tc, d), lambda j, i: (j, 0), memory_space=pltpu.VMEM),
@@ -324,7 +329,7 @@ def _rows_bwd(anchor_rows, anchor_all, other_all, off, lse, g,
         ],
         compiler_params=_compiler_params(),
         interpret=interpret,
-    )(off, other_all, anchor_all, anchor_rows, lse, g)
+    )(off, other_all, anchor_all, anchor_rows, lse_t, g_t)
 
     return d_rows, d_anchor_all, d_other
 
