@@ -22,7 +22,7 @@ recipe; static shapes throughout so XLA tiles cleanly onto the MXU.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Sequence
+from typing import Any
 
 import flax.linen as nn
 import jax

@@ -20,7 +20,6 @@ import sys
 import numpy as np
 
 import jax
-import jax.numpy as jnp
 
 
 def main(argv: list[str] | None = None) -> int:

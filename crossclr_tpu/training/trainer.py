@@ -20,7 +20,6 @@ thing, TPU-first:
 from __future__ import annotations
 
 import dataclasses
-import functools
 import time
 from typing import Any, Callable
 
