@@ -24,7 +24,7 @@ _NATIVE_DIR = Path(__file__).resolve().parents[2] / "native"
 _LIB_PATH = _NATIVE_DIR / "libcrossclr_io.so"
 # must match crossclr_io_version() in crossclr_io.cc: a stale build would
 # silently miss semantic fixes (e.g. NaN-preserving bf16)
-_EXPECTED_VERSION = 4
+_EXPECTED_VERSION = 5
 _lock = threading.Lock()
 _lib: ctypes.CDLL | None = None
 _tried = False
@@ -32,13 +32,21 @@ _DEFAULT_THREADS = min(os.cpu_count() or 1, 16)
 
 
 def _make() -> bool:
+    """Build the library under an exclusive file lock (multiple processes
+    on one VM may race the rebuild) — the Makefile links to a temp name
+    and atomically renames, so a stale mapped library is never truncated
+    in place and re-dlopen sees a fresh inode."""
     try:
-        subprocess.run(
-            ["make", "-C", str(_NATIVE_DIR)],
-            check=True,
-            capture_output=True,
-            timeout=120,
-        )
+        import fcntl
+
+        with open(_NATIVE_DIR / ".build.lock", "w") as lockf:
+            fcntl.flock(lockf, fcntl.LOCK_EX)
+            subprocess.run(
+                ["make", "-C", str(_NATIVE_DIR)],
+                check=True,
+                capture_output=True,
+                timeout=120,
+            )
         return True
     except Exception:
         return False

@@ -42,13 +42,20 @@ from .fused_crossclr import (
 __all__ = ["fused_lse_rows", "rows_supported"]
 
 
-def _global_ids(i, j, off_ref, tb: int, tc: int):
-    rows = (
-        off_ref[0, 0].astype(jnp.int32)
-        + i * tb
-        + jax.lax.broadcasted_iota(jnp.int32, (tb, tc), 0)
-    )
-    cols = j * tc + jax.lax.broadcasted_iota(jnp.int32, (tb, tc), 1)
+def _global_ids(i, j, off_ref, tb: int, tc: int, transposed: bool = False):
+    """Global (row, candidate) index grids for tile (i, j).
+
+    ``transposed=True`` yields [TC, TB] grids (candidates on axis 0) for
+    kernels that compute in transposed orientation — one helper so the
+    offset/masking convention lives in a single place.
+    """
+    off = off_ref[0, 0].astype(jnp.int32)
+    if transposed:
+        cols = j * tc + jax.lax.broadcasted_iota(jnp.int32, (tc, tb), 0)
+        rows = off + i * tb + jax.lax.broadcasted_iota(jnp.int32, (tc, tb), 1)
+    else:
+        rows = off + i * tb + jax.lax.broadcasted_iota(jnp.int32, (tb, tc), 0)
+        cols = j * tc + jax.lax.broadcasted_iota(jnp.int32, (tb, tc), 1)
     return rows, cols
 
 
@@ -210,13 +217,7 @@ def _rows_bwd_cols_kernel(
     do_scr[:] = do_scr[:] + _dot(pT, a_i, precision)  # [TC, D]
 
     zT_intra = (neg_weight * scale) * _dot_nt(a_j, a_i, precision)
-    # transposed orientation: axis 0 = candidate columns, axis 1 = rows
-    cand_ids = j * tc + jax.lax.broadcasted_iota(jnp.int32, (tc, tb), 0)
-    row_ids = (
-        off_ref[0, 0].astype(jnp.int32)
-        + i * tb
-        + jax.lax.broadcasted_iota(jnp.int32, (tc, tb), 1)
-    )
+    row_ids, cand_ids = _global_ids(i, j, off_ref, tb, tc, transposed=True)
     qT = jnp.where(
         cand_ids == row_ids, 0.0, g_iT * jnp.exp(zT_intra - lse_iT)
     )

@@ -108,15 +108,27 @@ def main(argv: list[str] | None = None) -> int:
     else:
         host_data = dataset
 
+    if len(host_data) < local_batch:
+        raise SystemExit(
+            f"host shard has {len(host_data)} rows < host-local batch "
+            f"{local_batch}; shrink data.batch_size or the host count"
+        )
+
     first = next(epoch_batches(host_data, local_batch, shuffle=False))
     state = trainer.init_state(first["video"], first["text"])
 
     ckpt = CheckpointManager(cfg.checkpoint_dir) if cfg.checkpoint_dir else None
+    is_rank0 = jax.process_index() == 0
     if ckpt is not None and ckpt.latest_step() is not None:
         state = ckpt.restore(state)
-        print(f"resumed from step {int(state.step)}", file=sys.stderr)
+        if is_rank0:
+            print(f"resumed from step {int(state.step)}", file=sys.stderr)
 
-    writer = MetricsWriter(args.metrics_csv)
+    # metrics are replicated scalars: only rank 0 writes/echoes, or every
+    # host would clobber the same CSV path on a shared filesystem
+    writer = MetricsWriter(
+        args.metrics_csv if is_rank0 else None, echo=is_rank0
+    )
     sharding = data_sharding(mesh) if mesh is not None else None
 
     # -- train --------------------------------------------------------------

@@ -49,6 +49,7 @@ class Pool {
       total_ = n;
       remaining_.store(n, std::memory_order_relaxed);
       next_.store(0, std::memory_order_release);
+      max_participants_ = active;  // honor the caller's thread budget
       ++in_work_;  // the caller participates in this epoch too
       ++epoch_;
       cv_.notify_all();
@@ -110,6 +111,7 @@ class Pool {
       if (stop_) return;
       seen = epoch_;
       if (fn_ == nullptr) continue;
+      if (in_work_ >= max_participants_) continue;  // thread budget reached
       const std::function<void(int64_t)>* fn = fn_;  // snapshot under lock
       int64_t total = total_;
       ++in_work_;
@@ -127,6 +129,7 @@ class Pool {
   std::atomic<int64_t> remaining_{0};
   int64_t total_ = 0;
   int in_work_ = 0;  // workers currently inside work(); guarded by m_
+  int max_participants_ = 0;  // caller's thread budget for the epoch
   uint64_t epoch_ = 0;
   bool stop_ = false;
 };
@@ -188,6 +191,6 @@ void crossclr_f32_to_bf16(const float* src, uint16_t* dst, int64_t n,
       n_threads);
 }
 
-int crossclr_io_version() { return 4; }
+int crossclr_io_version() { return 5; }
 
 }  // extern "C"
