@@ -2,7 +2,7 @@
 
 from .config import DataConfig, ExperimentConfig, load_config, save_config
 from .logging import MetricsWriter
-from .profiling import StepTimer, nan_debug, trace
+from .profiling import StepTimer, checked, nan_debug, trace
 
 __all__ = [
     "DataConfig",
@@ -11,6 +11,7 @@ __all__ = [
     "save_config",
     "MetricsWriter",
     "StepTimer",
+    "checked",
     "nan_debug",
     "trace",
 ]

@@ -13,7 +13,7 @@ from pathlib import Path
 
 import jax
 
-__all__ = ["trace", "nan_debug", "StepTimer"]
+__all__ = ["trace", "nan_debug", "checked", "StepTimer"]
 
 
 @contextlib.contextmanager
@@ -36,6 +36,32 @@ def nan_debug(enabled: bool = True):
         yield
     finally:
         jax.config.update("jax_debug_nans", prev)
+
+
+def checked(fn, *, errors=None):
+    """Wrap ``fn`` with ``jax.experimental.checkify`` so NaN/Inf and
+    out-of-bounds indexing inside jitted code raise host-side errors with
+    location info instead of propagating silently (SURVEY.md §5: the JAX
+    equivalent of a sanitizer pass for kernel bounds).
+
+    Returns a callable with the same signature; call ``.throw()`` semantics
+    are handled internally — it raises on error, returns fn's outputs
+    otherwise.  Debug tool: adds checking overhead, don't ship in the hot
+    loop.
+    """
+    from jax.experimental import checkify as _checkify
+
+    if errors is None:
+        errors = _checkify.float_checks | _checkify.index_checks
+
+    checked_fn = _checkify.checkify(fn, errors=errors)
+
+    def wrapper(*args, **kwargs):
+        err, out = checked_fn(*args, **kwargs)
+        _checkify.check_error(err)
+        return out
+
+    return wrapper
 
 
 class StepTimer:

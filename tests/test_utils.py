@@ -145,3 +145,26 @@ def test_host_shard_equal_lengths():
     data = SyntheticPairs(num_pairs=101, video_dim=4, text_dim=4)
     shards = [HostShard(data, p, 4) for p in range(4)]
     assert {len(s) for s in shards} == {25}
+
+
+def test_checked_catches_nan():
+    from crossclr_tpu.utils.profiling import checked
+
+    def bad(x):
+        return jnp.log(x) * 2.0
+
+    good_out = checked(bad)(jnp.asarray(2.0))
+    np.testing.assert_allclose(float(good_out), 2 * np.log(2.0), rtol=1e-6)
+    with pytest.raises(Exception):
+        checked(bad)(jnp.asarray(-1.0))
+
+
+def test_checked_catches_oob():
+    from crossclr_tpu.utils.profiling import checked
+
+    def gather(x, i):
+        return x[i]
+
+    assert float(checked(gather)(jnp.arange(4.0), jnp.asarray(2))) == 2.0
+    with pytest.raises(Exception):
+        checked(gather)(jnp.arange(4.0), jnp.asarray(9))
