@@ -110,16 +110,23 @@ def gather_rows(
     pages.  Works for any 2-D dtype.
     """
     lib = _load()
-    # rows must be contiguous internally; the ROW STRIDE may differ from the
-    # row size (e.g. HostShard's [p::P] views), which the kernel supports
+    # each row (all trailing dims) must be one contiguous block; the ROW
+    # STRIDE may differ from the row size (e.g. HostShard's [p::P] views).
+    # Works for [N, D] features and [N, S, D] sequences alike.
+    row_elems = int(np.prod(src.shape[1:])) if src.ndim > 1 else 0
     inner_contiguous = (
-        src.ndim == 2 and src.strides[1] == src.dtype.itemsize
+        src.ndim >= 2
+        and src.strides[-1] == src.dtype.itemsize
+        and all(
+            src.strides[k] == src.strides[k + 1] * src.shape[k + 1]
+            for k in range(1, src.ndim - 1)
+        )
     )
-    if lib is None or not inner_contiguous:
+    if lib is None or not inner_contiguous or row_elems == 0:
         return np.ascontiguousarray(src[idx])
     idx64 = np.ascontiguousarray(idx, dtype=np.int64)
-    out = np.empty((idx64.shape[0], src.shape[1]), dtype=src.dtype)
-    row_bytes = src.shape[1] * src.dtype.itemsize
+    out = np.empty((idx64.shape[0], *src.shape[1:]), dtype=src.dtype)
+    row_bytes = row_elems * src.dtype.itemsize
     lib.crossclr_gather_rows(
         src.ctypes.data,
         out.ctypes.data,

@@ -39,10 +39,15 @@ def test_gather_memmap(tmp_path, rng):
     np.testing.assert_array_equal(gather_rows(mm, idx), src[idx])
 
 
-def test_gather_3d_falls_back(rng):
+def test_gather_3d_sequences_native(rng):
+    """[N, S, D] sequence stores take the native path (rows contiguous)."""
     src = rng.standard_normal((50, 4, 8)).astype(np.float32)
     idx = rng.integers(0, 50, size=16)
     np.testing.assert_array_equal(gather_rows(src, idx), src[idx])
+    # strided 3D view still correct (falls back or translates)
+    view = src[1::3]
+    idx2 = rng.integers(0, view.shape[0], size=8)
+    np.testing.assert_array_equal(gather_rows(view, idx2), view[idx2])
 
 
 def test_bf16_matches_mldtypes(rng):
