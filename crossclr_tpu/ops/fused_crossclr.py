@@ -393,16 +393,25 @@ def _pick_tiles(b: int, d: int) -> tuple[int, int] | None:
     """Choose (row, col) tile sizes; None means the shape is unsupported.
 
     Large tiles keep the MXU busy and amortize per-step pipeline overhead;
-    grid-step count falls quadratically with tile size.  VMEM per step is
-    ~3 · tile · d · 4 bytes (fp32) plus the accumulator, so 512-tiles fit
-    comfortably for d ≤ 1024.
+    grid-step count falls with tile area.  Column tiles are pushed wider
+    than row tiles (2048 vs 512): columns are streamed per row block, so
+    wider columns cut grid steps linearly (measured ~10% at bsz 4096) while
+    the VMEM cost (~6 buffered blocks of tc·d fp32) stays within budget
+    for d ≤ 1024.  Tiles < 64 make Mosaic compile times pathological and
+    underutilize the MXU; such shapes take the jnp fallback instead.
     """
-    # tiles < 64 make Mosaic compile times pathological (grid explodes)
-    # and underutilize the MXU; such shapes take the jnp fallback instead
-    for tile in (512, 256, 128, 64):
-        if b % tile == 0 and tile * max(d, 128) * 4 * 8 < 64 * 1024 * 1024:
-            return tile, tile
-    return None
+
+    def largest(candidates):
+        for t in candidates:
+            if b % t == 0 and t * max(d, 128) * 4 * 6 < 64 * 1024 * 1024:
+                return t
+        return None
+
+    tb = largest((512, 256, 128, 64))
+    tc = largest((2048, 1024, 512, 256, 128, 64))
+    if tb is None or tc is None:
+        return None
+    return tb, tc
 
 
 def pallas_supported(b: int, d: int, backend: str | None = None) -> bool:
