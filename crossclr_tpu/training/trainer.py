@@ -55,6 +55,12 @@ class TrainConfig:
     # parity-grade, "default" = ~2.3x faster training tier (fwd inside
     # fp32 tolerance, grads ~1e-3 rel), "bf16" = bf16 feature storage
     loss_precision: str | None = None
+    # CLIP-style learnable temperature: the criterion's logit_scale
+    # parameter (vestigial in the reference, loss.py:52) becomes live —
+    # effective temperature = cfg.temperature / exp(logit_scale), starting
+    # at cfg.temperature (logit_scale init 0 under this option).  jnp loss
+    # paths only: the Pallas kernels specialize on a static temperature.
+    learnable_temperature: bool = False
     seed: int = 0
 
 
@@ -107,12 +113,33 @@ def make_loss_fn(cfg: TrainConfig, mesh: Mesh | None = None) -> Callable:
     raise ValueError(f"unknown loss {cfg.loss!r}")
 
 
+def _learnable_loss(cfg, temperature, v_emb, t_emb, v_raw, t_raw):
+    """jnp loss with a TRACED temperature (learnable logit_scale)."""
+    if cfg.loss == "crossclr_intra":
+        return F.cross_clr_intra(
+            v_emb, t_emb,
+            temperature=temperature, negative_weight=cfg.negative_weight,
+        )
+    if cfg.loss == "crossclr":
+        return F.cross_clr(
+            v_emb, t_emb, v_raw, t_raw,
+            temperature=temperature,
+            negative_weight=cfg.negative_weight,
+            weight_temperature=cfg.weight_temperature,
+            prune_percent=cfg.prune_percent,
+        )
+    if cfg.loss == "info_nce":
+        return F.info_nce(v_emb, t_emb, temperature=temperature)
+    raise ValueError(f"learnable temperature unsupported for {cfg.loss!r}")
+
+
 def _global_rows_loss(
     v_emb: jax.Array,
     t_emb: jax.Array,
     cfg: TrainConfig,
     axis: str,
     use_fused: bool = False,
+    temperature=None,
 ) -> jax.Array:
     """This shard's contribution to the global-negative CrossCLR loss,
     called inside the step's shard_map (row losses via the shared
@@ -129,7 +156,7 @@ def _global_rows_loss(
 
     loss_v, loss_t, n = global_row_losses(
         v_emb, t_emb, axis,
-        temperature=cfg.temperature,
+        temperature=cfg.temperature if temperature is None else temperature,
         negative_weight=cfg.negative_weight,
         use_fused=use_fused,
         precision=cfg.loss_precision,
@@ -215,8 +242,11 @@ class Trainer:
     def init_state(self, sample_video: jax.Array, sample_text: jax.Array) -> TrainState:
         rng = jax.random.PRNGKey(self.cfg.seed)
         params = self.model.init(rng, sample_video, sample_text)["params"]
-        # vestigial criterion parameter, kept for reference-API parity
-        params = dict(params, logit_scale=jnp.ones(()))
+        # criterion parameter: vestigial by default (reference-API parity,
+        # loss.py:52), live when cfg.learnable_temperature — then it must
+        # start at 0 so exp(logit_scale) = 1 reproduces cfg.temperature
+        init_scale = 0.0 if self.cfg.learnable_temperature else 1.0
+        params = dict(params, logit_scale=jnp.asarray(init_scale, jnp.float32))
         state = TrainState.create(
             apply_fn=self.model.apply,
             params=params,
@@ -290,6 +320,17 @@ class Trainer:
             self.video_cfg.dropout > 0 or self.text_cfg.dropout > 0
         )
 
+        if cfg.learnable_temperature and cfg.loss not in (
+            "crossclr_intra",
+            "crossclr",
+            "info_nce",
+        ):
+            raise ValueError(
+                "learnable_temperature requires a jnp loss path "
+                "(crossclr_intra, crossclr, info_nce): the Pallas kernels "
+                "specialize on a static temperature"
+            )
+
         def loss_for_batch(params, batch, step):
             towers = {k: v for k, v in params.items() if k != "logit_scale"}
             rngs = None
@@ -312,7 +353,20 @@ class Trainer:
                 train=True,
                 rngs=rngs,
             )
-            if use_global:
+            if cfg.learnable_temperature:
+                # effective τ = cfg.temperature / exp(logit_scale); the jnp
+                # losses accept a traced temperature
+                temp = cfg.temperature / jnp.exp(params["logit_scale"])
+                if use_global:
+                    loss = _global_rows_loss(
+                        v_emb, t_emb, cfg, DATA_AXIS,
+                        use_fused=False, temperature=temp,
+                    )
+                else:
+                    loss = _learnable_loss(
+                        cfg, temp, v_emb, t_emb, batch["video"], batch["text"]
+                    )
+            elif use_global:
                 loss = _global_rows_loss(
                     v_emb,
                     t_emb,

@@ -202,3 +202,31 @@ def test_sharded_fused_global_step_matches_single_device():
     np.testing.assert_allclose(
         float(m_sh["grad_norm"]), float(m_1["grad_norm"]), rtol=1e-3
     )
+
+
+def test_learnable_temperature_trains_logit_scale():
+    """CLIP-style option: logit_scale becomes a live parameter whose value
+    moves under training; disabled (reference parity) it stays untouched."""
+    data = SyntheticPairs(num_pairs=128, video_dim=16, text_dim=12, seed=0)
+    vc = TowerConfig(kind="mlp", input_dim=16, embed_dim=8, hidden_dim=16,
+                     dtype=jnp.float32)
+    tc = TowerConfig(kind="mlp", input_dim=12, embed_dim=8, hidden_dim=16,
+                     dtype=jnp.float32)
+
+    tr = Trainer(vc, tc, TrainConfig(
+        loss="crossclr_intra", learnable_temperature=True,
+        learning_rate=1e-2, warmup_steps=2, total_steps=50, temperature=0.1,
+    ))
+    batch = next(epoch_batches(data, 64))
+    state = tr.init_state(batch["video"], batch["text"])
+    assert float(state.params["logit_scale"]) == 0.0  # exp(0)=1 -> τ as configured
+    state, _ = tr.fit(state, infinite_batches(data, 64), steps=20, log_every=20)
+    assert abs(float(state.params["logit_scale"])) > 1e-4
+
+    # fused loss rejects it (static-temperature kernels)
+    bad = Trainer(vc, tc, TrainConfig(
+        loss="crossclr_intra_fused", learnable_temperature=True, total_steps=5,
+    ))
+    st2 = bad.init_state(batch["video"], batch["text"])
+    with pytest.raises(ValueError):
+        bad.train_step(st2, batch)
