@@ -78,9 +78,16 @@ def make_loss_fn(cfg: TrainConfig, mesh: Mesh | None = None) -> Callable:
     candidate set inside ``shard_map`` (see parallel.global_loss); the
     returned callable must then be invoked *inside* the sharded region.
     """
-    kw = dict(temperature=cfg.temperature, negative_weight=cfg.negative_weight)
+    def temp_or(default):
+        return lambda override: default if override is None else override
+
+    _temp = temp_or(cfg.temperature)
     if cfg.loss == "crossclr_intra":
-        return lambda v, t, vr=None, tr=None: F.cross_clr_intra(v, t, **kw)
+        return lambda v, t, vr=None, tr=None, temperature=None: F.cross_clr_intra(
+            v, t,
+            temperature=_temp(temperature),
+            negative_weight=cfg.negative_weight,
+        )
     if cfg.loss == "crossclr_intra_fused":
         # a pallas_call cannot be partitioned by GSPMD: when the step runs
         # under plain jit over a multi-device mesh (tensor parallelism, or
@@ -89,48 +96,46 @@ def make_loss_fn(cfg: TrainConfig, mesh: Mesh | None = None) -> Callable:
         # there; the shard_map path feeds the kernel per-device instead
         multi_device_gspmd = mesh is not None and mesh.devices.size > 1
         if multi_device_gspmd:
-            return lambda v, t, vr=None, tr=None: F.cross_clr_intra(v, t, **kw)
-        return lambda v, t, vr=None, tr=None: cross_clr_intra_fused(
-            v, t, precision=cfg.loss_precision, **kw
+            return lambda v, t, vr=None, tr=None, temperature=None: F.cross_clr_intra(
+                v, t,
+                temperature=_temp(temperature),
+                negative_weight=cfg.negative_weight,
+            )
+        return lambda v, t, vr=None, tr=None, temperature=None: cross_clr_intra_fused(
+            v, t,
+            temperature=cfg.temperature,  # kernels specialize on static τ
+            negative_weight=cfg.negative_weight,
+            precision=cfg.loss_precision,
         )
     if cfg.loss == "crossclr":
-        return lambda v, t, vr=None, tr=None: F.cross_clr(
+        return lambda v, t, vr=None, tr=None, temperature=None: F.cross_clr(
             v,
             t,
             vr,
             tr,
-            temperature=cfg.temperature,
+            temperature=_temp(temperature),
             negative_weight=cfg.negative_weight,
             weight_temperature=cfg.weight_temperature,
             prune_percent=cfg.prune_percent,
         )
     if cfg.loss == "info_nce":
-        return lambda v, t, vr=None, tr=None: F.info_nce(
-            v, t, temperature=cfg.temperature
+        return lambda v, t, vr=None, tr=None, temperature=None: F.info_nce(
+            v, t, temperature=_temp(temperature)
         )
     if cfg.loss == "max_margin":
-        return lambda v, t, vr=None, tr=None: F.max_margin(v, t, margin=cfg.margin)
+        return lambda v, t, vr=None, tr=None, temperature=None: F.max_margin(
+            v, t, margin=cfg.margin
+        )
     raise ValueError(f"unknown loss {cfg.loss!r}")
 
 
-def _learnable_loss(cfg, temperature, v_emb, t_emb, v_raw, t_raw):
-    """jnp loss with a TRACED temperature (learnable logit_scale)."""
-    if cfg.loss == "crossclr_intra":
-        return F.cross_clr_intra(
-            v_emb, t_emb,
-            temperature=temperature, negative_weight=cfg.negative_weight,
-        )
-    if cfg.loss == "crossclr":
-        return F.cross_clr(
-            v_emb, t_emb, v_raw, t_raw,
-            temperature=temperature,
-            negative_weight=cfg.negative_weight,
-            weight_temperature=cfg.weight_temperature,
-            prune_percent=cfg.prune_percent,
-        )
-    if cfg.loss == "info_nce":
-        return F.info_nce(v_emb, t_emb, temperature=temperature)
-    raise ValueError(f"learnable temperature unsupported for {cfg.loss!r}")
+# losses whose jnp paths accept a traced (learnable) temperature
+_TRACED_TEMP_LOSSES = ("crossclr_intra", "crossclr", "info_nce")
+
+# CLIP clamps exp(logit_scale) at 100 to prevent temperature collapse
+# (sharper softmax monotonically decreases the loss on separable batches,
+# so an unbounded scale diverges); same bound here, symmetric
+_LOGIT_SCALE_BOUND = 4.6051702  # ln(100)
 
 
 def _global_rows_loss(
@@ -171,9 +176,21 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
         warmup_steps=cfg.warmup_steps,
         decay_steps=max(cfg.total_steps, cfg.warmup_steps + 1),
     )
+    def decay_mask(params):
+        # CLIP-style: never weight-decay the temperature parameter — decay
+        # would bias the learned temperature toward its init (and drift the
+        # vestigial parity value); everything else decays
+        return jax.tree_util.tree_map_with_path(
+            lambda path, _: not (
+                len(path) == 1
+                and getattr(path[0], "key", None) == "logit_scale"
+            ),
+            params,
+        )
+
     return optax.chain(
         optax.clip_by_global_norm(cfg.clip_norm),
-        optax.adamw(schedule, weight_decay=cfg.weight_decay),
+        optax.adamw(schedule, weight_decay=cfg.weight_decay, mask=decay_mask),
     )
 
 
@@ -320,11 +337,7 @@ class Trainer:
             self.video_cfg.dropout > 0 or self.text_cfg.dropout > 0
         )
 
-        if cfg.learnable_temperature and cfg.loss not in (
-            "crossclr_intra",
-            "crossclr",
-            "info_nce",
-        ):
+        if cfg.learnable_temperature and cfg.loss not in _TRACED_TEMP_LOSSES:
             raise ValueError(
                 "learnable_temperature requires a jnp loss path "
                 "(crossclr_intra, crossclr, info_nce): the Pallas kernels "
@@ -356,15 +369,21 @@ class Trainer:
             if cfg.learnable_temperature:
                 # effective τ = cfg.temperature / exp(logit_scale); the jnp
                 # losses accept a traced temperature
-                temp = cfg.temperature / jnp.exp(params["logit_scale"])
+                ls = jnp.clip(
+                    params["logit_scale"],
+                    -_LOGIT_SCALE_BOUND,
+                    _LOGIT_SCALE_BOUND,
+                )
+                temp = cfg.temperature / jnp.exp(ls)
                 if use_global:
                     loss = _global_rows_loss(
                         v_emb, t_emb, cfg, DATA_AXIS,
                         use_fused=False, temperature=temp,
                     )
                 else:
-                    loss = _learnable_loss(
-                        cfg, temp, v_emb, t_emb, batch["video"], batch["text"]
+                    loss = plain_loss(
+                        v_emb, t_emb, batch["video"], batch["text"],
+                        temperature=temp,
                     )
             elif use_global:
                 loss = _global_rows_loss(
@@ -402,6 +421,15 @@ class Trainer:
                 "video_emb_norm": v_norm,
                 "text_emb_norm": t_norm,
             }
+            if cfg.learnable_temperature:
+                metrics["logit_scale"] = new_state.params["logit_scale"]
+                metrics["effective_temperature"] = cfg.temperature / jnp.exp(
+                    jnp.clip(
+                        new_state.params["logit_scale"],
+                        -_LOGIT_SCALE_BOUND,
+                        _LOGIT_SCALE_BOUND,
+                    )
+                )
             return new_state, metrics
 
         if use_global:
