@@ -74,3 +74,22 @@ def test_retrieve_topk_chunking_matches_unchunked():
     s2, i2 = retrieve_topk(queries, corpus, k=5, query_chunk=50)
     np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
     np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-6)
+
+
+def test_encode_corpus_collects_batches():
+    from crossclr_tpu.evaluation import encode_corpus
+
+    def fake_encode(batch):
+        v = jnp.asarray(batch["video"], jnp.float32) * 2.0
+        t = jnp.asarray(batch["text"], jnp.float32) + 1.0
+        return v, t
+
+    batches = [
+        {"video": np.full((4, 3), i, np.float32), "text": np.ones((4, 2), np.float32)}
+        for i in range(3)
+    ]
+    v_out = encode_corpus(fake_encode, batches, side="video")
+    t_out = encode_corpus(fake_encode, iter(batches), side="text")
+    assert v_out.shape == (12, 3) and t_out.shape == (12, 2)
+    np.testing.assert_array_equal(np.asarray(v_out[4:8]), np.full((4, 3), 2.0))
+    np.testing.assert_array_equal(np.asarray(t_out), np.full((12, 2), 2.0))
