@@ -92,6 +92,12 @@ def retrieve_topk(
     q = l2_normalize(query_emb.astype(jnp.float32), axis=1)
     c = l2_normalize(corpus_emb.astype(jnp.float32), axis=1)
     nq = q.shape[0]
+    k = min(k, c.shape[0])  # top-k cannot exceed the corpus
+    if nq == 0:
+        return (
+            jnp.zeros((0, k), jnp.float32),
+            jnp.zeros((0, k), jnp.int32),
+        )
     chunk = min(query_chunk, nq)
     pad = (-nq) % chunk
     q_padded = jnp.pad(q, ((0, pad), (0, 0)))
@@ -115,8 +121,12 @@ def encode_corpus(encode_fn, batches, *, side: str = "video") -> jax.Array:
     """
     import numpy as np
 
+    if side not in ("video", "text"):
+        raise ValueError(f"side must be 'video' or 'text', got {side!r}")
     out = []
     for batch in batches:
         v, t = encode_fn(batch)
         out.append(np.asarray(v if side == "video" else t))
+    if not out:
+        raise ValueError("encode_corpus received no batches")
     return jnp.asarray(np.concatenate(out, axis=0))

@@ -181,9 +181,16 @@ def connectivity_scores(input_features: jax.Array) -> jax.Array:
     Mean cosine similarity of sample i to the *other* samples of the batch,
     computed on input-space features (pre-encoder), per the CrossCLR paper:
     highly-connected samples are semantically entangled with many others and
-    make harmful negatives.  Returns ``[B]``.
+    make harmful negatives.  Sequence inputs ``[B, S, D]`` are mean-pooled
+    over time first.  Scores are gradient-stopped: influence comes from
+    FIXED input statistics in the paper — letting gradients flow (e.g. when
+    the embeddings double as the scoring features) would open a loss-gaming
+    channel through the near-one-hot weight softmax.  Returns ``[B]``.
     """
-    x = l2_normalize(input_features.astype(jnp.float32), axis=1)
+    x = input_features.astype(jnp.float32)
+    if x.ndim == 3:
+        x = jnp.mean(x, axis=1)
+    x = jax.lax.stop_gradient(l2_normalize(x, axis=1))
     sim = _matmul(x, x.T)
     b = sim.shape[0]
     off_sum = jnp.sum(sim, axis=1) - jnp.diagonal(sim)
@@ -310,6 +317,11 @@ def max_margin(
     zeroed (loss.py:34-40), summed and scaled by ``1/(B_im · B_s)``
     (loss.py:41).  Margin default mirrors loss.py:23.
     """
+    if im.shape[0] != s.shape[0]:
+        raise ValueError(
+            f"max_margin needs paired batches (diagonal positives); got "
+            f"{im.shape[0]} vs {s.shape[0]} rows"
+        )
     scores = cosine_sim(im, s)
     diag = jnp.diagonal(scores)
     cost_s = jnp.clip(margin + scores - diag[:, None], min=0)

@@ -53,9 +53,11 @@ class TowerConfig:
 class MLPTower(nn.Module):
     """Gated MLP projection over pooled features.
 
-    feature → Dense(hidden) → GELU → Dense(embed) with a residual linear
-    skip and a final fp32 LayerNorm, mirroring the gated-embedding units
-    used by COOT-style retrieval towers.
+    ``num_layers`` residual blocks of feature → Dense(hidden) → GELU →
+    Dense(embed) with a linear skip, then a final fp32 LayerNorm —
+    mirroring (and stacking) the gated-embedding units used by COOT-style
+    retrieval towers.  The first block's skip/fc1 read ``input_dim``;
+    later blocks operate at ``embed_dim``.
     """
 
     cfg: TowerConfig
@@ -63,17 +65,18 @@ class MLPTower(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
         cfg = self.cfg
-        x = x.astype(cfg.dtype)
-        skip = nn.Dense(cfg.embed_dim, dtype=cfg.dtype, name="skip")(x)
-        h = nn.Dense(cfg.hidden_dim, dtype=cfg.dtype, name="fc1")(x)
-        h = nn.gelu(h)
-        if cfg.dropout > 0:
-            h = nn.Dropout(cfg.dropout, deterministic=not train)(h)
-        h = nn.Dense(cfg.embed_dim, dtype=cfg.dtype, name="fc2")(h)
-        out = skip + h
+        h = x.astype(cfg.dtype)
+        for layer in range(max(cfg.num_layers, 1)):
+            suffix = "" if layer == 0 else f"_{layer}"
+            skip = nn.Dense(cfg.embed_dim, dtype=cfg.dtype, name=f"skip{suffix}")(h)
+            y = nn.Dense(cfg.hidden_dim, dtype=cfg.dtype, name=f"fc1{suffix}")(h)
+            y = nn.gelu(y)
+            if cfg.dropout > 0:
+                y = nn.Dropout(cfg.dropout, deterministic=not train)(y)
+            y = nn.Dense(cfg.embed_dim, dtype=cfg.dtype, name=f"fc2{suffix}")(y)
+            h = skip + y
         # LayerNorm statistics in fp32 for stability
-        out = nn.LayerNorm(dtype=jnp.float32, name="norm")(out.astype(jnp.float32))
-        return out
+        return nn.LayerNorm(dtype=jnp.float32, name="norm")(h.astype(jnp.float32))
 
 
 class _Block(nn.Module):
@@ -115,6 +118,11 @@ class TransformerTower(nn.Module):
     ) -> jax.Array:
         cfg = self.cfg
         b, s, _ = x.shape
+        if s > cfg.max_seq_len:
+            raise ValueError(
+                f"sequence length {s} exceeds TowerConfig.max_seq_len "
+                f"{cfg.max_seq_len} (positional embedding table size)"
+            )
         h = nn.Dense(cfg.embed_dim, dtype=cfg.dtype, name="input_proj")(
             x.astype(cfg.dtype)
         )
@@ -191,4 +199,10 @@ class DualEncoder(nn.Module):
     def _apply_tower(tower, cfg, x, mask, train):
         if cfg.kind == "transformer":
             return tower(x, mask, train=train)
+        if mask is not None:
+            raise ValueError(
+                "a sequence mask was provided but the tower kind is "
+                f"{cfg.kind!r} (pooled features; masks apply to "
+                "transformer towers only)"
+            )
         return tower(x, train=train)

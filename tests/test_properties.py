@@ -170,3 +170,30 @@ def test_info_nce_perfect_alignment_bound(rng):
     aligned = info_nce(v, v, temperature=0.01)
     shuffled = info_nce(v, v[::-1], temperature=0.01)
     assert float(aligned) < float(shuffled)
+
+
+def test_cross_clr_sequence_inputs_pooled(rng):
+    """Raw [B, S, D] sequence features (transformer-tower batches) are
+    mean-pooled for connectivity scoring instead of crashing."""
+    v, t = _pair(rng, b=16, d=32)
+    vi = jnp.asarray(rng.standard_normal((16, 5, 12)), jnp.float32)
+    ti = jnp.asarray(rng.standard_normal((16, 3, 8)), jnp.float32)
+    loss = cross_clr(v, t, vi, ti)
+    assert np.isfinite(float(loss))
+    # pooling equivalence: pre-pooled inputs give the identical loss
+    pooled = cross_clr(v, t, jnp.mean(vi, axis=1), jnp.mean(ti, axis=1))
+    np.testing.assert_allclose(float(loss), float(pooled), rtol=1e-6)
+
+
+def test_connectivity_scores_are_gradient_stopped(rng):
+    """Influence scores must not be a gradient channel (paper: fixed input
+    statistics) — grads through cross_clr's weighting are zero w.r.t. the
+    scoring features."""
+    v, t = _pair(rng, b=8, d=16)
+
+    def loss_via_scores(x):
+        return cross_clr(v, t, x, x)
+
+    x0 = jnp.asarray(np.random.default_rng(9).standard_normal((8, 16)), jnp.float32)
+    g = jax.grad(loss_via_scores)(x0)
+    np.testing.assert_array_equal(np.asarray(g), 0.0)

@@ -230,3 +230,30 @@ def test_learnable_temperature_trains_logit_scale():
     st2 = bad.init_state(batch["video"], batch["text"])
     with pytest.raises(ValueError):
         bad.train_step(st2, batch)
+
+
+def test_crossclr_loss_with_transformer_towers_trains():
+    """loss='crossclr' + transformer towers: raw sequence batches feed the
+    connectivity scoring (regression: this combination used to crash)."""
+    rng = np.random.default_rng(0)
+    n = 64
+
+    class SeqData:
+        video = rng.standard_normal((n, 4, 16)).astype(np.float32)
+        text = rng.standard_normal((n, 3, 12)).astype(np.float32)
+
+        def __len__(self):
+            return n
+
+    vc = TowerConfig(kind="transformer", input_dim=16, embed_dim=16,
+                     hidden_dim=32, num_layers=1, num_heads=2, max_seq_len=4,
+                     dtype=jnp.float32)
+    tc = TowerConfig(kind="transformer", input_dim=12, embed_dim=16,
+                     hidden_dim=32, num_layers=1, num_heads=2, max_seq_len=4,
+                     dtype=jnp.float32)
+    tr = Trainer(vc, tc, TrainConfig(loss="crossclr", total_steps=10,
+                                     warmup_steps=2, temperature=0.1))
+    ds = SeqData()
+    state = tr.init_state(ds.video[:8], ds.text[:8])
+    state, hist = tr.fit(state, infinite_batches(ds, 32), steps=5, log_every=5)
+    assert np.isfinite(hist[-1]["loss"])
