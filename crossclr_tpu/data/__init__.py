@@ -3,17 +3,21 @@
 from .datasets import (
     FeaturePairDataset,
     HostShard,
+    RowSubset,
     SyntheticPairs,
     epoch_batches,
     infinite_batches,
     prefetch_to_device,
+    train_eval_split,
 )
 
 __all__ = [
     "FeaturePairDataset",
     "HostShard",
+    "RowSubset",
     "SyntheticPairs",
     "epoch_batches",
     "infinite_batches",
     "prefetch_to_device",
+    "train_eval_split",
 ]

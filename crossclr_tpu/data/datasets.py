@@ -34,6 +34,8 @@ __all__ = [
     "infinite_batches",
     "prefetch_to_device",
     "HostShard",
+    "RowSubset",
+    "train_eval_split",
 ]
 
 
@@ -101,6 +103,39 @@ class FeaturePairDataset:
 
     def __len__(self) -> int:
         return self.video.shape[0]
+
+
+class RowSubset:
+    """Lazy contiguous row-range view ``[start, stop)`` of a dataset.
+
+    Plain slicing keeps memory-mapped stores lazy (no copy); composes with
+    :class:`HostShard` and the batchers like any dataset.
+    """
+
+    def __init__(self, dataset, start: int, stop: int):
+        self.video = dataset.video[start:stop]
+        self.text = dataset.text[start:stop]
+
+    def __len__(self) -> int:
+        return self.video.shape[0]
+
+
+def train_eval_split(dataset, eval_rows: int) -> tuple["RowSubset", "RowSubset"]:
+    """Split into disjoint (train, eval) row views: eval = the FIRST
+    ``eval_rows`` rows, train = everything after.
+
+    The retrieval protocol (README.md:7, paper eval) is meaningless if the
+    eval pairs were trained on, so the CLI must never feed eval rows to the
+    train stream.  First-rows (rather than a random subset) keeps the eval
+    set identical across hosts and across resumed runs with no extra state.
+    """
+    n = len(dataset)
+    if not 0 < eval_rows < n:
+        raise ValueError(
+            f"eval_rows must be in (0, {n}), got {eval_rows}: need at least "
+            "one train row and one eval row"
+        )
+    return RowSubset(dataset, eval_rows, n), RowSubset(dataset, 0, eval_rows)
 
 
 class HostShard:

@@ -30,6 +30,7 @@ def main(argv: list[str] | None = None) -> int:
         epoch_batches,
         infinite_batches,
         prefetch_to_device,
+        train_eval_split,
     )
     from .evaluation import retrieval_metrics
     from .parallel import (
@@ -86,10 +87,18 @@ def main(argv: list[str] | None = None) -> int:
     else:
         raise SystemExit(f"unknown data.source {cfg.data.source!r}")
 
+    # held-out eval split: eval/R@K must measure retrieval on UNSEEN pairs,
+    # so the eval rows are excluded from the train stream entirely
     n_eval = max(int(len(dataset) * cfg.data.eval_fraction), 1)
+    if n_eval >= len(dataset):
+        raise SystemExit(
+            f"data.eval_fraction {cfg.data.eval_fraction} leaves no train "
+            f"rows (dataset has {len(dataset)})"
+        )
+    train_data, eval_data = train_eval_split(dataset, n_eval)
     eval_batch = {
-        "video": np.asarray(dataset.video[:n_eval]),
-        "text": np.asarray(dataset.text[:n_eval]),
+        "video": np.asarray(eval_data.video),
+        "text": np.asarray(eval_data.text),
     }
 
     # -- mesh / trainer -----------------------------------------------------
@@ -104,9 +113,11 @@ def main(argv: list[str] | None = None) -> int:
     # slice of the global batch; single host: identity
     local_batch = host_local_batch_size(cfg.data.batch_size)
     if jax.process_count() > 1:
-        host_data = HostShard(dataset, jax.process_index(), jax.process_count())
+        host_data = HostShard(
+            train_data, jax.process_index(), jax.process_count()
+        )
     else:
-        host_data = dataset
+        host_data = train_data
 
     if len(host_data) < local_batch:
         raise SystemExit(

@@ -25,6 +25,7 @@ from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 from flax.training import train_state
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -192,6 +193,26 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
         optax.clip_by_global_norm(cfg.clip_norm),
         optax.adamw(schedule, weight_decay=cfg.weight_decay, mask=decay_mask),
     )
+
+
+def process_local_rows(
+    n_rows: int, process_index: int, process_count: int
+) -> tuple[int, int]:
+    """Row block ``[start, stop)`` of a host-replicated batch owned by one
+    process under a leading-axis data sharding.
+
+    With ``make_mesh``'s device order (jax.devices() is sorted by process),
+    a ``P(DATA_AXIS)`` sharding assigns contiguous row blocks to processes
+    in process order; each host slices its block out of the (identical)
+    full batch it holds before stitching the global array.  Requires
+    ``n_rows % process_count == 0`` so blocks are equal-sized.
+    """
+    if n_rows % process_count:
+        raise ValueError(
+            f"{n_rows} rows not divisible by {process_count} processes"
+        )
+    per = n_rows // process_count
+    return process_index * per, (process_index + 1) * per
 
 
 def _tp_spec_for_param(path: tuple, value) -> P:
@@ -368,13 +389,12 @@ class Trainer:
             )
             if cfg.learnable_temperature:
                 # effective τ = cfg.temperature / exp(logit_scale); the jnp
-                # losses accept a traced temperature
-                ls = jnp.clip(
-                    params["logit_scale"],
-                    -_LOGIT_SCALE_BOUND,
-                    _LOGIT_SCALE_BOUND,
-                )
-                temp = cfg.temperature / jnp.exp(ls)
+                # losses accept a traced temperature.  The RAW parameter is
+                # used here — the step clamps the stored value after the
+                # optimizer update (CLIP-style), so an in-graph clip (whose
+                # gradient is zero outside the bound, latching the
+                # temperature with no path back) is never needed
+                temp = cfg.temperature / jnp.exp(params["logit_scale"])
                 if use_global:
                     loss = _global_rows_loss(
                         v_emb, t_emb, cfg, DATA_AXIS,
@@ -410,6 +430,20 @@ class Trainer:
                 )
             gnorm = optax.global_norm(grads)
             new_state = state.apply_gradients(grads=grads)
+            if cfg.learnable_temperature:
+                # clamp the STORED parameter after the optimizer step (as
+                # CLIP does) so exp(logit_scale) stays in [1/100, 100] while
+                # the loss always differentiates through an unclipped value
+                new_state = new_state.replace(
+                    params=dict(
+                        new_state.params,
+                        logit_scale=jnp.clip(
+                            new_state.params["logit_scale"],
+                            -_LOGIT_SCALE_BOUND,
+                            _LOGIT_SCALE_BOUND,
+                        ),
+                    )
+                )
             v_norm = jnp.mean(jnp.linalg.norm(v_emb, axis=1))
             t_norm = jnp.mean(jnp.linalg.norm(t_emb, axis=1))
             if use_global:
@@ -422,13 +456,10 @@ class Trainer:
                 "text_emb_norm": t_norm,
             }
             if cfg.learnable_temperature:
+                # stored value is already clamped above
                 metrics["logit_scale"] = new_state.params["logit_scale"]
                 metrics["effective_temperature"] = cfg.temperature / jnp.exp(
-                    jnp.clip(
-                        new_state.params["logit_scale"],
-                        -_LOGIT_SCALE_BOUND,
-                        _LOGIT_SCALE_BOUND,
-                    )
+                    new_state.params["logit_scale"]
                 )
             return new_state, metrics
 
@@ -485,9 +516,30 @@ class Trainer:
                 n_data = mesh.shape[DATA_AXIS]
 
                 def _dispatch(params, batch):
-                    if batch["video"].shape[0] % n_data == 0:
-                        return sharded(params, batch)
-                    return plain(params, batch)
+                    n = batch["video"].shape[0]
+                    if n % n_data != 0:
+                        return plain(params, batch)
+                    n_proc = jax.process_count()
+                    if n_proc > 1:
+                        # host-local numpy cannot be consumed by a jit whose
+                        # in_sharding spans non-addressable devices: slice
+                        # this process's row block out of the (replicated)
+                        # host batch and stitch the global sharded array,
+                        # mirroring prefetch_to_device's train path
+                        if n % n_proc != 0:
+                            return plain(params, batch)
+                        start, stop = process_local_rows(
+                            n, jax.process_index(), n_proc
+                        )
+                        batch = {
+                            k: jax.make_array_from_process_local_data(
+                                batch_sharding,
+                                np.asarray(v)[start:stop],
+                                (n,) + tuple(v.shape[1:]),
+                            )
+                            for k, v in batch.items()
+                        }
+                    return sharded(params, batch)
 
                 self._encode = _dispatch
             else:

@@ -31,6 +31,16 @@ class MetricsWriter:
         self._rows: list[dict] = []
         self._fieldnames: list[str] = []
         self._fh = None
+        if self.path is not None and self.path.exists():
+            # resume-from-checkpoint reuses the same --metrics-csv path:
+            # load the existing header/rows so the log extends instead of
+            # truncating pre-resume history (a crash leaves a valid prefix,
+            # so this parse is safe)
+            with open(self.path, newline="") as fh:
+                reader = csv.DictReader(fh)
+                if reader.fieldnames:
+                    self._fieldnames = list(reader.fieldnames)
+                    self._rows = [dict(row) for row in reader]
 
     def __call__(self, metrics: dict) -> None:
         if self.echo:
