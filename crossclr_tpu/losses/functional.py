@@ -49,6 +49,7 @@ __all__ = [
     "cross_clr_intra_per_row",
     "cross_clr",
     "connectivity_scores",
+    "pooled_unit_inputs",
     "max_margin",
     "info_nce",
 ]
@@ -175,22 +176,31 @@ def _cross_entropy_rows(logits: jax.Array, labels: jax.Array) -> jax.Array:
     return lse - pos
 
 
+def pooled_unit_inputs(input_features: jax.Array) -> jax.Array:
+    """Stop-gradient, mean-pooled, L2-normalized connectivity-scoring inputs.
+
+    Shared by the single-device and global (shard_map) connectivity paths so
+    both score on identical vectors.  Sequence inputs ``[B, S, D]`` are
+    mean-pooled over time; scores come from FIXED input statistics per the
+    paper — letting gradients flow (e.g. when embeddings double as scoring
+    features) would open a loss-gaming channel through the near-one-hot
+    weight softmax.
+    """
+    x = input_features.astype(jnp.float32)
+    if x.ndim == 3:
+        x = jnp.mean(x, axis=1)
+    return jax.lax.stop_gradient(l2_normalize(x, axis=1))
+
+
 def connectivity_scores(input_features: jax.Array) -> jax.Array:
     """Per-sample connectivity (influence) score within one modality.
 
     Mean cosine similarity of sample i to the *other* samples of the batch,
     computed on input-space features (pre-encoder), per the CrossCLR paper:
     highly-connected samples are semantically entangled with many others and
-    make harmful negatives.  Sequence inputs ``[B, S, D]`` are mean-pooled
-    over time first.  Scores are gradient-stopped: influence comes from
-    FIXED input statistics in the paper — letting gradients flow (e.g. when
-    the embeddings double as the scoring features) would open a loss-gaming
-    channel through the near-one-hot weight softmax.  Returns ``[B]``.
+    make harmful negatives.  Returns ``[B]``.
     """
-    x = input_features.astype(jnp.float32)
-    if x.ndim == 3:
-        x = jnp.mean(x, axis=1)
-    x = jax.lax.stop_gradient(l2_normalize(x, axis=1))
+    x = pooled_unit_inputs(input_features)
     sim = _matmul(x, x.T)
     b = sim.shape[0]
     off_sum = jnp.sum(sim, axis=1) - jnp.diagonal(sim)

@@ -481,7 +481,7 @@ def fused_lse_pair(
     v_norm: jax.Array,
     t_norm: jax.Array,
     *,
-    temperature: float = 0.03,
+    temperature=0.03,
     negative_weight: float = 0.8,
     use_pallas: bool | None = None,
     interpret: bool = False,
@@ -492,39 +492,58 @@ def fused_lse_pair(
     Inputs must already be L2-normalized.  Returns ``(lse_v, lse_t)`` each
     shaped ``[B, 1]`` in fp32.  ``precision``: None/"highest" for
     parity-grade fp32 dots, "default" for the ~2.3x-faster training path.
+    ``temperature`` may be a traced scalar (learnable temperature): the
+    dual kernel takes it as an SMEM operand and returns an exact gradient;
+    shapes outside the dual kernel's budget fall back to the jnp path,
+    which is traced-temperature-safe too.
     """
     b, d = v_norm.shape
-    scale = 1.0 / temperature
+    static_temp = isinstance(temperature, (int, float))
     if use_pallas is None:
         use_pallas = pallas_supported(b, d) or interpret
-    if not use_pallas:
-        return (
-            _lse_jnp_direction(v_norm, t_norm, scale, negative_weight),
-            _lse_jnp_direction(t_norm, v_norm, scale, negative_weight),
-        )
     tiles = TILE_OVERRIDE if TILE_OVERRIDE is not None else _pick_tiles(b, d)
-    if tiles is None:
-        return (
-            _lse_jnp_direction(v_norm, t_norm, scale, negative_weight),
-            _lse_jnp_direction(t_norm, v_norm, scale, negative_weight),
-        )
-    tb, tc = tiles
-    # zero-pad the feature dim to the lane width: padding columns contribute
-    # nothing to any dot product, so results are bit-identical
-    if d % _LANE != 0:
-        pad = _LANE - d % _LANE
-        v_norm = jnp.pad(v_norm, ((0, 0), (0, pad)))
-        t_norm = jnp.pad(t_norm, ((0, 0), (0, pad)))
-    feat_dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
-    return _fused_lse_pair(
-        v_norm.astype(feat_dtype),
-        t_norm.astype(feat_dtype),
-        scale,
-        negative_weight,
-        tb,
-        tc,
-        interpret,
-        precision,
+    if use_pallas and tiles is not None:
+        from .fused_dual import dual_lse_pair, dual_supported
+
+        if dual_supported(b, d):
+            # preferred path: one kernel pair computes BOTH directions,
+            # sharing the inter-modal logits (3 dots/tile fwd, 7 bwd)
+            return dual_lse_pair(
+                v_norm,
+                t_norm,
+                temperature=temperature,
+                negative_weight=negative_weight,
+                interpret=interpret,
+                precision=precision,
+                tiles=tiles,
+            )
+        if static_temp:
+            # legacy per-direction kernels: no [B, D] column accumulator,
+            # so they cover batch sizes beyond the dual kernel's VMEM
+            # budget (static temperature only — τ is baked into them)
+            tb, tc = tiles
+            # zero-pad the feature dim to the lane width: padding columns
+            # contribute nothing to any dot, results are bit-identical
+            if d % _LANE != 0:
+                pad = _LANE - d % _LANE
+                v_norm = jnp.pad(v_norm, ((0, 0), (0, pad)))
+                t_norm = jnp.pad(t_norm, ((0, 0), (0, pad)))
+            feat_dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
+            return _fused_lse_pair(
+                v_norm.astype(feat_dtype),
+                t_norm.astype(feat_dtype),
+                1.0 / float(temperature),
+                negative_weight,
+                tb,
+                tc,
+                interpret,
+                precision,
+            )
+    # jnp fallback: XLA-fused, traced-temperature-safe
+    scale = 1.0 / temperature
+    return (
+        _lse_jnp_direction(v_norm, t_norm, scale, negative_weight),
+        _lse_jnp_direction(t_norm, v_norm, scale, negative_weight),
     )
 
 
@@ -532,7 +551,7 @@ def cross_clr_intra_fused(
     video_features: jax.Array,
     text_features: jax.Array,
     *,
-    temperature: float = 0.03,
+    temperature=0.03,
     negative_weight: float = 0.8,
     use_pallas: bool | None = None,
     interpret: bool = False,
@@ -543,7 +562,9 @@ def cross_clr_intra_fused(
     Same semantics as the reference criterion (loss.py:68-113), but the
     masked ``[B, 2B]`` logit matrices never exist in HBM.  Differentiable:
     normalization and the positive logits are plain jnp (autodiff), the
-    logsumexp pair carries a hand-written Pallas VJP.
+    logsumexp pair carries a hand-written Pallas VJP.  ``temperature`` may
+    be a traced scalar (CLIP-style learnable temperature); the gradient
+    w.r.t. it is exact on every path.
     """
     v = l2_normalize(video_features.astype(jnp.float32), axis=1)
     t = l2_normalize(text_features.astype(jnp.float32), axis=1)

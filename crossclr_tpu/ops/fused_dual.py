@@ -1,0 +1,568 @@
+"""Dual-direction fused Pallas kernel for the CrossCLR-intra loss pair.
+
+The round-1 kernels (fused_crossclr.py) run one ``pallas_call`` per loss
+direction, so the inter-modal logits ``s·V·Tᵀ`` are computed twice — once
+as ``z_vt`` for the video direction and once (transposed) as ``z_tv`` for
+the text direction.  The reference itself does the same redundant work
+(loss.py:83-84 issues two separate matmuls for ``logits_per_vid`` and
+``logits_per_text``).  This module fuses BOTH directions into one kernel
+pair that shares the inter-modal tile:
+
+Forward — at tile ``(i, j)`` three dots instead of four:
+  * ``z_vt = s·V_i·T_jᵀ`` feeds the video direction's row-wise online
+    logsumexp AND the text direction's inter-modal part column-wise
+    (column ``c`` of ``z_vt`` holds anchor ``t_{j+c}``'s logits against
+    the ``V_i`` rows).
+  * ``z_vv``/``z_tt`` feed each direction's intra part row-wise (with the
+    reference's zeroed-diagonal quirk, loss.py:95-97).
+  The text direction's lse comes out split as (inter, intra) partial
+  logsumexps combined outside with one stable ``logaddexp`` — exact.
+
+Backward — seven dots instead of eight, because the shared matrix
+``M = diag(g_v)·P + (diag(g_t)·R)ᵀ`` (with ``P``/``R`` the two
+directions' inter-modal softmax rows) serves both feature gradients:
+``dV_i += M·T_j`` and ``dT_j += Mᵀ·V_i`` (the transpose is a free
+``dot_general`` dim-0 contraction, never a relayout).  The intra blocks
+``q_v``/``q_t`` fold each direction's row- and column-roles exactly as the
+single-direction kernel did.
+
+Temperature is TRACED: ``scale = 1/τ`` arrives as an SMEM ``(1,1)`` scalar
+(same pattern as fused_global.py's row offset), so one compiled kernel
+serves any temperature and CLIP-style learnable temperature composes with
+the fused path.  The backward additionally returns ``d loss/d scale``
+(accumulated as ``Σ M⊙z_vt + q_v⊙z_vv + q_t⊙z_tt`` over tiles, divided by
+``scale`` outside), so ``jax.grad`` w.r.t. a live temperature is exact.
+
+Numerics: with a *static* temperature whose scale is safely below the
+fp32 exp overflow point, the backward uses the factored single-exp form
+``exp(z)·(g·e^{−lse})`` (see fused_crossclr.py); a traced temperature can
+reach ``s≈3333`` under the CLIP bound, so that path uses the subtract-first
+form — one extra exp per block, still fewer than two kernel launches.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .fused_crossclr import (
+    _LANE,
+    _NEG_INF,
+    _dot,
+    _dot_nt,
+    _pick_tiles,
+    _resolve_precision,
+)
+
+__all__ = ["dual_lse_pair", "dual_supported"]
+
+# the backward keeps a [B, D] fp32 accumulator for the column-indexed text
+# gradient in VMEM; cap it so tiles + accumulator stay within the budget
+_MAX_COL_ACC_BYTES = 48 * 1024 * 1024
+
+
+def dual_supported(b: int, d: int) -> bool:
+    return (
+        _pick_tiles(b, d) is not None
+        and b * max(d, _LANE) * 4 <= _MAX_COL_ACC_BYTES
+    )
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+
+def _dual_fwd_kernel(
+    s_ref,
+    v_row_ref,
+    t_row_ref,
+    t_col_ref,
+    v_col_ref,
+    lse_v_ref,
+    lse_ti_ref,
+    lse_tc_ref,
+    m_v,
+    l_v,
+    m_ti,
+    l_ti,
+    m_tc,
+    l_tc,
+    *,
+    neg_weight: float,
+    tb: int,
+    tc: int,
+    precision,
+):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    ni = pl.num_programs(0)
+    nj = pl.num_programs(1)
+    scale = s_ref[0, 0]
+
+    @pl.when(j == 0)
+    def _init_rows():
+        m_v[:] = jnp.full_like(m_v[:], _NEG_INF)
+        l_v[:] = jnp.zeros_like(l_v[:])
+        m_ti[:] = jnp.full_like(m_ti[:], _NEG_INF)
+        l_ti[:] = jnp.zeros_like(l_ti[:])
+
+    @pl.when(jnp.logical_and(i == 0, j == 0))
+    def _init_cols():
+        m_tc[:] = jnp.full_like(m_tc[:], _NEG_INF)
+        l_tc[:] = jnp.zeros_like(l_tc[:])
+
+    v_i = v_row_ref[:]
+    t_i = t_row_ref[:]
+    t_j = t_col_ref[:]
+    v_j = v_col_ref[:]
+
+    z_vt = scale * _dot_nt(v_i, t_j, precision)  # [TB, TC]
+    z_vv = (neg_weight * scale) * _dot_nt(v_i, v_j, precision)
+    z_tt = (neg_weight * scale) * _dot_nt(t_i, t_j, precision)
+
+    rows = i * tb + jax.lax.broadcasted_iota(jnp.int32, (tb, tc), 0)
+    cols = j * tc + jax.lax.broadcasted_iota(jnp.int32, (tb, tc), 1)
+    on_diag = rows == cols
+    # parity quirk: the self-similarity logit is ZEROED, not dropped
+    z_vv = jnp.where(on_diag, 0.0, z_vv)
+    z_tt = jnp.where(on_diag, 0.0, z_tt)
+
+    # video direction: row-wise online lse over {z_vt ‖ z_vv}
+    m_prev = m_v[:]
+    m_new = jnp.maximum(
+        m_prev,
+        jnp.maximum(
+            jnp.max(z_vt, axis=1, keepdims=True),
+            jnp.max(z_vv, axis=1, keepdims=True),
+        ),
+    )
+    l_new = (
+        l_v[:] * jnp.exp(m_prev - m_new)
+        + jnp.sum(jnp.exp(z_vt - m_new), axis=1, keepdims=True)
+        + jnp.sum(jnp.exp(z_vv - m_new), axis=1, keepdims=True)
+    )
+    m_v[:] = m_new
+    l_v[:] = l_new
+
+    @pl.when(j == nj - 1)
+    def _fin_v():
+        lse_v_ref[:] = m_new + jnp.log(l_new)
+
+    # text direction, intra part: row-wise online lse over z_tt
+    mt_prev = m_ti[:]
+    mt_new = jnp.maximum(mt_prev, jnp.max(z_tt, axis=1, keepdims=True))
+    lt_new = l_ti[:] * jnp.exp(mt_prev - mt_new) + jnp.sum(
+        jnp.exp(z_tt - mt_new), axis=1, keepdims=True
+    )
+    m_ti[:] = mt_new
+    l_ti[:] = lt_new
+
+    @pl.when(j == nj - 1)
+    def _fin_ti():
+        lse_ti_ref[:] = mt_new + jnp.log(lt_new)
+
+    # text direction, inter part: COLUMN-wise online lse over the shared
+    # z_vt tile (column c = anchor t_{j+c} vs the V_i rows), accumulated
+    # across the outer i loop in per-column-block scratch
+    mc_prev = m_tc[j]  # [1, TC]
+    mc_new = jnp.maximum(mc_prev, jnp.max(z_vt, axis=0, keepdims=True))
+    lc_new = l_tc[j] * jnp.exp(mc_prev - mc_new) + jnp.sum(
+        jnp.exp(z_vt - mc_new), axis=0, keepdims=True
+    )
+    m_tc[j] = mc_new
+    l_tc[j] = lc_new
+
+    @pl.when(i == ni - 1)
+    def _fin_tc():
+        lse_tc_ref[:] = mc_new + jnp.log(lc_new)
+
+
+def _dual_fwd(
+    v_norm, t_norm, scale_arr, neg_weight, tb, tc, interpret, precision
+):
+    b, d = v_norm.shape
+    ni, nj = b // tb, b // tc
+    kernel = functools.partial(
+        _dual_fwd_kernel,
+        neg_weight=neg_weight,
+        tb=tb,
+        tc=tc,
+        precision=_resolve_precision(precision),
+    )
+    row = lambda i, j: (i, 0)  # noqa: E731
+    col = lambda i, j: (j, 0)  # noqa: E731
+    lse_v, lse_ti, lse_tc = pl.pallas_call(
+        kernel,
+        grid=(ni, nj),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((tb, d), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, d), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tc, d), col, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tc, d), col, memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((tb, 1), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, 1), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tc), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1), jnp.float32),
+            jax.ShapeDtypeStruct((1, b), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((tb, 1), jnp.float32),
+            pltpu.VMEM((tb, 1), jnp.float32),
+            pltpu.VMEM((tb, 1), jnp.float32),
+            pltpu.VMEM((tb, 1), jnp.float32),
+            pltpu.VMEM((nj, 1, tc), jnp.float32),
+            pltpu.VMEM((nj, 1, tc), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(scale_arr, v_norm, t_norm, t_norm, v_norm)
+    # exact: lse over the union of two candidate blocks = stable logaddexp
+    # of the per-block logsumexps
+    lse_t = jnp.logaddexp(lse_tc.reshape(b, 1), lse_ti)
+    return lse_v, lse_t
+
+
+# ---------------------------------------------------------------------------
+# backward
+# ---------------------------------------------------------------------------
+
+
+def _dual_bwd_kernel(
+    s_ref,
+    v_row_ref,
+    t_row_ref,
+    lse_v_row_ref,
+    lse_t_row_ref,
+    gv_row_ref,
+    gt_row_ref,
+    t_col_ref,
+    v_col_ref,
+    lse_v_colT_ref,
+    lse_t_colT_ref,
+    gv_colT_ref,
+    gt_colT_ref,
+    dv_ref,
+    dt_row_out_ref,
+    dt_col_out_ref,
+    ds_ref,
+    dv_scr,
+    dt_row_scr,
+    dt_col_scr,
+    ds_scr,
+    *,
+    neg_weight: float,
+    tb: int,
+    tc: int,
+    precision,
+    factored: bool,
+):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    ni = pl.num_programs(0)
+    nj = pl.num_programs(1)
+    scale = s_ref[0, 0]
+
+    @pl.when(j == 0)
+    def _init_rows():
+        dv_scr[:] = jnp.zeros_like(dv_scr[:])
+        dt_row_scr[:] = jnp.zeros_like(dt_row_scr[:])
+
+    @pl.when(jnp.logical_and(i == 0, j == 0))
+    def _init_cols():
+        dt_col_scr[:] = jnp.zeros_like(dt_col_scr[:])
+        ds_scr[0, 0] = 0.0
+
+    v_i = v_row_ref[:]  # [TB, D]
+    t_i = t_row_ref[:]
+    t_j = t_col_ref[:]  # [TC, D]
+    v_j = v_col_ref[:]
+    lse_v_i = lse_v_row_ref[:]  # [TB, 1]
+    lse_t_i = lse_t_row_ref[:]
+    gv_i = gv_row_ref[:]
+    gt_i = gt_row_ref[:]
+    # column-side factors arrive PRE-TRANSPOSED as (1, B) lane vectors: an
+    # in-kernel sublane->lane relayout is a measured ~10x kernel slowdown
+    lse_v_j = lse_v_colT_ref[:]  # [1, TC]
+    lse_t_j = lse_t_colT_ref[:]
+    gv_j = gv_colT_ref[:]
+    gt_j = gt_colT_ref[:]
+
+    def two_softmax(z, g_row, lse_row, g_col, lse_col):
+        # g_row·exp(z − lse_row) + g_col·exp(z − lse_col), optionally
+        # factored through a single exp(z) when |z| is statically bounded
+        # below the fp32 overflow point (see fused_crossclr.py)
+        if factored:
+            return jnp.exp(z) * (
+                g_row * jnp.exp(-lse_row) + g_col * jnp.exp(-lse_col)
+            )
+        return g_row * jnp.exp(z - lse_row) + g_col * jnp.exp(z - lse_col)
+
+    rows = i * tb + jax.lax.broadcasted_iota(jnp.int32, (tb, tc), 0)
+    cols = j * tc + jax.lax.broadcasted_iota(jnp.int32, (tb, tc), 1)
+    on_diag = rows == cols
+
+    # ---- shared inter-modal tile: one logit dot, both gradients
+    z_vt = scale * _dot_nt(v_i, t_j, precision)
+    m = two_softmax(z_vt, gv_i, lse_v_i, gt_j, lse_t_j)
+    dv_acc = _dot(m, t_j, precision)
+    # dTⱼ += Mᵀ·Vᵢ as a dim-0 contraction — no transpose materializes
+    dt_col_scr[j] = dt_col_scr[j] + jax.lax.dot_general(
+        m,
+        v_i,
+        (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    )
+
+    # ---- video intra tile
+    z_vv = (neg_weight * scale) * _dot_nt(v_i, v_j, precision)
+    q_v = two_softmax(z_vv, gv_i, lse_v_i, gv_j, lse_v_j)
+    q_v = jnp.where(on_diag, 0.0, q_v)  # zeroed logit ⇒ constant ⇒ no grad
+    dv_acc = dv_acc + neg_weight * _dot(q_v, v_j, precision)
+    dv_scr[:] = dv_scr[:] + dv_acc
+
+    # ---- text intra tile
+    z_tt = (neg_weight * scale) * _dot_nt(t_i, t_j, precision)
+    q_t = two_softmax(z_tt, gt_i, lse_t_i, gt_j, lse_t_j)
+    q_t = jnp.where(on_diag, 0.0, q_t)
+    dt_row_scr[:] = dt_row_scr[:] + neg_weight * _dot(q_t, t_j, precision)
+
+    # ---- temperature gradient: Σ coeff⊙z over all logits (÷ scale
+    # outside).  q_v/q_t fold the row- AND column-role coefficients of the
+    # same symmetric intra logit (needed for the feature gradient), so each
+    # intra logit appears twice in q⊙z — halve those sums.  m's two factors
+    # belong to DIFFERENT loss directions, each counted once.
+    ds_scr[0, 0] = ds_scr[0, 0] + (
+        jnp.sum(m * z_vt)
+        + 0.5 * (jnp.sum(q_v * z_vv) + jnp.sum(q_t * z_tt))
+    )
+
+    @pl.when(j == nj - 1)
+    def _fin_rows():
+        dv_ref[:] = scale * dv_scr[:]
+        dt_row_out_ref[:] = scale * dt_row_scr[:]
+
+    @pl.when(i == ni - 1)
+    def _fin_cols():
+        dt_col_out_ref[:] = scale * dt_col_scr[j]
+
+    @pl.when(jnp.logical_and(i == ni - 1, j == nj - 1))
+    def _fin_ds():
+        ds_ref[0, 0] = ds_scr[0, 0]
+
+
+def _dual_bwd(
+    v_norm,
+    t_norm,
+    scale_arr,
+    lse_v,
+    lse_t,
+    g_v,
+    g_t,
+    neg_weight,
+    tb,
+    tc,
+    interpret,
+    precision,
+    factored,
+):
+    b, d = v_norm.shape
+    ni, nj = b // tb, b // tc
+    kernel = functools.partial(
+        _dual_bwd_kernel,
+        neg_weight=neg_weight,
+        tb=tb,
+        tc=tc,
+        precision=_resolve_precision(precision),
+        factored=factored,
+    )
+    row = lambda i, j: (i, 0)  # noqa: E731
+    col = lambda i, j: (j, 0)  # noqa: E731
+    colT = lambda i, j: (0, j)  # noqa: E731
+    smem = lambda i, j: (0, 0)  # noqa: E731
+    lse_v_t = lse_v.reshape(1, b)
+    lse_t_t = lse_t.reshape(1, b)
+    g_v_t = g_v.reshape(1, b)
+    g_t_t = g_t.reshape(1, b)
+    dv, dt_row, dt_col, ds = pl.pallas_call(
+        kernel,
+        grid=(ni, nj),
+        in_specs=[
+            pl.BlockSpec((1, 1), smem, memory_space=pltpu.SMEM),
+            pl.BlockSpec((tb, d), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, d), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, 1), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, 1), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, 1), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, 1), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tc, d), col, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tc, d), col, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tc), colT, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tc), colT, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tc), colT, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tc), colT, memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((tb, d), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, d), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tc, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), smem, memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, d), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((tb, d), jnp.float32),
+            pltpu.VMEM((tb, d), jnp.float32),
+            pltpu.VMEM((nj, tc, d), jnp.float32),
+            pltpu.SMEM((1, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(
+        scale_arr,
+        v_norm,
+        t_norm,
+        lse_v,
+        lse_t,
+        g_v,
+        g_t,
+        t_norm,
+        v_norm,
+        lse_v_t,
+        lse_t_t,
+        g_v_t,
+        g_t_t,
+    )
+    return dv, dt_row + dt_col, ds
+
+
+# ---------------------------------------------------------------------------
+# custom VJP (scale is DIFFERENTIABLE — learnable temperature support)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
+def _dual_lse_pair(
+    v_norm,
+    t_norm,
+    scale_arr,
+    neg_weight: float,
+    tb: int,
+    tc: int,
+    interpret: bool,
+    precision: str | None,
+    factored: bool,
+):
+    return _dual_fwd(
+        v_norm, t_norm, scale_arr, neg_weight, tb, tc, interpret, precision
+    )
+
+
+def _dual_lse_pair_fwd(
+    v_norm, t_norm, scale_arr, neg_weight, tb, tc, interpret, precision,
+    factored,
+):
+    lse_v, lse_t = _dual_fwd(
+        v_norm, t_norm, scale_arr, neg_weight, tb, tc, interpret, precision
+    )
+    return (lse_v, lse_t), (v_norm, t_norm, scale_arr, lse_v, lse_t)
+
+
+def _dual_lse_pair_bwd(
+    neg_weight, tb, tc, interpret, precision, factored, residuals, cotangents
+):
+    v_norm, t_norm, scale_arr, lse_v, lse_t = residuals
+    g_v, g_t = cotangents
+    g_v = jnp.asarray(g_v, jnp.float32).reshape(-1, 1)
+    g_t = jnp.asarray(g_t, jnp.float32).reshape(-1, 1)
+    dv, dt, ds_raw = _dual_bwd(
+        v_norm, t_norm, scale_arr, lse_v, lse_t, g_v, g_t,
+        neg_weight, tb, tc, interpret, precision, factored,
+    )
+    # kernel accumulates Σ coeff⊙z = scale · dL/dscale
+    ds = (ds_raw / scale_arr[0, 0]).reshape(scale_arr.shape)
+    return dv.astype(v_norm.dtype), dt.astype(t_norm.dtype), ds
+
+
+_dual_lse_pair.defvjp(_dual_lse_pair_fwd, _dual_lse_pair_bwd)
+
+
+# ---------------------------------------------------------------------------
+# entry point
+# ---------------------------------------------------------------------------
+
+
+def dual_lse_pair(
+    v_norm: jax.Array,
+    t_norm: jax.Array,
+    *,
+    temperature,
+    negative_weight: float = 0.8,
+    interpret: bool = False,
+    precision: str | None = None,
+    tiles: tuple[int, int] | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Both directions' ``[B, 1]`` logsumexps in one fused pass.
+
+    ``temperature`` may be a Python float (static) or a traced scalar
+    (learnable); gradients flow to features AND temperature.  Inputs must
+    be L2-normalized.  Caller must check :func:`dual_supported` (or pass
+    ``interpret=True`` with manual ``tiles``).
+    """
+    b, d = v_norm.shape
+    static_temp = isinstance(temperature, (int, float))
+    if static_temp:
+        scale = 1.0 / float(temperature)
+        w_scale = negative_weight * scale
+        factored = 0.0 < scale < 80.0 and 0.0 <= w_scale < 80.0
+    else:
+        scale = 1.0 / temperature
+        factored = False  # CLIP-bounded τ can reach s≈3333: exp(z) unsafe
+    if tiles is None:
+        tiles = _pick_tiles(b, d)
+        if tiles is None:
+            raise ValueError(f"unsupported shape [{b},{d}] for dual kernel")
+    tb, tc = tiles
+    if b % tb or b % tc:
+        raise ValueError(
+            f"tiles {tiles} do not divide batch {b}: the grid would "
+            "silently drop rows/columns"
+        )
+    if d % _LANE != 0:
+        pad = _LANE - d % _LANE
+        v_norm = jnp.pad(v_norm, ((0, 0), (0, pad)))
+        t_norm = jnp.pad(t_norm, ((0, 0), (0, pad)))
+    feat_dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
+    scale_arr = jnp.asarray(scale, jnp.float32).reshape(1, 1)
+    return _dual_lse_pair(
+        v_norm.astype(feat_dtype),
+        t_norm.astype(feat_dtype),
+        scale_arr,
+        negative_weight,
+        tb,
+        tc,
+        interpret,
+        precision,
+        factored,
+    )

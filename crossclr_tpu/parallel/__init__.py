@@ -1,7 +1,12 @@
 """Mesh construction and distributed (global-negative) loss wrappers."""
 
 from .mesh import DATA_AXIS, MODEL_AXIS, data_sharding, make_mesh, replicated_sharding
-from .global_loss import global_cross_clr_intra, local_rows_cross_clr_intra
+from .global_loss import (
+    global_cross_clr,
+    global_cross_clr_intra,
+    local_rows_cross_clr_intra,
+    pruned_rows_global,
+)
 from .multihost import host_local_batch_size, initialize_multihost, is_multihost
 
 __all__ = [
@@ -10,8 +15,10 @@ __all__ = [
     "data_sharding",
     "make_mesh",
     "replicated_sharding",
+    "global_cross_clr",
     "global_cross_clr_intra",
     "local_rows_cross_clr_intra",
+    "pruned_rows_global",
     "host_local_batch_size",
     "initialize_multihost",
     "is_multihost",

@@ -52,6 +52,10 @@ class TrainConfig:
     total_steps: int = 10_000
     clip_norm: float = 1.0
     global_negatives: bool = True
+    # candidate-axis chunk for the global full-CrossCLR loss: bounds each
+    # device's logit block to [b_loc, chunk] (None = unchunked); set to
+    # e.g. 4096 for 32k global batches
+    global_candidate_chunk: int | None = None
     # kernel precision for the fused loss paths: None/"highest" =
     # parity-grade, "default" = ~2.3x faster training tier (fwd inside
     # fp32 tolerance, grads ~1e-3 rel), "bf16" = bf16 feature storage
@@ -59,8 +63,9 @@ class TrainConfig:
     # CLIP-style learnable temperature: the criterion's logit_scale
     # parameter (vestigial in the reference, loss.py:52) becomes live —
     # effective temperature = cfg.temperature / exp(logit_scale), starting
-    # at cfg.temperature (logit_scale init 0 under this option).  jnp loss
-    # paths only: the Pallas kernels specialize on a static temperature.
+    # at cfg.temperature (logit_scale init 0 under this option).  Works
+    # with the jnp losses and with crossclr_intra_fused (the dual Pallas
+    # kernel takes τ as a traced SMEM scalar).
     learnable_temperature: bool = False
     seed: int = 0
 
@@ -104,7 +109,7 @@ def make_loss_fn(cfg: TrainConfig, mesh: Mesh | None = None) -> Callable:
             )
         return lambda v, t, vr=None, tr=None, temperature=None: cross_clr_intra_fused(
             v, t,
-            temperature=cfg.temperature,  # kernels specialize on static τ
+            temperature=_temp(temperature),  # traced τ: SMEM operand
             negative_weight=cfg.negative_weight,
             precision=cfg.loss_precision,
         )
@@ -130,13 +135,46 @@ def make_loss_fn(cfg: TrainConfig, mesh: Mesh | None = None) -> Callable:
     raise ValueError(f"unknown loss {cfg.loss!r}")
 
 
-# losses whose jnp paths accept a traced (learnable) temperature
-_TRACED_TEMP_LOSSES = ("crossclr_intra", "crossclr", "info_nce")
+# losses that accept a traced (learnable) temperature: the jnp paths take
+# it as a plain scalar; the fused path feeds it to the dual Pallas kernel
+# as an SMEM operand with an exact hand-written temperature gradient
+_TRACED_TEMP_LOSSES = (
+    "crossclr_intra",
+    "crossclr",
+    "info_nce",
+    "crossclr_intra_fused",
+)
 
 # CLIP clamps exp(logit_scale) at 100 to prevent temperature collapse
 # (sharper softmax monotonically decreases the loss on separable batches,
 # so an unbounded scale diverges); same bound here, symmetric
 _LOGIT_SCALE_BOUND = 4.6051702  # ln(100)
+
+
+def _global_cross_clr_loss(
+    v_emb: jax.Array,
+    t_emb: jax.Array,
+    v_raw: jax.Array,
+    t_raw: jax.Array,
+    cfg: TrainConfig,
+    axis: str,
+    temperature=None,
+) -> jax.Array:
+    """This shard's contribution to the global full-CrossCLR loss (paper
+    variant: pruning + positive weighting over the GLOBAL batch), called
+    inside the step's shard_map.  Local-contribution contract as
+    :func:`_global_rows_loss`: the step psums loss and grads itself."""
+    from ..parallel.global_loss import global_cross_clr_row_terms
+
+    total, n = global_cross_clr_row_terms(
+        v_emb, t_emb, v_raw, t_raw, axis,
+        temperature=cfg.temperature if temperature is None else temperature,
+        negative_weight=cfg.negative_weight,
+        weight_temperature=cfg.weight_temperature,
+        prune_percent=cfg.prune_percent,
+        candidate_chunk=cfg.global_candidate_chunk,
+    )
+    return total / (2 * n)
 
 
 def _global_rows_loss(
@@ -351,7 +389,7 @@ class Trainer:
             and cfg.global_negatives
             and mesh.shape[DATA_AXIS] > 1
             and mesh.shape[MODEL_AXIS] == 1  # tp runs under plain GSPMD jit
-            and cfg.loss in ("crossclr_intra", "crossclr_intra_fused")
+            and cfg.loss in ("crossclr_intra", "crossclr_intra_fused", "crossclr")
         )
 
         needs_dropout = (
@@ -360,9 +398,8 @@ class Trainer:
 
         if cfg.learnable_temperature and cfg.loss not in _TRACED_TEMP_LOSSES:
             raise ValueError(
-                "learnable_temperature requires a jnp loss path "
-                "(crossclr_intra, crossclr, info_nce): the Pallas kernels "
-                "specialize on a static temperature"
+                f"learnable_temperature is not meaningful for loss "
+                f"{cfg.loss!r}; use one of {_TRACED_TEMP_LOSSES}"
             )
 
         def loss_for_batch(params, batch, step):
@@ -387,34 +424,37 @@ class Trainer:
                 train=True,
                 rngs=rngs,
             )
+            temp = None
             if cfg.learnable_temperature:
-                # effective τ = cfg.temperature / exp(logit_scale); the jnp
+                # effective τ = cfg.temperature / exp(logit_scale); traced
                 # losses accept a traced temperature.  The RAW parameter is
                 # used here — the step clamps the stored value after the
                 # optimizer update (CLIP-style), so an in-graph clip (whose
                 # gradient is zero outside the bound, latching the
                 # temperature with no path back) is never needed
                 temp = cfg.temperature / jnp.exp(params["logit_scale"])
-                if use_global:
-                    loss = _global_rows_loss(
-                        v_emb, t_emb, cfg, DATA_AXIS,
-                        use_fused=False, temperature=temp,
+            if use_global:
+                if cfg.loss == "crossclr":
+                    loss = _global_cross_clr_loss(
+                        v_emb, t_emb, batch["video"], batch["text"],
+                        cfg, DATA_AXIS, temperature=temp,
                     )
                 else:
-                    loss = plain_loss(
-                        v_emb, t_emb, batch["video"], batch["text"],
+                    # rect Pallas kernels specialize on a static τ: the
+                    # learnable-τ global path uses the jnp row blocks
+                    loss = _global_rows_loss(
+                        v_emb, t_emb, cfg, DATA_AXIS,
+                        use_fused=(
+                            cfg.loss == "crossclr_intra_fused"
+                            and not cfg.learnable_temperature
+                        ),
                         temperature=temp,
                     )
-            elif use_global:
-                loss = _global_rows_loss(
-                    v_emb,
-                    t_emb,
-                    cfg,
-                    DATA_AXIS,
-                    use_fused=cfg.loss == "crossclr_intra_fused",
-                )
             else:
-                loss = plain_loss(v_emb, t_emb, batch["video"], batch["text"])
+                loss = plain_loss(
+                    v_emb, t_emb, batch["video"], batch["text"],
+                    temperature=temp,
+                )
             return loss, (v_emb, t_emb)
 
         def step(state: TrainState, batch):

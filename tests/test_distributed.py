@@ -156,3 +156,125 @@ def test_fused_global_nondefault_hparams(rng):
     )
     want = float(cross_clr_intra(v, t, temperature=0.2, negative_weight=0.4))
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# full CrossCLR (paper variant) at global scale — VERDICT r1 missing #3
+# ---------------------------------------------------------------------------
+
+
+@needs_multidevice
+@pytest.mark.parametrize("chunk", [None, 16])
+def test_global_cross_clr_matches_single_device(rng, chunk):
+    """Global full CrossCLR == single-device cross_clr on the concatenated
+    batch: connectivity, pruning quantile, and positive weights are all
+    computed on the GLOBAL batch; chunked candidate streaming is exact."""
+    from crossclr_tpu.losses import cross_clr
+    from crossclr_tpu.parallel import global_cross_clr
+
+    mesh = make_mesh()
+    b, d = 64, 32
+    v = jnp.asarray(rng.standard_normal((b, d)), jnp.float32)
+    t = jnp.asarray(rng.standard_normal((b, d)), jnp.float32)
+    vi = jnp.asarray(rng.standard_normal((b, 40)), jnp.float32)
+    ti = jnp.asarray(rng.standard_normal((b, 24)), jnp.float32)
+
+    want = float(cross_clr(v, t, vi, ti))
+    sharding = data_sharding(mesh)
+    got = float(
+        global_cross_clr(
+            jax.device_put(v, sharding),
+            jax.device_put(t, sharding),
+            jax.device_put(vi, sharding),
+            jax.device_put(ti, sharding),
+            mesh=mesh,
+            candidate_chunk=chunk,
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+@needs_multidevice
+def test_global_cross_clr_gradients_match_single_device(rng):
+    from crossclr_tpu.losses import cross_clr
+    from crossclr_tpu.parallel import global_cross_clr
+
+    mesh = make_mesh()
+    b, d = 64, 32
+    v = jnp.asarray(rng.standard_normal((b, d)), jnp.float32)
+    t = jnp.asarray(rng.standard_normal((b, d)), jnp.float32)
+    vi = jnp.asarray(rng.standard_normal((b, 40)), jnp.float32)
+    ti = jnp.asarray(rng.standard_normal((b, 24)), jnp.float32)
+
+    want = jax.grad(lambda a, b_: cross_clr(a, b_, vi, ti), argnums=(0, 1))(v, t)
+    sharding = data_sharding(mesh)
+    got = jax.grad(
+        lambda a, b_: global_cross_clr(
+            a, b_,
+            jax.device_put(vi, sharding),
+            jax.device_put(ti, sharding),
+            mesh=mesh,
+            candidate_chunk=16,
+        ),
+        argnums=(0, 1),
+    )(jax.device_put(v, sharding), jax.device_put(t, sharding))
+    for g_got, g_want in zip(got, want):
+        np.testing.assert_allclose(
+            np.asarray(g_got), np.asarray(g_want), rtol=1e-4, atol=1e-6
+        )
+
+
+@needs_multidevice
+def test_global_cross_clr_embeddings_as_inputs(rng):
+    """Two-argument form: connectivity scored on the embeddings themselves,
+    matching the single-device default."""
+    from crossclr_tpu.losses import cross_clr
+    from crossclr_tpu.parallel import global_cross_clr
+
+    mesh = make_mesh()
+    b, d = 64, 32
+    v = jnp.asarray(rng.standard_normal((b, d)), jnp.float32)
+    t = jnp.asarray(rng.standard_normal((b, d)), jnp.float32)
+    want = float(cross_clr(v, t))
+    sharding = data_sharding(mesh)
+    got = float(
+        global_cross_clr(
+            jax.device_put(v, sharding), jax.device_put(t, sharding), mesh=mesh
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+@needs_multidevice
+def test_trainer_global_cross_clr_matches_single_device(rng):
+    """Trainer step with loss='crossclr' + global_negatives on the 8-device
+    mesh reproduces the single-device step (loss and grad norm)."""
+    from crossclr_tpu.data import SyntheticPairs, epoch_batches
+    from crossclr_tpu.models import TowerConfig
+    from crossclr_tpu.training import TrainConfig, Trainer
+
+    data = SyntheticPairs(num_pairs=128, video_dim=24, text_dim=16, seed=0)
+    vc = TowerConfig(kind="mlp", input_dim=24, embed_dim=16, hidden_dim=32,
+                     dtype=jnp.float32)
+    tc = TowerConfig(kind="mlp", input_dim=16, embed_dim=16, hidden_dim=32,
+                     dtype=jnp.float32)
+    cfg = TrainConfig(loss="crossclr", global_negatives=True, total_steps=10)
+
+    mesh = make_mesh(n_data=8, n_model=1)
+    tr_sh = Trainer(vc, tc, cfg, mesh=mesh)
+    tr_1 = Trainer(vc, tc, cfg, mesh=None)
+
+    batch = next(epoch_batches(data, 64, shuffle=False))
+    state_sh = tr_sh.init_state(batch["video"][:8], batch["text"][:8])
+    state_1 = tr_1.init_state(batch["video"][:8], batch["text"][:8])
+
+    sharding = data_sharding(mesh)
+    batch_sh = {k: jax.device_put(jnp.asarray(v), sharding) for k, v in batch.items()}
+    _, m_sh = tr_sh.train_step(state_sh, batch_sh)
+    _, m_1 = tr_1.train_step(state_1, batch)
+    np.testing.assert_allclose(
+        float(m_sh["loss"]), float(m_1["loss"]), rtol=2e-5, atol=2e-5
+    )
+    np.testing.assert_allclose(
+        float(m_sh["grad_norm"]), float(m_1["grad_norm"]), rtol=1e-3
+    )

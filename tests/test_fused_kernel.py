@@ -104,3 +104,85 @@ def test_fused_bf16_inputs(rng):
         )
     )
     np.testing.assert_allclose(bf16, f32, rtol=2e-2)
+
+
+# ---------------------------------------------------------------------------
+# dual-direction kernel (fused_dual.py): shared inter-modal tile, traced τ
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("b,d,tiles", [(128, 56, (32, 64)), (128, 128, (64, 64))])
+def test_dual_kernel_matches_jnp_lse(rng, b, d, tiles):
+    from crossclr_tpu.losses.functional import l2_normalize
+    from crossclr_tpu.ops.fused_crossclr import _lse_jnp_direction
+    from crossclr_tpu.ops.fused_dual import dual_lse_pair
+
+    v, t = _pair(rng, b, d)
+    v, t = l2_normalize(v, 1), l2_normalize(t, 1)
+    s = 1.0 / 0.03
+    want_v = _lse_jnp_direction(v, t, s, 0.8)
+    want_t = _lse_jnp_direction(t, v, s, 0.8)
+    got_v, got_t = dual_lse_pair(
+        v, t, temperature=0.03, negative_weight=0.8,
+        interpret=INTERPRET, tiles=None if ON_TPU else tiles,
+    )
+    np.testing.assert_allclose(np.asarray(got_v), np.asarray(want_v),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got_t), np.asarray(want_t),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_dual_kernel_gradients_including_temperature(rng):
+    """Feature AND temperature gradients of the dual kernel match jnp
+    autodiff — the exactness gate for CLIP-style learnable τ on the fused
+    path (VERDICT r1 weak #6)."""
+    from crossclr_tpu.losses.functional import l2_normalize
+    from crossclr_tpu.ops.fused_crossclr import _lse_jnp_direction
+    from crossclr_tpu.ops.fused_dual import dual_lse_pair
+
+    v, t = _pair(rng, 64, 72)
+    v, t = l2_normalize(v, 1), l2_normalize(t, 1)
+    wv = jnp.asarray(np.random.default_rng(1).standard_normal((64, 1)),
+                     jnp.float32)
+
+    def ref_fn(v_, t_, tau):
+        s = 1.0 / tau
+        return jnp.sum(wv * _lse_jnp_direction(v_, t_, s, 0.8)) + jnp.sum(
+            _lse_jnp_direction(t_, v_, s, 0.8)
+        )
+
+    def dual_fn(v_, t_, tau):
+        lv, lt = dual_lse_pair(
+            v_, t_, temperature=tau, negative_weight=0.8,
+            interpret=INTERPRET, tiles=None if ON_TPU else (32, 32),
+        )
+        return jnp.sum(wv * lv) + jnp.sum(lt)
+
+    tau = jnp.asarray(0.06, jnp.float32)
+    want = jax.grad(ref_fn, argnums=(0, 1, 2))(v, t, tau)
+    got = jax.grad(dual_fn, argnums=(0, 1, 2))(v, t, tau)
+    for g_want, g_got in zip(want, got):
+        np.testing.assert_allclose(
+            np.asarray(g_got), np.asarray(g_want), rtol=1e-4, atol=1e-5
+        )
+
+
+def test_fused_loss_traced_temperature_grad_matches_jnp(rng):
+    """cross_clr_intra_fused with a traced temperature: d loss/dτ equals the
+    jnp path's (covers the pos-logit chain outside the kernel too)."""
+    v, t = _pair(rng, 64, 72)
+
+    def fused(tau):
+        return cross_clr_intra_fused(
+            v, t, temperature=tau, use_pallas=True, interpret=INTERPRET
+        )
+
+    def plain(tau):
+        return cross_clr_intra(v, t, temperature=tau)
+
+    tau = jnp.asarray(0.05, jnp.float32)
+    np.testing.assert_allclose(float(fused(tau)), float(plain(tau)),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(
+        float(jax.grad(fused)(tau)), float(jax.grad(plain)(tau)), rtol=1e-4
+    )

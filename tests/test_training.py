@@ -223,13 +223,22 @@ def test_learnable_temperature_trains_logit_scale():
     state, _ = tr.fit(state, infinite_batches(data, 64), steps=20, log_every=20)
     assert abs(float(state.params["logit_scale"])) > 1e-4
 
-    # fused loss rejects it (static-temperature kernels)
-    bad = Trainer(vc, tc, TrainConfig(
-        loss="crossclr_intra_fused", learnable_temperature=True, total_steps=5,
+    # the fused loss composes with it too (traced-τ dual kernel / jnp
+    # fallback off-TPU); max_margin has no temperature and still rejects
+    tr2 = Trainer(vc, tc, TrainConfig(
+        loss="crossclr_intra_fused", learnable_temperature=True,
+        learning_rate=1e-2, warmup_steps=2, total_steps=50, temperature=0.1,
     ))
-    st2 = bad.init_state(batch["video"], batch["text"])
+    st2 = tr2.init_state(batch["video"], batch["text"])
+    st2, _ = tr2.fit(st2, infinite_batches(data, 64), steps=20, log_every=20)
+    assert abs(float(st2.params["logit_scale"])) > 1e-4
+
+    bad = Trainer(vc, tc, TrainConfig(
+        loss="max_margin", learnable_temperature=True, total_steps=5,
+    ))
+    st3 = bad.init_state(batch["video"], batch["text"])
     with pytest.raises(ValueError):
-        bad.train_step(st2, batch)
+        bad.train_step(st3, batch)
 
 
 def test_crossclr_loss_with_transformer_towers_trains():
