@@ -15,6 +15,17 @@ repeated-input timing under-reports by >10x.
 
 Candidates are gated on matching the parity-tested jnp loss within fp32
 forward tolerance; the fastest passing implementation is the headline.
+
+MFU estimate: each implementation's ACTUAL similarity/gradient dot count
+(in 2·B²·D FLOP units) times the MXU pass multiplier (fp32 HIGHEST dots
+execute as 3 bf16-grade passes on v5e; DEFAULT/bf16 as 1), divided by the
+measured step time and the chip's 197 TFLOP/s bf16 peak.  It measures MXU
+occupancy of the kernel schedule, not algorithmic efficiency — the dual
+kernel needs FEWER units (10 vs 12) for the same loss.
+
+Also benchmarked: the rectangular global-negative kernels at the config-5
+shape (4096 local rows x 32768 gathered candidates), both precision tiers
+— the per-device hot path of the 32k-batch pod-slice configuration.
 """
 
 import json
@@ -32,6 +43,16 @@ BASELINE_PAIRS_PER_SEC = 497.0  # torch reference fwd+bwd, bsz 4096 (BASELINE.md
 B, D = 4096, 512
 K = 20  # chained steps per timed dispatch
 FP32_FORWARD_TOL = 2e-5  # fp32 parity tolerance vs the torch reference
+PEAK_BF16_FLOPS = 197e12  # v5e TensorCore peak
+
+# (dot units in 2*B^2*D FLOPs, MXU pass multiplier) per implementation:
+# jnp fwd = 3 sims, bwd = 2 per sim = 6 -> 9 units, all HIGHEST (3-pass);
+# dual kernel fwd 3 + bwd 7 = 10 units at the tier's pass count.
+_IMPL_COST = {
+    "jnp_xla": (9, 3),
+    "pallas_fused_highest": (10, 3),
+    "pallas_fused_default": (10, 1),
+}
 
 
 def _chained(loss_fn):
@@ -45,7 +66,7 @@ def _chained(loss_fn):
     return jax.jit(lambda v, t: jax.lax.scan(body, (v, t), None, length=K))
 
 
-def _time_chain(f, v_warm, t_warm, v_run, t_run):
+def _time_chain(f, v_warm, t_warm, v_run, t_run, k=K):
     # compile + full-execution warmup on distinct inputs; the fence is a
     # HOST READ of the final chained loss — block_until_ready alone has
     # been observed returning before execution on this runtime
@@ -62,10 +83,68 @@ def _time_chain(f, v_warm, t_warm, v_run, t_run):
         t0 = time.perf_counter()
         out = f(v, t)
         float(out[1][-1])  # forces the whole dependency chain
-        best = min(best, (time.perf_counter() - t0) / K)
+        best = min(best, (time.perf_counter() - t0) / k)
         if first_loss is None:
             first_loss = float(out[1][0])
     return best, first_loss  # per-step seconds, first-step loss
+
+
+def _bench_global_rows(rng):
+    """Rectangular kernels at the 32k-candidate config-5 shape.
+
+    Per-device work of one pod-slice step: both directions' row-block lse
+    (4096 anchors x 32768 gathered candidates) + positives, fwd+bwd.
+    Returns {tier: ms} for the tiers that compile and produce finite loss.
+    """
+    from crossclr_tpu.ops.fused_global import fused_lse_rows
+    from crossclr_tpu.losses.functional import l2_normalize
+
+    n_global, k = 32768, 5
+    v_all = l2_normalize(
+        jnp.asarray(rng.standard_normal((n_global, D)), jnp.float32), 1
+    )
+    t_all = l2_normalize(
+        jnp.asarray(rng.standard_normal((n_global, D)), jnp.float32), 1
+    )
+    off = jnp.zeros((), jnp.float32)
+
+    out = {}
+    for tier in ("highest", "default"):
+
+        def loss_fn(v_all_, t_all_, tier=tier):
+            v_loc = jax.lax.dynamic_slice(v_all_, (0, 0), (B, D))
+            t_loc = jax.lax.dynamic_slice(t_all_, (0, 0), (B, D))
+            lse_v = fused_lse_rows(
+                v_loc, v_all_, t_all_, off, precision=tier
+            )
+            lse_t = fused_lse_rows(
+                t_loc, t_all_, v_all_, off, precision=tier
+            )
+            pos = jnp.sum(v_loc * t_loc, axis=1, keepdims=True) / 0.03
+            return (jnp.mean(lse_v - pos) + jnp.mean(lse_t - pos)) / 2
+
+        grad_fn = jax.value_and_grad(loss_fn, argnums=(0, 1))
+
+        def body(carry, _):
+            va, ta = carry
+            loss, (gv, gt) = grad_fn(va, ta)
+            return (va - 0.01 * gv, ta - 0.01 * gt), loss
+
+        f = jax.jit(
+            lambda va, ta: jax.lax.scan(body, (va, ta), None, length=k)
+        )
+        try:
+            dt, first_loss = _time_chain(
+                f, v_all, t_all, v_all * 1.0000001, t_all, k=k
+            )
+        except Exception as e:  # noqa: BLE001 — report, don't crash bench
+            out[tier] = f"error: {type(e).__name__}: {str(e)[:80]}"
+            continue
+        if not np.isfinite(first_loss):
+            out[tier] = f"non-finite loss {first_loss}"
+            continue
+        out[tier] = round(dt * 1e3, 2)
+    return out
 
 
 def main():
@@ -79,14 +158,16 @@ def main():
     # reference (tests/test_parity.py)
     ref_loss = float(jax.jit(cross_clr_intra)(v_run, t_run))
 
+    on_tpu = jax.default_backend() == "tpu"
     candidates = {"jnp_xla": cross_clr_intra}
-    if jax.default_backend() == "tpu":
+    if on_tpu:
         candidates["pallas_fused_highest"] = lambda a, b: cross_clr_intra_fused(a, b)
         candidates["pallas_fused_default"] = lambda a, b: cross_clr_intra_fused(
             a, b, precision="default"
         )
 
     results = {}
+    mfu = {}
     excluded = {}
     best_name, best_dt = None, float("inf")
     for name, loss_fn in candidates.items():
@@ -104,12 +185,18 @@ def main():
             )
             continue
         results[name] = round(B / dt, 1)
+        units, passes = _IMPL_COST[name]
+        mfu[name] = round(
+            units * passes * 2 * B * B * D / dt / PEAK_BF16_FLOPS, 3
+        )
         if dt < best_dt:
             best_name, best_dt = name, dt
 
     if best_name is None:
         print(json.dumps({"error": "no candidate passed", "excluded": excluded}))
         raise SystemExit(1)
+
+    global_rows = _bench_global_rows(rng) if on_tpu else {}
 
     pairs_per_sec = B / best_dt
     print(
@@ -123,6 +210,8 @@ def main():
                 "step_ms": round(best_dt * 1e3, 3),
                 "backend": jax.default_backend(),
                 "all_impls_pairs_per_sec": results,
+                "est_mfu": mfu,
+                "global_rows_4096x32768_fwdbwd_ms": global_rows,
                 **({"excluded": excluded} if excluded else {}),
             }
         )

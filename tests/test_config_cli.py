@@ -118,3 +118,47 @@ def test_checkpoint_resume_via_cli(tmp_path):
     # resume: bump steps, should pick up from step 4
     args[1] = "8"
     assert main(args) == 0
+
+
+def test_cli_heldout_retrieval_gate(tmp_path):
+    """Accuracy proxy gate (BASELINE.md): the full CLI pipeline on
+    correlated synthetic pairs must reach eval R@1 >= 90 on the HELD-OUT
+    split within 300 steps.  Exercises the exact train -> encode ->
+    retrieve path the real YouCook2/LSMDC gate would use, and, because the
+    eval rows are excluded from the train stream, measures generalization
+    rather than memorization."""
+    import csv as _csv
+
+    from crossclr_tpu.train import main
+
+    csv_path = tmp_path / "metrics.csv"
+    rc = main(
+        [
+            "--steps", "300",
+            "--metrics-csv", str(csv_path),
+            "data.num_pairs=512",
+            "data.batch_size=128",
+            "data.video_dim=48",
+            "data.text_dim=32",
+            "video_tower.input_dim=48",
+            "video_tower.embed_dim=32",
+            "video_tower.hidden_dim=64",
+            "video_tower.dtype=float32",
+            "text_tower.input_dim=32",
+            "text_tower.embed_dim=32",
+            "text_tower.hidden_dim=64",
+            "text_tower.dtype=float32",
+            "train.learning_rate=1e-3",
+            "train.temperature=0.1",
+            "train.warmup_steps=10",
+            "eval_every=300",
+            "log_every=100",
+        ]
+    )
+    assert rc == 0
+    rows = list(_csv.DictReader(open(csv_path)))
+    eval_rows = [r for r in rows if r.get("eval/v2t/R@1")]
+    assert eval_rows, f"no eval metrics logged; keys={rows[-1].keys()}"
+    final = eval_rows[-1]
+    assert float(final["eval/v2t/R@1"]) >= 90.0, final
+    assert float(final["eval/t2v/R@1"]) >= 90.0, final
