@@ -48,6 +48,18 @@ class TowerConfig:
     # for activation memory (jax.checkpoint), the standard recipe for deep
     # towers at large batch
     remat: bool = False
+    # attention implementation for transformer towers (SURVEY §5
+    # long-context):
+    #   "xla"   — nn.MultiHeadDotProductAttention; materializes [B,H,S,S]
+    #             scores; supports attention-probability dropout.
+    #   "flash" — Pallas blockwise online-softmax kernel (ops.flash_attention):
+    #             scores never leave VMEM; long single-chip sequences.
+    #   "ring"  — sequence-parallel ring attention over the mesh `model`
+    #             axis (parallel.ring_attention): sequences longer than
+    #             one chip; requires a mesh on the owning DualEncoder.
+    # flash/ring apply dropout to the attention OUTPUT (probability
+    # dropout cannot be fused into an online softmax).
+    attention: str = "xla"
 
 
 class MLPTower(nn.Module):
@@ -79,22 +91,85 @@ class MLPTower(nn.Module):
         return nn.LayerNorm(dtype=jnp.float32, name="norm")(h.astype(jnp.float32))
 
 
-class _Block(nn.Module):
+class _MHA(nn.Module):
+    """Multi-head attention whose core runs the flash Pallas kernel or
+    sequence-parallel ring attention (``cfg.attention``).
+
+    Parameter names/shapes mirror ``nn.MultiHeadDotProductAttention``
+    (``query/key/value`` DenseGeneral to ``(heads, head_dim)``, ``out``
+    DenseGeneral back), so the trainer's tensor-parallel PartitionSpecs
+    apply unchanged.
+    """
+
     cfg: TowerConfig
+    mesh: Any = None
+    seq_axis: str | None = None
 
     @nn.compact
     def __call__(self, x, mask, train: bool = False):
         cfg = self.cfg
-        attn_mask = None
-        if mask is not None:
-            attn_mask = nn.make_attention_mask(mask, mask, dtype=cfg.dtype)
+        if cfg.embed_dim % cfg.num_heads:
+            raise ValueError(
+                f"embed_dim {cfg.embed_dim} not divisible by num_heads "
+                f"{cfg.num_heads}"
+            )
+        head_dim = cfg.embed_dim // cfg.num_heads
+
+        def proj(name):
+            return nn.DenseGeneral(
+                features=(cfg.num_heads, head_dim), dtype=cfg.dtype, name=name
+            )(x)
+
+        # [B, S, H, Dh] -> [B, H, S, Dh]
+        q, k, v = (
+            jnp.swapaxes(proj(n), 1, 2) for n in ("query", "key", "value")
+        )
+        if cfg.attention == "flash":
+            from ..ops.flash_attention import flash_attention
+
+            out = flash_attention(q, k, v, mask)
+        elif cfg.attention == "ring":
+            from ..parallel.ring_attention import sequence_parallel_attention
+
+            if self.mesh is None:
+                raise ValueError(
+                    "attention='ring' needs a mesh: construct the "
+                    "DualEncoder/TransformerTower with mesh=..."
+                )
+            out = sequence_parallel_attention(
+                q, k, v, mask, mesh=self.mesh, axis=self.seq_axis or "model"
+            )
+        else:
+            raise ValueError(f"unknown attention impl {cfg.attention!r}")
+        out = jnp.swapaxes(out, 1, 2).astype(cfg.dtype)
+        if cfg.dropout > 0:
+            out = nn.Dropout(cfg.dropout, deterministic=not train)(out)
+        return nn.DenseGeneral(
+            features=cfg.embed_dim, axis=(-2, -1), dtype=cfg.dtype, name="out"
+        )(out)
+
+
+class _Block(nn.Module):
+    cfg: TowerConfig
+    mesh: Any = None
+    seq_axis: str | None = None
+
+    @nn.compact
+    def __call__(self, x, mask, train: bool = False):
+        cfg = self.cfg
         y = nn.LayerNorm(dtype=jnp.float32)(x.astype(jnp.float32)).astype(cfg.dtype)
-        y = nn.MultiHeadDotProductAttention(
-            num_heads=cfg.num_heads,
-            dtype=cfg.dtype,
-            dropout_rate=cfg.dropout,
-            deterministic=not train,
-        )(y, y, mask=attn_mask)
+        if cfg.attention == "xla":
+            attn_mask = None
+            if mask is not None:
+                attn_mask = nn.make_attention_mask(mask, mask, dtype=cfg.dtype)
+            y = nn.MultiHeadDotProductAttention(
+                num_heads=cfg.num_heads,
+                dtype=cfg.dtype,
+                dropout_rate=cfg.dropout,
+                deterministic=not train,
+            )(y, y, mask=attn_mask)
+        else:
+            y = _MHA(cfg, self.mesh, self.seq_axis)(y, mask, train)
         x = x + y
         y = nn.LayerNorm(dtype=jnp.float32)(x.astype(jnp.float32)).astype(cfg.dtype)
         y = nn.Dense(cfg.hidden_dim, dtype=cfg.dtype)(y)
@@ -111,6 +186,8 @@ class TransformerTower(nn.Module):
     """
 
     cfg: TowerConfig
+    mesh: Any = None
+    seq_axis: str | None = None
 
     @nn.compact
     def __call__(
@@ -136,7 +213,9 @@ class TransformerTower(nn.Module):
         # static_argnums: 3 is `train` in (self, x, mask, train)
         block_cls = nn.remat(_Block, static_argnums=(3,)) if cfg.remat else _Block
         for layer in range(cfg.num_layers):
-            h = block_cls(cfg, name=f"block_{layer}")(h, mask, train)
+            h = block_cls(
+                cfg, self.mesh, self.seq_axis, name=f"block_{layer}"
+            )(h, mask, train)
         h = nn.LayerNorm(dtype=jnp.float32, name="final_norm")(
             h.astype(jnp.float32)
         )
@@ -150,11 +229,13 @@ class TransformerTower(nn.Module):
         return nn.Dense(cfg.embed_dim, dtype=jnp.float32, name="output_proj")(pooled)
 
 
-def _build_tower(cfg: TowerConfig, name: str) -> nn.Module:
+def _build_tower(
+    cfg: TowerConfig, name: str, mesh=None, seq_axis: str | None = None
+) -> nn.Module:
     if cfg.kind == "mlp":
         return MLPTower(cfg, name=name)
     if cfg.kind == "transformer":
-        return TransformerTower(cfg, name=name)
+        return TransformerTower(cfg, mesh, seq_axis, name=name)
     raise ValueError(f"unknown tower kind: {cfg.kind!r}")
 
 
@@ -167,10 +248,17 @@ class DualEncoder(nn.Module):
 
     video_cfg: TowerConfig
     text_cfg: TowerConfig
+    # device mesh + sequence axis, needed only for attention="ring" towers
+    mesh: Any = None
+    seq_axis: str | None = None
 
     def setup(self):
-        self.video_tower = _build_tower(self.video_cfg, "video_tower")
-        self.text_tower = _build_tower(self.text_cfg, "text_tower")
+        self.video_tower = _build_tower(
+            self.video_cfg, "video_tower", self.mesh, self.seq_axis
+        )
+        self.text_tower = _build_tower(
+            self.text_cfg, "text_tower", self.mesh, self.seq_axis
+        )
 
     def __call__(
         self,

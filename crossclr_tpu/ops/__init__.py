@@ -5,5 +5,16 @@ from .fused_crossclr import (
     fused_lse_pair,
     pallas_supported,
 )
+from .fused_dual import dual_lse_pair, dual_supported
+from .flash_attention import flash_attention, flash_supported, mha_reference
 
-__all__ = ["cross_clr_intra_fused", "fused_lse_pair", "pallas_supported"]
+__all__ = [
+    "cross_clr_intra_fused",
+    "fused_lse_pair",
+    "pallas_supported",
+    "dual_lse_pair",
+    "dual_supported",
+    "flash_attention",
+    "flash_supported",
+    "mha_reference",
+]

@@ -1,0 +1,473 @@
+"""Blockwise (flash) attention for the encoder towers, in Pallas.
+
+The reference has no model code at all (SURVEY.md §1) and its loss
+consumes pooled ``[B, f_dim]`` vectors (loss.py:76), so sequence length
+exists only inside OUR encoders.  SURVEY.md §5 flags long-context support
+as the remaining stretch goal: standard attention materializes the
+``[B, H, S, S]`` score tensor in HBM, capping sequence length; this module
+computes attention with flash-style online softmax so only ``O(S·Dh)``
+blocks ever leave VMEM.
+
+Layout: inputs are ``[BH, S, Dh]`` (batch·heads folded into the leading
+grid dimension).  The forward streams key/value blocks per query block,
+keeping running max/sum scratch; it emits the output AND the per-row
+logsumexp ``L`` (the residual that makes the backward rematerializable).
+The backward is two kernels sharing the recomputed score tiles:
+
+* dq: query-block resident, stream K/V — ``dq_i += scale·(P∘(dP−Δ))·K``.
+* dk/dv: key-block resident, stream Q/dO in TRANSPOSED orientation
+  (``[bk, bq]`` tiles, row factors as ``(1, bq)`` lane vectors) — a dim-0
+  contraction or in-kernel transpose would cost Mosaic a relayout (see
+  fused_crossclr.py's measured 10x note); the key-side mask is fed
+  pre-shaped ``[bk, 1]`` for the same reason.
+
+Per-row vectors (logsumexp, Δ) travel as ``[BH, S, 1]`` / ``[BH, 1, S]``
+arrays so every in-kernel view is natively 2D — no 1D iota/reshape traps.
+
+Key padding masks are supported (``[B, S]``, 1 = valid); masked logits
+are −inf so their probability is exactly zero, and fully-masked query
+rows emit zeros instead of NaN.  Attention-probability dropout is NOT
+supported on this path — the tower falls back to the XLA path when
+``dropout > 0`` at train time.
+
+Off-TPU the public entry runs the same math in jnp (or the kernel under
+``interpret=True`` for tests).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .fused_crossclr import _PRECISIONS
+
+__all__ = ["flash_attention", "flash_supported", "mha_reference"]
+
+def _resolve_precision(precision):
+    if precision is None:
+        return jax.lax.Precision.DEFAULT
+    if isinstance(precision, str):
+        return _PRECISIONS[precision]
+    return precision
+
+
+_NEG_INF = float("-inf")
+# finite floor for running maxima: −inf − (−inf) would NaN the rescale
+_MAX_FLOOR = -1e30
+
+
+def _pick_blocks(s: int) -> tuple[int, int] | None:
+    """(query block, key block) sizes; None = shape unsupported."""
+
+    def largest(limit):
+        for t in (512, 256, 128, 64, 32, 16, 8):
+            if t <= limit and s % t == 0:
+                return t
+        return None
+
+    bq = largest(512)
+    bk = largest(1024)
+    if bq is None or bk is None:
+        return None
+    return bq, bk
+
+
+def flash_supported(s: int, backend: str | None = None) -> bool:
+    if _pick_blocks(s) is None:
+        return False
+    if backend is None:
+        backend = jax.default_backend()
+    return backend == "tpu"
+
+
+def _adapt_nomask(kernel, mask_pos: int):
+    """Wrap a kernel so refs skip the (absent) mask argument slot."""
+
+    def wrapped(*refs):
+        args = refs[:mask_pos] + (None,) + refs[mask_pos:]
+        return kernel(*args)
+
+    return wrapped
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref, m_scr, l_scr,
+                acc_scr, *, scale: float, precision):
+    j = pl.program_id(2)
+    nj = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr[:], _MAX_FLOOR)
+        l_scr[:] = jnp.zeros_like(l_scr[:])
+        acc_scr[:] = jnp.zeros_like(acc_scr[:])
+
+    q = q_ref[0]  # [bq, dh]
+    k = k_ref[0]  # [bk, dh]
+    s = scale * jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=precision,
+    )  # [bq, bk]
+    if mask_ref is not None:
+        s = jnp.where(mask_ref[0] > 0.5, s, _NEG_INF)  # mask: [1, bk]
+
+    m_prev = m_scr[:]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+    m_new = jnp.maximum(m_new, _MAX_FLOOR)  # all-masked block: stay finite
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(s - m_new)  # exp(-inf - finite) = 0 for masked keys
+    l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
+    acc_scr[:] = acc_scr[:] * alpha + jnp.dot(
+        p, v_ref[0].astype(jnp.float32),
+        preferred_element_type=jnp.float32, precision=precision,
+    )
+    m_scr[:] = m_new
+
+    @pl.when(j == nj - 1)
+    def _fin():
+        l = l_scr[:]
+        # fully-masked query rows: emit 0, lse = floor (p was 0 everywhere)
+        safe_l = jnp.where(l > 0, l, 1.0)
+        o_ref[0] = (acc_scr[:] / safe_l).astype(o_ref.dtype)
+        lse_ref[0] = m_scr[:] + jnp.log(safe_l)
+
+
+def _flash_fwd(q, k, v, mask_row, scale, bq, bk, interpret, precision):
+    bh, s, dh = q.shape
+    grid = (bh, s // bq, s // bk)
+    kernel = functools.partial(_fwd_kernel, scale=scale,
+                               precision=_resolve_precision(precision))
+    row3 = lambda b, i, j: (b, i, 0)  # noqa: E731
+    col3 = lambda b, i, j: (b, j, 0)  # noqa: E731
+    in_specs = [
+        pl.BlockSpec((1, bq, dh), row3, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bk, dh), col3, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bk, dh), col3, memory_space=pltpu.VMEM),
+    ]
+    args = [q, k, v]
+    if mask_row is not None:
+        in_specs.append(
+            pl.BlockSpec((1, 1, bk), lambda b, i, j: (b, 0, j),
+                         memory_space=pltpu.VMEM)
+        )
+        args.append(mask_row)
+    else:
+        kernel = _adapt_nomask(kernel, 3)
+    out, lse = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec((1, bq, dh), row3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, 1), row3, memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, s, dh), q.dtype),
+            jax.ShapeDtypeStruct((bh, s, 1), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((bq, 1), jnp.float32),
+            pltpu.VMEM((bq, 1), jnp.float32),
+            pltpu.VMEM((bq, dh), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(*args)
+    return out, lse
+
+
+# ---------------------------------------------------------------------------
+# backward
+# ---------------------------------------------------------------------------
+
+
+def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, mask_ref,
+               dq_ref, acc_scr, *, scale: float, precision):
+    j = pl.program_id(2)
+    nj = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _init():
+        acc_scr[:] = jnp.zeros_like(acc_scr[:])
+
+    q = q_ref[0]
+    k = k_ref[0]
+    s = scale * jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=precision,
+    )
+    if mask_ref is not None:
+        s = jnp.where(mask_ref[0] > 0.5, s, _NEG_INF)
+    p = jnp.exp(s - lse_ref[0])  # lse: [bq, 1]; 0 on masked keys
+    dp = jax.lax.dot_general(
+        do_ref[0].astype(jnp.float32), v_ref[0].astype(jnp.float32),
+        (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=precision,
+    )
+    ds = p * (dp - delta_ref[0])  # delta: [bq, 1]
+    acc_scr[:] = acc_scr[:] + jnp.dot(
+        ds, k.astype(jnp.float32),
+        preferred_element_type=jnp.float32, precision=precision,
+    )
+
+    @pl.when(j == nj - 1)
+    def _fin():
+        dq_ref[0] = (scale * acc_scr[:]).astype(dq_ref.dtype)
+
+
+def _dkv_kernel(k_ref, v_ref, q_ref, do_ref, lseT_ref, deltaT_ref, mask_ref,
+                dk_ref, dv_ref, dk_scr, dv_scr, *, scale: float, precision):
+    # grid (bh, key block, query block) — everything transposed: [bk, bq]
+    # score tiles, per-row factors as (1, bq) lane vectors, the key-side
+    # mask pre-shaped (bk, 1) — no in-kernel relayouts anywhere
+    i = pl.program_id(2)
+    ni = pl.num_programs(2)
+
+    @pl.when(i == 0)
+    def _init():
+        dk_scr[:] = jnp.zeros_like(dk_scr[:])
+        dv_scr[:] = jnp.zeros_like(dv_scr[:])
+
+    k = k_ref[0]  # [bk, dh]
+    q = q_ref[0]  # [bq, dh]
+    do = do_ref[0].astype(jnp.float32)
+    sT = scale * jax.lax.dot_general(
+        k, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=precision,
+    )  # [bk, bq]
+    if mask_ref is not None:
+        sT = jnp.where(mask_ref[0] > 0.5, sT, _NEG_INF)  # mask: [bk, 1]
+    pT = jnp.exp(sT - lseT_ref[0])  # lseT: [1, bq]
+    dv_scr[:] = dv_scr[:] + jnp.dot(
+        pT, do, preferred_element_type=jnp.float32, precision=precision
+    )
+    dpT = jax.lax.dot_general(
+        v_ref[0].astype(jnp.float32), do,
+        (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=precision,
+    )  # [bk, bq]
+    dsT = pT * (dpT - deltaT_ref[0])
+    dk_scr[:] = dk_scr[:] + jnp.dot(
+        dsT, q.astype(jnp.float32),
+        preferred_element_type=jnp.float32, precision=precision,
+    )
+
+    @pl.when(i == ni - 1)
+    def _fin():
+        dk_ref[0] = (scale * dk_scr[:]).astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
+
+
+def _flash_bwd(q, k, v, mask_row, out, lse, do, scale, bq, bk, interpret,
+               precision):
+    prec = _resolve_precision(precision)
+    bh, s, dh = q.shape
+    delta = jnp.sum(
+        do.astype(jnp.float32) * out.astype(jnp.float32),
+        axis=-1,
+        keepdims=True,
+    )  # [bh, s, 1]
+
+    row3 = lambda b, i, j: (b, i, 0)  # noqa: E731
+    col3 = lambda b, i, j: (b, j, 0)  # noqa: E731
+
+    dq_kernel = functools.partial(_dq_kernel, scale=scale, precision=prec)
+    in_specs = [
+        pl.BlockSpec((1, bq, dh), row3, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bk, dh), col3, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bk, dh), col3, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bq, dh), row3, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bq, 1), row3, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bq, 1), row3, memory_space=pltpu.VMEM),
+    ]
+    args = [q, k, v, do, lse, delta]
+    if mask_row is not None:
+        in_specs.append(
+            pl.BlockSpec((1, 1, bk), lambda b, i, j: (b, 0, j),
+                         memory_space=pltpu.VMEM)
+        )
+        args.append(mask_row)
+    else:
+        dq_kernel = _adapt_nomask(dq_kernel, 6)
+    dq = pl.pallas_call(
+        dq_kernel,
+        grid=(bh, s // bq, s // bk),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, bq, dh), row3, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh, s, dh), q.dtype),
+        scratch_shapes=[pltpu.VMEM((bq, dh), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(*args)
+
+    # transposed-orientation kernel: grid (bh, key, query)
+    key3 = lambda b, j, i: (b, j, 0)  # noqa: E731
+    qry3 = lambda b, j, i: (b, i, 0)  # noqa: E731
+    dkv_kernel = functools.partial(_dkv_kernel, scale=scale, precision=prec)
+    lse_t = lse.reshape(bh, 1, s)
+    delta_t = delta.reshape(bh, 1, s)
+    in_specs = [
+        pl.BlockSpec((1, bk, dh), key3, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bk, dh), key3, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bq, dh), qry3, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bq, dh), qry3, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, bq), lambda b, j, i: (b, 0, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, bq), lambda b, j, i: (b, 0, i),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [k, v, q, do, lse_t, delta_t]
+    if mask_row is not None:
+        # key mask pre-shaped [bh, s, 1] so the in-kernel view is (bk, 1)
+        in_specs.append(
+            pl.BlockSpec((1, bk, 1), key3, memory_space=pltpu.VMEM)
+        )
+        args.append(mask_row.reshape(bh, s, 1))
+    else:
+        dkv_kernel = _adapt_nomask(dkv_kernel, 6)
+    dk, dv = pl.pallas_call(
+        dkv_kernel,
+        grid=(bh, s // bk, s // bq),
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec((1, bk, dh), key3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, dh), key3, memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, s, dh), k.dtype),
+            jax.ShapeDtypeStruct((bh, s, dh), v.dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((bk, dh), jnp.float32),
+            pltpu.VMEM((bk, dh), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(*args)
+    return dq, dk, dv
+
+
+# ---------------------------------------------------------------------------
+# custom VJP + public entry
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def _flash(q, k, v, mask_row, scale, bq, bk, interpret, precision):
+    out, _ = _flash_fwd(q, k, v, mask_row, scale, bq, bk, interpret,
+                        precision)
+    return out
+
+
+def _flash_vjp_fwd(q, k, v, mask_row, scale, bq, bk, interpret, precision):
+    out, lse = _flash_fwd(q, k, v, mask_row, scale, bq, bk, interpret,
+                          precision)
+    return out, (q, k, v, mask_row, out, lse)
+
+
+def _flash_vjp_bwd(scale, bq, bk, interpret, precision, residuals, do):
+    q, k, v, mask_row, out, lse = residuals
+    dq, dk, dv = _flash_bwd(
+        q, k, v, mask_row, out, lse, do, scale, bq, bk, interpret,
+        precision,
+    )
+    dmask = None if mask_row is None else jnp.zeros_like(mask_row)
+    return dq, dk, dv, dmask
+
+
+_flash.defvjp(_flash_vjp_fwd, _flash_vjp_bwd)
+
+
+def mha_reference(q, k, v, mask=None, *, scale=None):
+    """Plain jnp multi-head attention over ``[B, H, S, Dh]``; the fallback
+    path and the test oracle for the kernels.  ``mask``: ``[B, S]`` key
+    padding (1 = valid)."""
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    s = scale * jnp.einsum(
+        "bhqd,bhkd->bhqk", q.astype(jnp.float32), k.astype(jnp.float32),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    any_valid = None
+    if mask is not None:
+        key_mask = mask.astype(bool)[:, None, None, :]  # [B,1,1,S]
+        s = jnp.where(key_mask, s, _NEG_INF)
+        any_valid = jnp.any(key_mask, axis=-1, keepdims=True)
+        s = jnp.where(any_valid, s, 0.0)
+    p = jax.nn.softmax(s, axis=-1)
+    out = jnp.einsum(
+        "bhqk,bhkd->bhqd", p, v.astype(jnp.float32),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    if any_valid is not None:
+        out = jnp.where(any_valid, out, 0.0)
+    return out.astype(q.dtype)
+
+
+def flash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    mask: jax.Array | None = None,
+    *,
+    scale: float | None = None,
+    use_pallas: bool | None = None,
+    interpret: bool = False,
+    precision: str | None = None,
+) -> jax.Array:
+    """Blockwise attention.  ``q/k/v``: ``[B, H, S, Dh]``; ``mask``:
+    optional ``[B, S]`` key-padding mask (1 = valid).  Returns
+    ``[B, H, S, Dh]`` in the query dtype.  Differentiable (rematerializing
+    custom VJP); scores never materialize beyond ``[bq, bk]`` tiles.
+    ``precision``: None/"default" = fast MXU passes (training towers are
+    bf16 anyway); "highest" = fp32-exact dots for comparisons.
+    """
+    b, h, s, dh = q.shape
+    if scale is None:
+        scale = dh**-0.5
+    if use_pallas is None:
+        use_pallas = flash_supported(s) or interpret
+    blocks = _pick_blocks(s)
+    if not use_pallas or blocks is None:
+        return mha_reference(q, k, v, mask, scale=scale)
+    bq, bk = blocks
+    fold = lambda x: x.reshape(b * h, s, x.shape[-1])  # noqa: E731
+    # [BH, 1, S] fp32 key mask; b-major fold order matches jnp.repeat
+    mask_row = (
+        None
+        if mask is None
+        else jnp.repeat(mask.astype(jnp.float32), h, axis=0).reshape(
+            b * h, 1, s
+        )
+    )
+    # pad head dim to the 128 lane width (zero columns are inert in both
+    # the scores and the value aggregation)
+    pad = (-dh) % 128
+    qf, kf, vf = fold(q), fold(k), fold(v)
+    if pad:
+        qf = jnp.pad(qf, ((0, 0), (0, 0), (0, pad)))
+        kf = jnp.pad(kf, ((0, 0), (0, 0), (0, pad)))
+        vf = jnp.pad(vf, ((0, 0), (0, 0), (0, pad)))
+    out = _flash(
+        qf, kf, vf, mask_row, float(scale), bq, bk, interpret, precision
+    )
+    if pad:
+        out = out[:, :, :dh]
+    return out.reshape(b, h, s, dh)

@@ -8,6 +8,7 @@ from .global_loss import (
     pruned_rows_global,
 )
 from .multihost import host_local_batch_size, initialize_multihost, is_multihost
+from .ring_attention import ring_attention, sequence_parallel_attention
 
 __all__ = [
     "DATA_AXIS",
@@ -22,4 +23,6 @@ __all__ = [
     "host_local_batch_size",
     "initialize_multihost",
     "is_multihost",
+    "ring_attention",
+    "sequence_parallel_attention",
 ]

@@ -305,7 +305,11 @@ class Trainer:
         train_cfg: TrainConfig,
         mesh: Mesh | None = None,
     ):
-        self.model = DualEncoder(video_cfg, text_cfg)
+        # mesh/seq_axis reach the towers for attention="ring" (sequence
+        # parallelism over the model axis); inert otherwise
+        self.model = DualEncoder(
+            video_cfg, text_cfg, mesh=mesh, seq_axis=MODEL_AXIS
+        )
         self.video_cfg = video_cfg
         self.text_cfg = text_cfg
         self.cfg = train_cfg
@@ -395,6 +399,16 @@ class Trainer:
         needs_dropout = (
             self.video_cfg.dropout > 0 or self.text_cfg.dropout > 0
         )
+
+        if use_global and "ring" in (
+            self.video_cfg.attention, self.text_cfg.attention
+        ):
+            raise ValueError(
+                "attention='ring' (sequence parallelism over the model "
+                "axis) cannot run inside the data-axis global-negative "
+                "shard_map; use n_model>1 (GSPMD computes global "
+                "negatives implicitly) or global_negatives=False"
+            )
 
         if cfg.learnable_temperature and cfg.loss not in _TRACED_TEMP_LOSSES:
             raise ValueError(

@@ -1,0 +1,194 @@
+"""Blockwise (flash) and ring attention tests (SURVEY.md §5 long-context).
+
+Flash kernels run through the Pallas interpreter on CPU; ring attention
+runs on the real 8-virtual-device mesh from conftest.  The oracle is
+``ops.flash_attention.mha_reference`` (plain jnp attention).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from crossclr_tpu.ops.flash_attention import (
+    flash_attention,
+    flash_supported,
+    mha_reference,
+)
+
+ON_TPU = jax.default_backend() == "tpu"
+INTERPRET = not ON_TPU
+
+needs_multidevice = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (virtual) devices"
+)
+
+
+def _qkv(rng, b=2, h=4, s=64, dh=24):
+    mk = lambda: jnp.asarray(rng.standard_normal((b, h, s, dh)), jnp.float32)
+    return mk(), mk(), mk()
+
+
+@pytest.mark.parametrize("masked", [False, True])
+def test_flash_matches_reference(rng, masked):
+    q, k, v = _qkv(rng)
+    mask = None
+    if masked:
+        mask = jnp.asarray(rng.random((2, 64)) > 0.3, jnp.float32)
+        mask = mask.at[1, :].set(0.0)  # fully-masked sequence -> zeros
+    want = mha_reference(q, k, v, mask)
+    got = flash_attention(q, k, v, mask, use_pallas=True,
+                          interpret=INTERPRET, precision="highest")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("masked", [False, True])
+def test_flash_gradients_match_reference(rng, masked):
+    q, k, v = _qkv(rng, s=32)
+    mask = (
+        jnp.asarray(rng.random((2, 32)) > 0.3, jnp.float32) if masked else None
+    )
+
+    def loss(fn):
+        return lambda *a: jnp.sum(jnp.sin(fn(*a, mask)))
+
+    want = jax.grad(loss(mha_reference), argnums=(0, 1, 2))(q, k, v)
+    got = jax.grad(
+        loss(
+            lambda q_, k_, v_, m_: flash_attention(
+                q_, k_, v_, m_, use_pallas=True, interpret=INTERPRET,
+                precision="highest",
+            )
+        ),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    for g_w, g_g in zip(want, got):
+        np.testing.assert_allclose(np.asarray(g_g), np.asarray(g_w),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_flash_supported_shapes():
+    assert flash_supported(64, backend="tpu")
+    assert flash_supported(4096, backend="tpu")
+    assert not flash_supported(63, backend="tpu")  # no block divides it
+    assert not flash_supported(64, backend="cpu")
+
+
+@needs_multidevice
+@pytest.mark.parametrize("masked", [False, True])
+def test_ring_attention_matches_full(rng, masked):
+    from crossclr_tpu.parallel import make_mesh, sequence_parallel_attention
+
+    mesh = make_mesh(n_data=1, n_model=8)
+    q, k, v = _qkv(rng)
+    mask = (
+        jnp.asarray(rng.random((2, 64)) > 0.3, jnp.float32) if masked else None
+    )
+    want = mha_reference(q, k, v, mask)
+    got = sequence_parallel_attention(q, k, v, mask, mesh=mesh, axis="model")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+@needs_multidevice
+def test_ring_attention_gradients_match_full(rng):
+    from crossclr_tpu.parallel import make_mesh, sequence_parallel_attention
+
+    mesh = make_mesh(n_data=1, n_model=8)
+    q, k, v = _qkv(rng, s=32)
+    mask = jnp.asarray(rng.random((2, 32)) > 0.2, jnp.float32)
+
+    want = jax.grad(
+        lambda *a: jnp.sum(jnp.sin(mha_reference(*a, mask))), argnums=(0, 1, 2)
+    )(q, k, v)
+    got = jax.grad(
+        lambda *a: jnp.sum(
+            jnp.sin(
+                sequence_parallel_attention(*a, mask, mesh=mesh, axis="model")
+            )
+        ),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    for g_w, g_g in zip(want, got):
+        np.testing.assert_allclose(np.asarray(g_g), np.asarray(g_w),
+                                   rtol=1e-4, atol=1e-5)
+
+
+@needs_multidevice
+def test_tower_flash_and_ring_share_params_and_agree(rng):
+    """The flash and ring attention cores are drop-in replacements: same
+    _MHA parameter tree, same outputs (flash falls back to the jnp oracle
+    on CPU; ring runs the real 8-device ring)."""
+    from crossclr_tpu.models import TowerConfig, TransformerTower
+    from crossclr_tpu.parallel import make_mesh
+
+    mesh = make_mesh(n_data=1, n_model=8)
+    cfg_flash = TowerConfig(
+        kind="transformer", input_dim=20, embed_dim=32, hidden_dim=48,
+        num_heads=4, max_seq_len=16, dtype=jnp.float32, attention="flash",
+    )
+    cfg_ring = TowerConfig(
+        kind="transformer", input_dim=20, embed_dim=32, hidden_dim=48,
+        num_heads=4, max_seq_len=16, dtype=jnp.float32, attention="ring",
+    )
+    x = jnp.asarray(rng.standard_normal((4, 16, 20)), jnp.float32)
+    mask = jnp.asarray(rng.random((4, 16)) > 0.2, jnp.float32)
+
+    tower_flash = TransformerTower(cfg_flash)
+    params = tower_flash.init(jax.random.PRNGKey(0), x, mask)["params"]
+    out_flash = tower_flash.apply({"params": params}, x, mask)
+
+    tower_ring = TransformerTower(cfg_ring, mesh, "model")
+    out_ring = tower_ring.apply({"params": params}, x, mask)
+    np.testing.assert_allclose(
+        np.asarray(out_ring), np.asarray(out_flash), rtol=1e-5, atol=1e-5
+    )
+
+
+@needs_multidevice
+def test_trainer_sequence_parallel_matches_single_device(rng):
+    """Full train step with ring-attention transformer towers on a
+    dp=4 x sp=2 mesh reproduces the single-device step."""
+    from crossclr_tpu.data import epoch_batches
+    from crossclr_tpu.models import TowerConfig
+    from crossclr_tpu.parallel import data_sharding, make_mesh
+    from crossclr_tpu.training import TrainConfig, Trainer
+
+    n, s_v, s_t = 64, 8, 8
+    video = rng.standard_normal((n, s_v, 20)).astype(np.float32)
+    text = rng.standard_normal((n, s_t, 12)).astype(np.float32)
+
+    class SeqData:
+        pass
+
+    SeqData.video, SeqData.text = video, text
+    SeqData.__len__ = lambda self: n
+    data = SeqData()
+
+    vc = TowerConfig(kind="transformer", input_dim=20, embed_dim=16,
+                     hidden_dim=32, num_heads=2, max_seq_len=8,
+                     dtype=jnp.float32, attention="ring")
+    tc = TowerConfig(kind="transformer", input_dim=12, embed_dim=16,
+                     hidden_dim=32, num_heads=2, max_seq_len=8,
+                     dtype=jnp.float32, attention="ring")
+    cfg = TrainConfig(loss="crossclr_intra", total_steps=10)
+
+    mesh_sp = make_mesh(n_data=4, n_model=2)
+    mesh_1 = make_mesh(n_data=1, n_model=1, devices=jax.devices()[:1])
+
+    batch = next(epoch_batches(data, 64, shuffle=False))
+    tr_sp = Trainer(vc, tc, cfg, mesh=mesh_sp)
+    tr_1 = Trainer(vc, tc, cfg, mesh=mesh_1)
+    st_sp = tr_sp.init_state(batch["video"][:4], batch["text"][:4])
+    st_1 = tr_1.init_state(batch["video"][:4], batch["text"][:4])
+
+    batch_sp = {
+        k: jax.device_put(jnp.asarray(v), data_sharding(mesh_sp))
+        for k, v in batch.items()
+    }
+    _, m_sp = tr_sp.train_step(st_sp, batch_sp)
+    _, m_1 = tr_1.train_step(st_1, batch)
+    np.testing.assert_allclose(
+        float(m_sp["loss"]), float(m_1["loss"]), rtol=2e-5, atol=2e-5
+    )
