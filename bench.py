@@ -46,11 +46,15 @@ FP32_FORWARD_TOL = 2e-5  # fp32 parity tolerance vs the torch reference
 PEAK_BF16_FLOPS = 197e12  # v5e TensorCore peak
 
 # (dot units in 2*B^2*D FLOPs, MXU pass multiplier) per implementation:
-# jnp fwd = 3 sims, bwd = 2 per sim = 6 -> 9 units, all HIGHEST (3-pass);
-# dual kernel fwd 3 + bwd 7 = 10 units at the tier's pass count.
+# jnp fwd = 3 sims, bwd = 2 per sim = 6 -> 9 units, all HIGHEST (3-pass,
+# and autodiff reuses the saved [B,2B] softmax instead of recomputing
+# logits — the memory/FLOPs trade the fused kernels refuse);
+# highest tier = symmetric static-max kernels: fwd 2.125 + bwd 6.125
+# units (lower-triangle intra tiles at ts=512);
+# default tier = online-max dual kernels: fwd 3 + bwd 7 units.
 _IMPL_COST = {
     "jnp_xla": (9, 3),
-    "pallas_fused_highest": (10, 3),
+    "pallas_fused_highest": (8.25, 3),
     "pallas_fused_default": (10, 1),
 }
 

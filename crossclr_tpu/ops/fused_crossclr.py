@@ -507,7 +507,9 @@ def fused_lse_pair(
 
         if dual_supported(b, d):
             # preferred path: one kernel pair computes BOTH directions,
-            # sharing the inter-modal logits (3 dots/tile fwd, 7 bwd)
+            # sharing the inter-modal logits.  Tiles are pinned only under
+            # an explicit sweep override — dual_lse_pair's own routing
+            # (symmetric static-max vs online-max) picks its tiling
             return dual_lse_pair(
                 v_norm,
                 t_norm,
@@ -515,7 +517,7 @@ def fused_lse_pair(
                 negative_weight=negative_weight,
                 interpret=interpret,
                 precision=precision,
-                tiles=tiles,
+                tiles=TILE_OVERRIDE,
             )
         if static_temp:
             # legacy per-direction kernels: no [B, D] column accumulator,

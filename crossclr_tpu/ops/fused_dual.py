@@ -58,7 +58,7 @@ from .fused_crossclr import (
     _resolve_precision,
 )
 
-__all__ = ["dual_lse_pair", "dual_supported"]
+__all__ = ["dual_lse_pair", "dual_supported", "sym_supported"]
 
 # the backward keeps a [B, D] fp32 accumulator for the column-indexed text
 # gradient in VMEM; cap it so tiles + accumulator stay within the budget
@@ -539,11 +539,22 @@ def dual_lse_pair(
     else:
         scale = 1.0 / temperature
         factored = False  # CLIP-bounded τ can reach s≈3333: exp(z) unsafe
+    explicit_tiles = tiles is not None
     if tiles is None:
         tiles = _pick_tiles(b, d)
         if tiles is None:
             raise ValueError(f"unsupported shape [{b},{d}] for dual kernel")
     tb, tc = tiles
+    # symmetric static-max kernels win at HIGHEST (the 15% dot cut is
+    # the bottleneck there: measured 8.6 vs 10.1 ms interleaved); at
+    # DEFAULT the online-max kernels' wider column tiles win instead
+    # (4.49 vs 4.78 ms) — route by precision tier
+    use_sym = (
+        static_temp
+        and not explicit_tiles  # sweeps pin the online-max kernels
+        and precision in (None, "highest")
+        and sym_supported(b, d, scale, negative_weight)
+    )
     if b % tb or b % tc:
         raise ValueError(
             f"tiles {tiles} do not divide batch {b}: the grid would "
@@ -554,6 +565,16 @@ def dual_lse_pair(
         v_norm = jnp.pad(v_norm, ((0, 0), (0, pad)))
         t_norm = jnp.pad(t_norm, ((0, 0), (0, pad)))
     feat_dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
+    if use_sym:
+        return _sym_lse_pair(
+            v_norm.astype(feat_dtype),
+            t_norm.astype(feat_dtype),
+            float(scale),
+            negative_weight,
+            _pick_square_tile(b, d),
+            interpret,
+            precision,
+        )
     scale_arr = jnp.asarray(scale, jnp.float32).reshape(1, 1)
     return _dual_lse_pair(
         v_norm.astype(feat_dtype),
@@ -565,4 +586,385 @@ def dual_lse_pair(
         interpret,
         precision,
         factored,
+    )
+
+
+# ---------------------------------------------------------------------------
+# symmetric static-max variant (static temperature fast path)
+#
+# With L2-normalized inputs and a STATIC temperature, every logit is
+# bounded: |z_inter| <= s = 1/τ and |z_intra| <= w·s (the zeroed diagonal
+# contributes exactly 0).  Shifting by the constant m0 = max(s, w·s, 0)
+# makes exp(z − m0) overflow-free with no running max, no rescaling, and
+# partial sums that ADD across tiles — so
+#   * one exp of the shared inter tile serves BOTH directions (row sums
+#     for the video lse, column sums for the text lse), and
+#   * the symmetric intra matrices V·Vᵀ / T·Tᵀ are computed only on the
+#     lower-triangle tiles (square tiles; row sums serve the row block,
+#     column sums of the same tile serve the column block).
+# Forward drops from 3 to ~2.1 B²D dot units and sheds all online-softmax
+# VPU bookkeeping; the backward recomputes intra logits only on the
+# triangle (7 → ~6.4 units).  Underflow: the sums always contain the
+# zeroed-diagonal term exp(−m0) ≥ e^-85 > fp32 tiny, so log() stays
+# finite; the wrapper gates this path to s ≤ 80 (τ ≥ 0.0125) and routes
+# smaller temperatures (and traced ones) to the online-max kernels above.
+# ---------------------------------------------------------------------------
+
+
+def _sym_fwd_kernel(
+    v_row_ref,
+    t_row_ref,
+    t_col_ref,
+    v_col_ref,
+    lv_row_ref,
+    lt_row_ref,
+    lv_col_ref,
+    lt_col_ref,
+    lv_row_scr,
+    lt_row_scr,
+    lv_col_scr,
+    lt_col_scr,
+    *,
+    scale: float,
+    neg_weight: float,
+    ts: int,
+    precision,
+):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    ni = pl.num_programs(0)
+    nj = pl.num_programs(1)
+    m0 = max(scale, neg_weight * scale, 0.0)
+
+    @pl.when(j == 0)
+    def _init_rows():
+        lv_row_scr[:] = jnp.zeros_like(lv_row_scr[:])
+        lt_row_scr[:] = jnp.zeros_like(lt_row_scr[:])
+
+    @pl.when(jnp.logical_and(i == 0, j == 0))
+    def _init_cols():
+        lv_col_scr[:] = jnp.zeros_like(lv_col_scr[:])
+        lt_col_scr[:] = jnp.zeros_like(lt_col_scr[:])
+
+    v_i = v_row_ref[:]
+    t_j = t_col_ref[:]
+
+    # shared inter tile: one dot + one exp feeds both directions
+    z_vt = scale * _dot_nt(v_i, t_j, precision)
+    e_vt = jnp.exp(z_vt - m0)
+    lv_row = jnp.sum(e_vt, axis=1, keepdims=True)
+    lt_col_scr[j] = lt_col_scr[j] + jnp.sum(e_vt, axis=0, keepdims=True)
+
+    # intra tiles only on the lower triangle (z symmetric): row sums for
+    # block i, column sums of the SAME tile for block j (strictly below
+    # the diagonal tile — the diagonal tile's row sweep already covers
+    # its full symmetric block)
+    @pl.when(j <= i)
+    def _intra():
+        t_i = t_row_ref[:]
+        v_j = v_col_ref[:]
+        rows = i * ts + jax.lax.broadcasted_iota(jnp.int32, (ts, ts), 0)
+        cols = j * ts + jax.lax.broadcasted_iota(jnp.int32, (ts, ts), 1)
+        on_diag = rows == cols
+        z_vv = (neg_weight * scale) * _dot_nt(v_i, v_j, precision)
+        z_vv = jnp.where(on_diag, 0.0, z_vv)  # parity quirk: zeroed
+        e_vv = jnp.exp(z_vv - m0)
+        z_tt = (neg_weight * scale) * _dot_nt(t_i, t_j, precision)
+        z_tt = jnp.where(on_diag, 0.0, z_tt)
+        e_tt = jnp.exp(z_tt - m0)
+        lv_row_scr[:] = lv_row_scr[:] + jnp.sum(e_vv, axis=1, keepdims=True)
+        lt_row_scr[:] = lt_row_scr[:] + jnp.sum(e_tt, axis=1, keepdims=True)
+
+        @pl.when(j < i)
+        def _cols():
+            lv_col_scr[j] = lv_col_scr[j] + jnp.sum(
+                e_vv, axis=0, keepdims=True
+            )
+            lt_col_scr_intra = jnp.sum(e_tt, axis=0, keepdims=True)
+            lt_col_scr[j] = lt_col_scr[j] + lt_col_scr_intra
+
+    lv_row_scr[:] = lv_row_scr[:] + lv_row
+
+    @pl.when(j == nj - 1)
+    def _fin_rows():
+        lv_row_ref[:] = lv_row_scr[:]
+        lt_row_ref[:] = lt_row_scr[:]
+
+    @pl.when(i == ni - 1)
+    def _fin_cols():
+        lv_col_ref[:] = lv_col_scr[j]
+        lt_col_ref[:] = lt_col_scr[j]
+
+
+def _sym_fwd(v_norm, t_norm, scale, neg_weight, ts, interpret, precision):
+    b, d = v_norm.shape
+    n = b // ts
+    kernel = functools.partial(
+        _sym_fwd_kernel,
+        scale=scale,
+        neg_weight=neg_weight,
+        ts=ts,
+        precision=_resolve_precision(precision),
+    )
+    row = lambda i, j: (i, 0)  # noqa: E731
+    col = lambda i, j: (j, 0)  # noqa: E731
+    lv_row, lt_row, lv_col, lt_col = pl.pallas_call(
+        kernel,
+        grid=(n, n),
+        in_specs=[
+            pl.BlockSpec((ts, d), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((ts, d), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((ts, d), col, memory_space=pltpu.VMEM),
+            pl.BlockSpec((ts, d), col, memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((ts, 1), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((ts, 1), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ts), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ts), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1), jnp.float32),
+            jax.ShapeDtypeStruct((1, b), jnp.float32),
+            jax.ShapeDtypeStruct((1, b), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((ts, 1), jnp.float32),
+            pltpu.VMEM((ts, 1), jnp.float32),
+            pltpu.VMEM((n, 1, ts), jnp.float32),
+            pltpu.VMEM((n, 1, ts), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(v_norm, t_norm, t_norm, v_norm)
+    m0 = max(scale, neg_weight * scale, 0.0)
+    lse_v = m0 + jnp.log(lv_row + lv_col.reshape(b, 1))
+    lse_t = m0 + jnp.log(lt_row + lt_col.reshape(b, 1))
+    return lse_v, lse_t
+
+
+def _sym_bwd_kernel(
+    v_row_ref,
+    t_row_ref,
+    lse_v_row_ref,
+    lse_t_row_ref,
+    gv_row_ref,
+    gt_row_ref,
+    t_col_ref,
+    v_col_ref,
+    lse_v_colT_ref,
+    lse_t_colT_ref,
+    gv_colT_ref,
+    gt_colT_ref,
+    dv_row_ref,
+    dt_row_ref,
+    dv_col_ref,
+    dt_col_ref,
+    dv_row_scr,
+    dt_row_scr,
+    dv_col_scr,
+    dt_col_scr,
+    *,
+    scale: float,
+    neg_weight: float,
+    ts: int,
+    precision,
+):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    ni = pl.num_programs(0)
+    nj = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _init_rows():
+        dv_row_scr[:] = jnp.zeros_like(dv_row_scr[:])
+        dt_row_scr[:] = jnp.zeros_like(dt_row_scr[:])
+
+    @pl.when(jnp.logical_and(i == 0, j == 0))
+    def _init_cols():
+        dv_col_scr[:] = jnp.zeros_like(dv_col_scr[:])
+        dt_col_scr[:] = jnp.zeros_like(dt_col_scr[:])
+
+    v_i = v_row_ref[:]
+    t_j = t_col_ref[:]
+    gv_i = gv_row_ref[:]
+    gt_i = gt_row_ref[:]
+    lse_v_i = lse_v_row_ref[:]
+    lse_t_i = lse_t_row_ref[:]
+    lse_v_j = lse_v_colT_ref[:]
+    lse_t_j = lse_t_colT_ref[:]
+    gv_j = gv_colT_ref[:]
+    gt_j = gt_colT_ref[:]
+
+    # shared inter tile (all grid steps): factored single exp — the
+    # wrapper gates this path to scale < 80 so exp(z) stays finite
+    z_vt = scale * _dot_nt(v_i, t_j, precision)
+    m = jnp.exp(z_vt) * (
+        gv_i * jnp.exp(-lse_v_i) + gt_j * jnp.exp(-lse_t_j)
+    )
+    dv_row_scr[:] = dv_row_scr[:] + _dot(m, t_j, precision)
+    dt_col_scr[j] = dt_col_scr[j] + jax.lax.dot_general(
+        m, v_i, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision,
+    )
+
+    @pl.when(j <= i)
+    def _intra():
+        t_i = t_row_ref[:]
+        v_j = v_col_ref[:]
+        rows = i * ts + jax.lax.broadcasted_iota(jnp.int32, (ts, ts), 0)
+        cols = j * ts + jax.lax.broadcasted_iota(jnp.int32, (ts, ts), 1)
+        on_diag = rows == cols
+        z_vv = (neg_weight * scale) * _dot_nt(v_i, v_j, precision)
+        q_v = jnp.exp(z_vv) * (
+            gv_i * jnp.exp(-lse_v_i) + gv_j * jnp.exp(-lse_v_j)
+        )
+        q_v = jnp.where(on_diag, 0.0, q_v)  # zeroed logit: no gradient
+        z_tt = (neg_weight * scale) * _dot_nt(t_i, t_j, precision)
+        q_t = jnp.exp(z_tt) * (
+            gt_i * jnp.exp(-lse_t_i) + gt_j * jnp.exp(-lse_t_j)
+        )
+        q_t = jnp.where(on_diag, 0.0, q_t)
+        dv_row_scr[:] = dv_row_scr[:] + neg_weight * _dot(q_v, v_j, precision)
+        dt_row_scr[:] = dt_row_scr[:] + neg_weight * _dot(q_t, t_j, precision)
+
+        @pl.when(j < i)
+        def _cols():
+            # q is built symmetrically (both anchor roles folded), so the
+            # transpose-side dots of the SAME coefficient tiles cover the
+            # skipped upper-triangle tiles exactly
+            dv_col_scr[j] = dv_col_scr[j] + neg_weight * jax.lax.dot_general(
+                q_v, v_i, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision,
+            )
+            dt_col_scr[j] = dt_col_scr[j] + neg_weight * jax.lax.dot_general(
+                q_t, t_i, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision,
+            )
+
+    @pl.when(j == nj - 1)
+    def _fin_rows():
+        dv_row_ref[:] = scale * dv_row_scr[:]
+        dt_row_ref[:] = scale * dt_row_scr[:]
+
+    @pl.when(i == ni - 1)
+    def _fin_cols():
+        dv_col_ref[:] = scale * dv_col_scr[j]
+        dt_col_ref[:] = scale * dt_col_scr[j]
+
+
+def _sym_bwd(
+    v_norm, t_norm, lse_v, lse_t, g_v, g_t,
+    scale, neg_weight, ts, interpret, precision,
+):
+    b, d = v_norm.shape
+    n = b // ts
+    kernel = functools.partial(
+        _sym_bwd_kernel,
+        scale=scale,
+        neg_weight=neg_weight,
+        ts=ts,
+        precision=_resolve_precision(precision),
+    )
+    row = lambda i, j: (i, 0)  # noqa: E731
+    col = lambda i, j: (j, 0)  # noqa: E731
+    colT = lambda i, j: (0, j)  # noqa: E731
+    dv_row, dt_row, dv_col, dt_col = pl.pallas_call(
+        kernel,
+        grid=(n, n),
+        in_specs=[
+            pl.BlockSpec((ts, d), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((ts, d), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((ts, 1), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((ts, 1), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((ts, 1), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((ts, 1), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((ts, d), col, memory_space=pltpu.VMEM),
+            pl.BlockSpec((ts, d), col, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ts), colT, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ts), colT, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ts), colT, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ts), colT, memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((ts, d), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((ts, d), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((ts, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ts, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, d), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((ts, d), jnp.float32),
+            pltpu.VMEM((ts, d), jnp.float32),
+            pltpu.VMEM((n, ts, d), jnp.float32),
+            pltpu.VMEM((n, ts, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(
+        v_norm, t_norm, lse_v, lse_t, g_v, g_t,
+        t_norm, v_norm,
+        lse_v.reshape(1, b), lse_t.reshape(1, b),
+        g_v.reshape(1, b), g_t.reshape(1, b),
+    )
+    return dv_row + dv_col, dt_row + dt_col
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def _sym_lse_pair(v_norm, t_norm, scale, neg_weight, ts, interpret, precision):
+    return _sym_fwd(v_norm, t_norm, scale, neg_weight, ts, interpret, precision)
+
+
+def _sym_lse_pair_fwd(v_norm, t_norm, scale, neg_weight, ts, interpret,
+                      precision):
+    lse_v, lse_t = _sym_fwd(
+        v_norm, t_norm, scale, neg_weight, ts, interpret, precision
+    )
+    return (lse_v, lse_t), (v_norm, t_norm, lse_v, lse_t)
+
+
+def _sym_lse_pair_bwd(scale, neg_weight, ts, interpret, precision,
+                      residuals, cotangents):
+    v_norm, t_norm, lse_v, lse_t = residuals
+    g_v, g_t = cotangents
+    g_v = jnp.asarray(g_v, jnp.float32).reshape(-1, 1)
+    g_t = jnp.asarray(g_t, jnp.float32).reshape(-1, 1)
+    dv, dt = _sym_bwd(
+        v_norm, t_norm, lse_v, lse_t, g_v, g_t,
+        scale, neg_weight, ts, interpret, precision,
+    )
+    return dv.astype(v_norm.dtype), dt.astype(t_norm.dtype)
+
+
+_sym_lse_pair.defvjp(_sym_lse_pair_fwd, _sym_lse_pair_bwd)
+
+
+def _pick_square_tile(b: int, d: int) -> int | None:
+    """Largest square tile; capped at 512 — the HIGHEST-precision backward
+    with 1024 tiles exceeds what Mosaic can compile (observed HTTP-500
+    from the compile helper), and 512 measures equal at DEFAULT."""
+    for t in (512, 256, 128, 64):
+        if b % t == 0 and t * max(d, _LANE) * 4 * 10 < 64 * 1024 * 1024:
+            return t
+    return None
+
+
+def sym_supported(b: int, d: int, scale: float, neg_weight: float) -> bool:
+    return (
+        _pick_square_tile(b, d) is not None
+        and b * max(d, _LANE) * 4 <= _MAX_COL_ACC_BYTES
+        and 0.0 < scale <= 80.0
+        and 0.0 <= neg_weight * scale <= 80.0
     )

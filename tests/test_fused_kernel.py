@@ -186,3 +186,58 @@ def test_fused_loss_traced_temperature_grad_matches_jnp(rng):
     np.testing.assert_allclose(
         float(jax.grad(fused)(tau)), float(jax.grad(plain)(tau)), rtol=1e-4
     )
+
+
+@pytest.mark.parametrize("tau,w", [(0.07, 0.8), (0.5, 0.3), (0.0125, 1.0)])
+def test_symmetric_static_max_kernel_matches_jnp(rng, tau, w):
+    """The symmetric static-max kernels (lower-triangle intra tiles, shared
+    single exp, no online max) are exact vs the jnp lse across the gated
+    temperature range — values and gradients."""
+    from crossclr_tpu.losses.functional import l2_normalize
+    from crossclr_tpu.ops.fused_crossclr import _lse_jnp_direction
+    from crossclr_tpu.ops.fused_dual import _sym_lse_pair, sym_supported
+
+    b, d = 128, 64
+    v, t = _pair(rng, b, d)
+    v, t = l2_normalize(v, 1), l2_normalize(t, 1)
+    s = 1.0 / tau
+    assert sym_supported(b, d, s, w)
+    wv = jnp.asarray(np.random.default_rng(7).standard_normal((b, 1)),
+                     jnp.float32)
+
+    want_v = _lse_jnp_direction(v, t, s, w)
+    want_t = _lse_jnp_direction(t, v, s, w)
+    ts = 32 if INTERPRET else 64
+    got_v, got_t = _sym_lse_pair(v, t, s, w, ts, INTERPRET, None)
+    np.testing.assert_allclose(np.asarray(got_v), np.asarray(want_v),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got_t), np.asarray(want_t),
+                               rtol=2e-5, atol=2e-5)
+
+    def ref_fn(v_, t_):
+        return jnp.sum(wv * _lse_jnp_direction(v_, t_, s, w)) + jnp.sum(
+            _lse_jnp_direction(t_, v_, s, w)
+        )
+
+    def sym_fn(v_, t_):
+        lv, lt = _sym_lse_pair(v_, t_, s, w, ts, INTERPRET, None)
+        return jnp.sum(wv * lv) + jnp.sum(lt)
+
+    gw = jax.grad(ref_fn, argnums=(0, 1))(v, t)
+    gg = jax.grad(sym_fn, argnums=(0, 1))(v, t)
+    for g_want, g_got in zip(gw, gg):
+        # scale-relative: at s = 80 the gradient spans ~9 orders of
+        # magnitude and the softmax tail's tiny elements carry fp32 noise
+        err = float(jnp.max(jnp.abs(jnp.asarray(g_got) - jnp.asarray(g_want))))
+        scale_ = float(jnp.max(jnp.abs(jnp.asarray(g_want)))) + 1e-12
+        assert err / scale_ < 5e-5, (err, scale_)
+
+
+def test_sym_gate_excludes_extreme_temperatures():
+    """τ below the exp-overflow-safe bound must route to the online-max
+    kernels (the static shift would overflow/underflow)."""
+    from crossclr_tpu.ops.fused_dual import sym_supported
+
+    assert sym_supported(4096, 512, 1.0 / 0.03, 0.8)
+    assert not sym_supported(4096, 512, 1.0 / 0.01, 0.8)  # s = 100 > 80
+    assert not sym_supported(4096, 512, -1.0, 0.8)
