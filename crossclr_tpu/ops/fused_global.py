@@ -17,8 +17,12 @@ Without the fused path, a [b_loc, 2B] softmax materializes per device
 (b_loc=4096, B=32768 → 1 GiB of fp32 logits); here only [b_loc, 1]
 logsumexps and [*, D] gradients touch HBM.
 
-The row offset is passed as a traced fp32 scalar (SMEM) so one compiled
-kernel serves every device in the mesh.
+The row offset AND the temperature scale are passed as traced fp32
+scalars (SMEM), so one compiled kernel serves every device in the mesh
+and any temperature — including a CLIP-style learnable one.  The backward
+additionally returns d loss/d scale (per-row Σ p⊙z accumulations summed
+and divided by scale outside, the same identity as fused_dual.py), so
+``jax.grad`` w.r.t. a live temperature is exact on the global fused path.
 """
 
 from __future__ import annotations
@@ -66,6 +70,7 @@ def _global_ids(i, j, off_ref, tb: int, tc: int, transposed: bool = False):
 
 def _rows_lse_kernel(
     off_ref,
+    s_ref,
     a_row_ref,
     o_all_ref,
     a_all_ref,
@@ -73,7 +78,6 @@ def _rows_lse_kernel(
     m_scr,
     l_scr,
     *,
-    scale,
     neg_weight,
     tb,
     tc,
@@ -82,6 +86,7 @@ def _rows_lse_kernel(
     i = pl.program_id(0)
     j = pl.program_id(1)
     nj = pl.num_programs(1)
+    scale = s_ref[0, 0]
 
     @pl.when(j == 0)
     def _init():
@@ -122,15 +127,17 @@ def _rows_lse_kernel(
 
 def _rows_bwd_rows_kernel(
     off_ref,
+    s_ref,
     a_row_ref,
     lse_row_ref,
     g_row_ref,
     o_all_ref,
     a_all_ref,
     out_ref,
+    ds_row_ref,
     acc_scr,
+    ds_scr,
     *,
-    scale,
     neg_weight,
     tb,
     tc,
@@ -139,10 +146,12 @@ def _rows_bwd_rows_kernel(
     i = pl.program_id(0)
     j = pl.program_id(1)
     nj = pl.num_programs(1)
+    scale = s_ref[0, 0]
 
     @pl.when(j == 0)
     def _init():
         acc_scr[:] = jnp.zeros_like(acc_scr[:])
+        ds_scr[:] = jnp.zeros_like(ds_scr[:])
 
     a_i = a_row_ref[:]
     o_j = o_all_ref[:]
@@ -162,10 +171,18 @@ def _rows_bwd_rows_kernel(
     )
 
     acc_scr[:] = acc_scr[:] + acc
+    # temperature gradient: d lse_r/d s = (Σ p⊙z_inter + Σ q⊙z_intra)/s
+    # (the zeroed-diagonal logit is the constant 0 — q excludes it).
+    # Accumulated per ROW (not a global scalar) so the i grid dimension
+    # stays parallel-safe; the wrapper sums rows and divides by s.
+    ds_scr[:] = ds_scr[:] + jnp.sum(
+        p * z_inter + q * z_intra, axis=1, keepdims=True
+    )
 
     @pl.when(j == nj - 1)
     def _finalize():
         out_ref[:] = scale * acc_scr[:]
+        ds_row_ref[:] = ds_scr[:]
 
 
 # ---------------------------------------------------------------------------
@@ -175,6 +192,7 @@ def _rows_bwd_rows_kernel(
 
 def _rows_bwd_cols_kernel(
     off_ref,
+    s_ref,
     o_all_ref,
     a_all_ref,
     a_row_ref,
@@ -185,7 +203,6 @@ def _rows_bwd_cols_kernel(
     do_scr,
     da_scr,
     *,
-    scale,
     neg_weight,
     tb,
     tc,
@@ -199,6 +216,7 @@ def _rows_bwd_cols_kernel(
     j = pl.program_id(0)
     i = pl.program_id(1)
     ni = pl.num_programs(1)
+    scale = s_ref[0, 0]
 
     @pl.when(i == 0)
     def _init():
@@ -245,18 +263,19 @@ def _off_spec():
     return pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM)
 
 
-def _rows_lse_fwd(anchor_rows, anchor_all, other_all, off, scale, neg_weight,
+def _rows_lse_fwd(anchor_rows, anchor_all, other_all, off, s_arr, neg_weight,
                   tb, tc, interpret, precision):
     bl, d = anchor_rows.shape
     bg = anchor_all.shape[0]
     kernel = functools.partial(
-        _rows_lse_kernel, scale=scale, neg_weight=neg_weight, tb=tb, tc=tc,
+        _rows_lse_kernel, neg_weight=neg_weight, tb=tb, tc=tc,
         precision=_resolve_precision(precision),
     )
     return pl.pallas_call(
         kernel,
         grid=(bl // tb, bg // tc),
         in_specs=[
+            _off_spec(),
             _off_spec(),
             pl.BlockSpec((tb, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tc, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
@@ -270,22 +289,23 @@ def _rows_lse_fwd(anchor_rows, anchor_all, other_all, off, scale, neg_weight,
         ],
         compiler_params=_compiler_params(),
         interpret=interpret,
-    )(off, anchor_rows, other_all, anchor_all)
+    )(off, s_arr, anchor_rows, other_all, anchor_all)
 
 
-def _rows_bwd(anchor_rows, anchor_all, other_all, off, lse, g,
-              scale, neg_weight, tb, tc, interpret, precision):
+def _rows_bwd(anchor_rows, anchor_all, other_all, off, s_arr, lse, g,
+              neg_weight, tb, tc, interpret, precision):
     bl, d = anchor_rows.shape
     bg = anchor_all.shape[0]
     prec = _resolve_precision(precision)
 
-    d_rows = pl.pallas_call(
+    d_rows, ds_rows = pl.pallas_call(
         functools.partial(
-            _rows_bwd_rows_kernel, scale=scale, neg_weight=neg_weight,
+            _rows_bwd_rows_kernel, neg_weight=neg_weight,
             tb=tb, tc=tc, precision=prec,
         ),
         grid=(bl // tb, bg // tc),
         in_specs=[
+            _off_spec(),
             _off_spec(),
             pl.BlockSpec((tb, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tb, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
@@ -293,22 +313,32 @@ def _rows_bwd(anchor_rows, anchor_all, other_all, off, lse, g,
             pl.BlockSpec((tc, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tc, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((tb, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bl, d), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((tb, d), jnp.float32)],
+        out_specs=(
+            pl.BlockSpec((tb, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bl, d), jnp.float32),
+            jax.ShapeDtypeStruct((bl, 1), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((tb, d), jnp.float32),
+            pltpu.VMEM((tb, 1), jnp.float32),
+        ],
         compiler_params=_compiler_params(),
         interpret=interpret,
-    )(off, anchor_rows, lse, g, other_all, anchor_all)
+    )(off, s_arr, anchor_rows, lse, g, other_all, anchor_all)
 
     lse_t = lse.reshape(1, bl)
     g_t = g.reshape(1, bl)
     d_other, d_anchor_all = pl.pallas_call(
         functools.partial(
-            _rows_bwd_cols_kernel, scale=scale, neg_weight=neg_weight,
+            _rows_bwd_cols_kernel, neg_weight=neg_weight,
             tb=tb, tc=tc, precision=prec,
         ),
         grid=(bg // tc, bl // tb),
         in_specs=[
+            _off_spec(),
             _off_spec(),
             pl.BlockSpec((tc, d), lambda j, i: (j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tc, d), lambda j, i: (j, 0), memory_space=pltpu.VMEM),
@@ -330,42 +360,45 @@ def _rows_bwd(anchor_rows, anchor_all, other_all, off, lse, g,
         ],
         compiler_params=_compiler_params(),
         interpret=interpret,
-    )(off, other_all, anchor_all, anchor_rows, lse_t, g_t)
+    )(off, s_arr, other_all, anchor_all, anchor_rows, lse_t, g_t)
 
-    return d_rows, d_anchor_all, d_other
+    return d_rows, d_anchor_all, d_other, ds_rows
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
-def _fused_lse_rows(anchor_rows, anchor_all, other_all, off,
-                    scale, neg_weight, tb, tc, interpret, precision):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+def _fused_lse_rows(anchor_rows, anchor_all, other_all, off, s_arr,
+                    neg_weight, tb, tc, interpret, precision):
     return _rows_lse_fwd(
-        anchor_rows, anchor_all, other_all, off,
-        scale, neg_weight, tb, tc, interpret, precision,
+        anchor_rows, anchor_all, other_all, off, s_arr,
+        neg_weight, tb, tc, interpret, precision,
     )
 
 
-def _fused_lse_rows_fwd(anchor_rows, anchor_all, other_all, off,
-                        scale, neg_weight, tb, tc, interpret, precision):
+def _fused_lse_rows_fwd(anchor_rows, anchor_all, other_all, off, s_arr,
+                        neg_weight, tb, tc, interpret, precision):
     lse = _fused_lse_rows(
-        anchor_rows, anchor_all, other_all, off,
-        scale, neg_weight, tb, tc, interpret, precision,
+        anchor_rows, anchor_all, other_all, off, s_arr,
+        neg_weight, tb, tc, interpret, precision,
     )
-    return lse, (anchor_rows, anchor_all, other_all, off, lse)
+    return lse, (anchor_rows, anchor_all, other_all, off, s_arr, lse)
 
 
-def _fused_lse_rows_bwd(scale, neg_weight, tb, tc, interpret, precision,
+def _fused_lse_rows_bwd(neg_weight, tb, tc, interpret, precision,
                         residuals, g):
-    anchor_rows, anchor_all, other_all, off, lse = residuals
+    anchor_rows, anchor_all, other_all, off, s_arr, lse = residuals
     g = jnp.asarray(g, jnp.float32).reshape(-1, 1)
-    d_rows, d_anchor_all, d_other = _rows_bwd(
-        anchor_rows, anchor_all, other_all, off, lse, g,
-        scale, neg_weight, tb, tc, interpret, precision,
+    d_rows, d_anchor_all, d_other, ds_rows = _rows_bwd(
+        anchor_rows, anchor_all, other_all, off, s_arr, lse, g,
+        neg_weight, tb, tc, interpret, precision,
     )
+    # kernel rows accumulate Σ g·(p⊙z) = s · dL/ds per row
+    ds = (jnp.sum(ds_rows) / s_arr[0, 0]).reshape(s_arr.shape)
     return (
         d_rows.astype(anchor_rows.dtype),
         d_anchor_all.astype(anchor_all.dtype),
         d_other.astype(other_all.dtype),
         jnp.zeros_like(off),  # fp32 offset: no gradient
+        ds,
     )
 
 
@@ -385,22 +418,24 @@ def fused_lse_rows(
     other_all: jax.Array,
     row_offset: jax.Array,
     *,
-    temperature: float = 0.03,
+    temperature=0.03,
     negative_weight: float = 0.8,
     interpret: bool = False,
     precision: str | None = None,
+    tiles: tuple[int, int] | None = None,
 ) -> jax.Array:
     """Per-row logsumexp of the global-candidate CrossCLR direction.
 
     ``anchor_rows``: [b_loc, D] normalized local anchors; ``anchor_all`` /
     ``other_all``: [B, D] normalized gathered features; ``row_offset``:
-    traced scalar — global index of local row 0.  Returns [b_loc, 1] fp32.
-    Differentiable w.r.t. all three feature arrays (exact, via the
-    rematerializing backward kernels).
+    traced scalar — global index of local row 0.  ``temperature`` may be a
+    Python float (static) or a traced scalar (learnable).  Returns
+    [b_loc, 1] fp32.  Differentiable w.r.t. all three feature arrays AND
+    the temperature (exact, via the rematerializing backward kernels).
     """
     bl, d = anchor_rows.shape
     bg = anchor_all.shape[0]
-    scale = 1.0 / temperature
+    scale = 1.0 / temperature  # jnp division if temperature is traced
     tiles_r = _pick_tiles(bl, d)
     tiles_c = _pick_tiles(bg, d)
     if interpret:
@@ -410,11 +445,28 @@ def fused_lse_rows(
         tiles_r = tiles_r or ((small[0], small[0]) if small else None)
         small_c = [t for t in (64, 32, 16, 8) if bg % t == 0]
         tiles_c = tiles_c or ((small_c[0], small_c[0]) if small_c else None)
-    if tiles_r is None or tiles_c is None:
-        raise ValueError(
-            f"unsupported shapes for fused rows kernel: [{bl},{d}] x [{bg},{d}]"
-        )
-    tb, tc = tiles_r[0], tiles_c[1]
+    if tiles is not None:
+        tb, tc = tiles
+        if bl % tb or bg % tc:
+            raise ValueError(
+                f"tiles {tiles} do not divide [{bl}] rows x [{bg}] candidates"
+            )
+    else:
+        if tiles_r is None or tiles_c is None:
+            raise ValueError(
+                f"unsupported shapes for fused rows kernel: [{bl},{d}] x [{bg},{d}]"
+            )
+        tb, tc = tiles_r[0], tiles_c[1]
+        if precision in (None, "highest"):
+            # swept at 4096 rows x 32768 candidates x d=512 (fwd+bwd,
+            # scripts/sweep_global_kernel.py): (256, 1024) runs ~8% faster
+            # than (512, 2048) at HIGHEST — the 3-pass fp32 dots want the
+            # deeper pipeline of smaller tiles; DEFAULT prefers the wide
+            # tiles' fewer grid steps (21.8 vs 24.8 ms) and keeps them
+            if bl % 256 == 0 and bg % 1024 == 0 and 1024 * max(
+                d, _LANE
+            ) * 4 * 6 < 64 * 1024 * 1024:
+                tb, tc = 256, 1024
     if d % _LANE != 0:
         pad = _LANE - d % _LANE
         anchor_rows = jnp.pad(anchor_rows, ((0, 0), (0, pad)))
@@ -422,13 +474,14 @@ def fused_lse_rows(
         other_all = jnp.pad(other_all, ((0, 0), (0, pad)))
     # fp32 scalar in SMEM: exactly represents offsets < 2^24
     off = jnp.asarray(row_offset, jnp.float32).reshape(1, 1)
+    s_arr = jnp.asarray(scale, jnp.float32).reshape(1, 1)
     feat_dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
     return _fused_lse_rows(
         anchor_rows.astype(feat_dtype),
         anchor_all.astype(feat_dtype),
         other_all.astype(feat_dtype),
         off,
-        scale,
+        s_arr,
         negative_weight,
         tb,
         tc,

@@ -454,14 +454,11 @@ class Trainer:
                         cfg, DATA_AXIS, temperature=temp,
                     )
                 else:
-                    # rect Pallas kernels specialize on a static τ: the
-                    # learnable-τ global path uses the jnp row blocks
+                    # rect Pallas kernels take τ as a traced SMEM scalar
+                    # with an exact dτ, so learnable temperature composes
                     loss = _global_rows_loss(
                         v_emb, t_emb, cfg, DATA_AXIS,
-                        use_fused=(
-                            cfg.loss == "crossclr_intra_fused"
-                            and not cfg.learnable_temperature
-                        ),
+                        use_fused=cfg.loss == "crossclr_intra_fused",
                         temperature=temp,
                     )
             else:

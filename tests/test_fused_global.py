@@ -94,6 +94,42 @@ def test_three_way_gradients_match_autodiff(rng):
         )
 
 
+def test_traced_temperature_gradient_matches_autodiff(rng):
+    """τ as a traced scalar: the kernels' hand-written dτ (per-row Σ p⊙z
+    accumulation / s) matches autodiff of the jnp row-block formulation —
+    the exactness gate for learnable temperature on the GLOBAL fused path."""
+    v_all, t_all, b_loc = _setup(rng, b_loc=64, b_glob=256, d=16)
+    offset = b_loc
+    rows = v_all[offset : offset + b_loc]
+
+    def fused_sum(tau, r, va, ta):
+        return jnp.sum(
+            fused_lse_rows(
+                r, va, ta, jnp.asarray(offset),
+                temperature=tau, interpret=INTERPRET,
+            )
+        )
+
+    def ref_sum(tau, r, va, ta):
+        hp = lambda a, b: jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
+        inter = hp(r, ta.T) / tau
+        intra = 0.8 * hp(r, va.T) / tau
+        ids_r = offset + jnp.arange(r.shape[0])[:, None]
+        ids_c = jnp.arange(va.shape[0])[None, :]
+        intra = jnp.where(ids_r == ids_c, 0.0, intra)
+        cand = jnp.concatenate([inter, intra], axis=1)
+        return jnp.sum(jax.scipy.special.logsumexp(cand, axis=1))
+
+    tau = jnp.asarray(0.07, jnp.float32)
+    got = jax.grad(fused_sum, argnums=(0, 1, 2, 3))(tau, rows, v_all, t_all)
+    want = jax.grad(ref_sum, argnums=(0, 1, 2, 3))(tau, rows, v_all, t_all)
+    rtol, atol = (2e-3, 5e-5) if ON_TPU else (2e-4, 2e-5)
+    for g, w, name in zip(got, want, ("d_tau", "d_rows", "d_v_all", "d_t_all")):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(w), rtol=rtol, atol=atol, err_msg=name
+        )
+
+
 def test_nondefault_hparams(rng):
     v_all, t_all, b_loc = _setup(rng)
     rows = v_all[:b_loc]

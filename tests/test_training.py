@@ -204,6 +204,44 @@ def test_sharded_fused_global_step_matches_single_device():
     )
 
 
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_fused_global_learnable_temperature_matches_jnp():
+    """Learnable τ composes with the GLOBAL fused path: the rect kernels
+    take τ as a traced SMEM scalar with a hand-written dτ, so one step
+    matches the jnp global path exactly — including the logit_scale
+    gradient (it enters grad_norm)."""
+    from crossclr_tpu.data import SyntheticPairs, epoch_batches
+    from crossclr_tpu.parallel import make_mesh
+
+    mesh = make_mesh()
+    data = SyntheticPairs(num_pairs=256, video_dim=48, text_dim=32, seed=0)
+    vc = TowerConfig(kind="mlp", input_dim=48, embed_dim=32, hidden_dim=64,
+                     dtype=jnp.float32)
+    tc = TowerConfig(kind="mlp", input_dim=32, embed_dim=32, hidden_dim=64,
+                     dtype=jnp.float32)
+
+    def build(loss):
+        cfg = TrainConfig(
+            loss=loss, learnable_temperature=True, learning_rate=1e-3,
+            warmup_steps=10, total_steps=400, temperature=0.1,
+        )
+        tr = Trainer(vc, tc, cfg, mesh=mesh)
+        batch0 = next(epoch_batches(data, 64))
+        return tr, tr.init_state(batch0["video"], batch0["text"])
+
+    tr_f, st_f = build("crossclr_intra_fused")
+    tr_j, st_j = build("crossclr_intra")
+    batch = next(epoch_batches(data, 64, shuffle=False))
+    _, m_f = tr_f.train_step(st_f, batch)
+    _, m_j = tr_j.train_step(st_j, batch)
+    np.testing.assert_allclose(
+        float(m_f["loss"]), float(m_j["loss"]), rtol=2e-5, atol=2e-5
+    )
+    np.testing.assert_allclose(
+        float(m_f["grad_norm"]), float(m_j["grad_norm"]), rtol=1e-3
+    )
+
+
 def test_learnable_temperature_trains_logit_scale():
     """CLIP-style option: logit_scale becomes a live parameter whose value
     moves under training; disabled (reference parity) it stays untouched."""
