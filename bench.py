@@ -113,7 +113,7 @@ def _bench_global_rows(rng):
     off = jnp.zeros((), jnp.float32)
 
     out = {}
-    for tier in ("highest", "default"):
+    for tier in ("highest", "default", "bf16"):
 
         def loss_fn(v_all_, t_all_, tier=tier):
             v_loc = jax.lax.dynamic_slice(v_all_, (0, 0), (B, D))
