@@ -162,3 +162,62 @@ def test_cli_heldout_retrieval_gate(tmp_path):
     final = eval_rows[-1]
     assert float(final["eval/v2t/R@1"]) >= 90.0, final
     assert float(final["eval/t2v/R@1"]) >= 90.0, final
+
+
+def test_eval_cli_from_checkpoint(tmp_path, capsys):
+    """python -m crossclr_tpu.eval: restore the trained checkpoint, report
+    held-out retrieval metrics as one JSON line, and dump top-k retrievals
+    (the serving path) to an .npz."""
+    from crossclr_tpu.eval import main as eval_main
+    from crossclr_tpu.train import main as train_main
+
+    common = [
+        "data.num_pairs=64", "data.batch_size=32",
+        "data.video_dim=24", "data.text_dim=16",
+        "video_tower.input_dim=24", "video_tower.embed_dim=16",
+        "video_tower.hidden_dim=32", "video_tower.dtype=float32",
+        "text_tower.input_dim=16", "text_tower.embed_dim=16",
+        "text_tower.hidden_dim=32", "text_tower.dtype=float32",
+        "train.warmup_steps=2",
+        f"checkpoint_dir={tmp_path}/ck",
+    ]
+    assert train_main(["--steps", "4", "eval_every=4", "log_every=2"] + common) == 0
+    capsys.readouterr()
+
+    topk_path = tmp_path / "retrievals.npz"
+    out_path = tmp_path / "metrics.json"
+    rc = eval_main(
+        [
+            "--topk", "3",
+            "--topk-queries", "text",
+            "--topk-output", str(topk_path),
+            "--output", str(out_path),
+        ]
+        + common
+    )
+    assert rc == 0
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    metrics = json.loads(line)
+    assert metrics["step"] == 4
+    assert metrics["split"] == "eval"
+    assert metrics["rows"] == 6  # 10% of 64 -> 6 held-out rows
+    assert "v2t/R@1" in metrics and "t2v/MdR" in metrics
+    assert json.loads(out_path.read_text()) == metrics
+
+    dump = np.load(topk_path)
+    assert dump["scores"].shape == (6, 3)
+    assert dump["indices"].shape == (6, 3)
+
+    # --split all covers the full dataset; --random-params skips restore
+    rc = eval_main(["--split", "all", "--random-params"] + common)
+    assert rc == 0
+    metrics_all = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert metrics_all["rows"] == 64
+    assert metrics_all["step"] == 0
+
+
+def test_eval_cli_requires_checkpoint(tmp_path):
+    from crossclr_tpu.eval import main as eval_main
+
+    with pytest.raises(SystemExit, match="no checkpoint"):
+        eval_main(["data.num_pairs=32", "data.batch_size=16"])
