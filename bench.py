@@ -24,8 +24,9 @@ occupancy of the kernel schedule, not algorithmic efficiency — the dual
 kernel needs FEWER units (10 vs 12) for the same loss.
 
 Also benchmarked: the rectangular global-negative kernels at the config-5
-shape (4096 local rows x 32768 gathered candidates), both precision tiers
-— the per-device hot path of the 32k-batch pod-slice configuration.
+shape (4096 local rows x 32768 gathered candidates) — the per-device hot
+path of the 32k-batch pod-slice configuration — in all precision tiers
+plus the PRUNED (full-CrossCLR keep-mask) variant at the default tier.
 """
 
 import json
@@ -112,17 +113,28 @@ def _bench_global_rows(rng):
     )
     off = jnp.zeros((), jnp.float32)
 
-    out = {}
-    for tier in ("highest", "default", "bf16"):
+    keep_v = jnp.asarray(rng.random(n_global) > 0.1)
+    keep_t = jnp.asarray(rng.random(n_global) > 0.1)
 
-        def loss_fn(v_all_, t_all_, tier=tier):
+    out = {}
+    for tier in ("highest", "default", "bf16", "pruned_default"):
+        pruned = tier == "pruned_default"
+        prec = "default" if pruned else tier
+
+        def loss_fn(v_all_, t_all_, prec=prec, pruned=pruned):
             v_loc = jax.lax.dynamic_slice(v_all_, (0, 0), (B, D))
             t_loc = jax.lax.dynamic_slice(t_all_, (0, 0), (B, D))
+            masks_v = (
+                dict(keep_inter=keep_t, keep_intra=keep_v) if pruned else {}
+            )
+            masks_t = (
+                dict(keep_inter=keep_v, keep_intra=keep_t) if pruned else {}
+            )
             lse_v = fused_lse_rows(
-                v_loc, v_all_, t_all_, off, precision=tier
+                v_loc, v_all_, t_all_, off, precision=prec, **masks_v
             )
             lse_t = fused_lse_rows(
-                t_loc, t_all_, v_all_, off, precision=tier
+                t_loc, t_all_, v_all_, off, precision=prec, **masks_t
             )
             pos = jnp.sum(v_loc * t_loc, axis=1, keepdims=True) / 0.03
             return (jnp.mean(lse_v - pos) + jnp.mean(lse_t - pos)) / 2

@@ -43,7 +43,16 @@ from .fused_crossclr import (
     _resolve_precision,
 )
 
-__all__ = ["fused_lse_rows", "rows_supported"]
+__all__ = ["cross_clr_fused", "fused_lse_rows", "rows_supported"]
+
+# Finite "excluded candidate" logit for the PRUNED variant (full CrossCLR:
+# influential negatives and the self column are dropped, not zeroed —
+# functional._pruned_direction_rows semantics).  Real logits are bounded
+# by |s| ≤ 3333 under the CLIP temperature clamp, so −1e9 never collides;
+# exp(−1e9 − m) underflows to exactly 0.0, and unlike −inf it keeps the
+# running max and the p⊙z temperature-gradient products NaN-free
+# (0 · −1e9 = −0.0, while 0 · −inf would be NaN).
+_MASKED = -1e9
 
 
 def _global_ids(i, j, off_ref, tb: int, tc: int, transposed: bool = False):
@@ -69,20 +78,19 @@ def _global_ids(i, j, off_ref, tb: int, tc: int, transposed: bool = False):
 
 
 def _rows_lse_kernel(
-    off_ref,
-    s_ref,
-    a_row_ref,
-    o_all_ref,
-    a_all_ref,
-    lse_ref,
-    m_scr,
-    l_scr,
-    *,
+    *refs,
     neg_weight,
     tb,
     tc,
     precision,
+    pruned,
 ):
+    if pruned:
+        (off_ref, s_ref, ki_ref, ka_ref, a_row_ref, o_all_ref, a_all_ref,
+         lse_ref, m_scr, l_scr) = refs
+    else:
+        (off_ref, s_ref, a_row_ref, o_all_ref, a_all_ref,
+         lse_ref, m_scr, l_scr) = refs
     i = pl.program_id(0)
     j = pl.program_id(1)
     nj = pl.num_programs(1)
@@ -97,7 +105,14 @@ def _rows_lse_kernel(
     inter = scale * _dot_nt(a_i, o_all_ref[:], precision)
     intra = (neg_weight * scale) * _dot_nt(a_i, a_all_ref[:], precision)
     rows, cols = _global_ids(i, j, off_ref, tb, tc)
-    intra = jnp.where(rows == cols, 0.0, intra)  # parity: zeroed, not dropped
+    if pruned:
+        # full-CrossCLR: pruned negatives and the self column are DROPPED
+        # (−1e9 ⇒ exp underflows to 0); the positive diagonal always kept
+        on_diag = rows == cols
+        inter = jnp.where((ki_ref[:] > 0.5) | on_diag, inter, _MASKED)
+        intra = jnp.where((ka_ref[:] > 0.5) & ~on_diag, intra, _MASKED)
+    else:
+        intra = jnp.where(rows == cols, 0.0, intra)  # parity: zeroed, not dropped
 
     m_prev = m_scr[:]
     m_new = jnp.maximum(
@@ -126,23 +141,19 @@ def _rows_lse_kernel(
 
 
 def _rows_bwd_rows_kernel(
-    off_ref,
-    s_ref,
-    a_row_ref,
-    lse_row_ref,
-    g_row_ref,
-    o_all_ref,
-    a_all_ref,
-    out_ref,
-    ds_row_ref,
-    acc_scr,
-    ds_scr,
-    *,
+    *refs,
     neg_weight,
     tb,
     tc,
     precision,
+    pruned,
 ):
+    if pruned:
+        (off_ref, s_ref, ki_ref, ka_ref, a_row_ref, lse_row_ref, g_row_ref,
+         o_all_ref, a_all_ref, out_ref, ds_row_ref, acc_scr, ds_scr) = refs
+    else:
+        (off_ref, s_ref, a_row_ref, lse_row_ref, g_row_ref,
+         o_all_ref, a_all_ref, out_ref, ds_row_ref, acc_scr, ds_scr) = refs
     i = pl.program_id(0)
     j = pl.program_id(1)
     nj = pl.num_programs(1)
@@ -158,14 +169,26 @@ def _rows_bwd_rows_kernel(
     a_j = a_all_ref[:]
     lse_i = lse_row_ref[:]
     g_i = g_row_ref[:]
+    rows, cols = _global_ids(i, j, off_ref, tb, tc)
 
     z_inter = scale * _dot_nt(a_i, o_j, precision)
+    if pruned:
+        # masked z = −1e9 makes p underflow to exactly 0: excluded
+        # candidates get no feature gradient and contribute 0 to dτ
+        z_inter = jnp.where(
+            (ki_ref[:] > 0.5) | (rows == cols), z_inter, _MASKED
+        )
     p = g_i * jnp.exp(z_inter - lse_i)
     acc = jnp.dot(p, o_j, preferred_element_type=jnp.float32, precision=precision)
 
     z_intra = (neg_weight * scale) * _dot_nt(a_i, a_j, precision)
-    rows, cols = _global_ids(i, j, off_ref, tb, tc)
-    q = jnp.where(rows == cols, 0.0, g_i * jnp.exp(z_intra - lse_i))
+    if pruned:
+        z_intra = jnp.where(
+            (ka_ref[:] > 0.5) & (rows != cols), z_intra, _MASKED
+        )
+        q = g_i * jnp.exp(z_intra - lse_i)
+    else:
+        q = jnp.where(rows == cols, 0.0, g_i * jnp.exp(z_intra - lse_i))
     acc = acc + neg_weight * jnp.dot(
         q, a_j, preferred_element_type=jnp.float32, precision=precision
     )
@@ -191,28 +214,25 @@ def _rows_bwd_rows_kernel(
 
 
 def _rows_bwd_cols_kernel(
-    off_ref,
-    s_ref,
-    o_all_ref,
-    a_all_ref,
-    a_row_ref,
-    lse_rowT_ref,
-    g_rowT_ref,
-    d_o_ref,
-    d_a_ref,
-    do_scr,
-    da_scr,
-    *,
+    *refs,
     neg_weight,
     tb,
     tc,
     precision,
+    pruned,
 ):
     # grid is (col tiles, row tiles): j parallel, i arbitrary.  Everything
     # is computed in TRANSPOSED orientation ([TC, TB] logits, row factors
     # as (1, TB) lane vectors): a dim-0 contraction (Pᵀ·A) or an in-kernel
     # transpose costs Mosaic a lossy/slow relayout — see the symmetric
-    # backward kernel's layout note.
+    # backward kernel's layout note.  The pruning masks therefore arrive
+    # pre-shaped as [TC, 1] sublane vectors (candidates on axis 0).
+    if pruned:
+        (off_ref, s_ref, kiT_ref, kaT_ref, o_all_ref, a_all_ref, a_row_ref,
+         lse_rowT_ref, g_rowT_ref, d_o_ref, d_a_ref, do_scr, da_scr) = refs
+    else:
+        (off_ref, s_ref, o_all_ref, a_all_ref, a_row_ref,
+         lse_rowT_ref, g_rowT_ref, d_o_ref, d_a_ref, do_scr, da_scr) = refs
     j = pl.program_id(0)
     i = pl.program_id(1)
     ni = pl.num_programs(1)
@@ -228,17 +248,27 @@ def _rows_bwd_cols_kernel(
     a_j = a_all_ref[:]  # [TC, D]
     lse_iT = lse_rowT_ref[:]  # [1, TB]
     g_iT = g_rowT_ref[:]  # [1, TB]
+    row_ids, cand_ids = _global_ids(i, j, off_ref, tb, tc, transposed=True)
 
     # zT[c, r] = s·o_c·a_r — transposed inter logits
     zT_inter = scale * _dot_nt(o_j, a_i, precision)  # [TC, TB]
+    if pruned:
+        zT_inter = jnp.where(
+            (kiT_ref[:] > 0.5) | (cand_ids == row_ids), zT_inter, _MASKED
+        )
     pT = g_iT * jnp.exp(zT_inter - lse_iT)
     do_scr[:] = do_scr[:] + _dot(pT, a_i, precision)  # [TC, D]
 
     zT_intra = (neg_weight * scale) * _dot_nt(a_j, a_i, precision)
-    row_ids, cand_ids = _global_ids(i, j, off_ref, tb, tc, transposed=True)
-    qT = jnp.where(
-        cand_ids == row_ids, 0.0, g_iT * jnp.exp(zT_intra - lse_iT)
-    )
+    if pruned:
+        zT_intra = jnp.where(
+            (kaT_ref[:] > 0.5) & (cand_ids != row_ids), zT_intra, _MASKED
+        )
+        qT = g_iT * jnp.exp(zT_intra - lse_iT)
+    else:
+        qT = jnp.where(
+            cand_ids == row_ids, 0.0, g_iT * jnp.exp(zT_intra - lse_iT)
+        )
     da_scr[:] = da_scr[:] + neg_weight * _dot(qT, a_i, precision)
 
     @pl.when(i == ni - 1)
@@ -263,20 +293,27 @@ def _off_spec():
     return pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM)
 
 
-def _rows_lse_fwd(anchor_rows, anchor_all, other_all, off, s_arr, neg_weight,
-                  tb, tc, interpret, precision):
+def _rows_lse_fwd(anchor_rows, anchor_all, other_all, off, s_arr, ki, ka,
+                  neg_weight, tb, tc, interpret, precision, pruned):
     bl, d = anchor_rows.shape
     bg = anchor_all.shape[0]
     kernel = functools.partial(
         _rows_lse_kernel, neg_weight=neg_weight, tb=tb, tc=tc,
-        precision=_resolve_precision(precision),
+        precision=_resolve_precision(precision), pruned=pruned,
     )
+    mask_specs = (
+        [pl.BlockSpec((1, tc), lambda i, j: (0, j), memory_space=pltpu.VMEM)] * 2
+        if pruned
+        else []
+    )
+    mask_args = (ki, ka) if pruned else ()
     return pl.pallas_call(
         kernel,
         grid=(bl // tb, bg // tc),
         in_specs=[
             _off_spec(),
             _off_spec(),
+            *mask_specs,
             pl.BlockSpec((tb, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tc, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tc, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
@@ -289,24 +326,31 @@ def _rows_lse_fwd(anchor_rows, anchor_all, other_all, off, s_arr, neg_weight,
         ],
         compiler_params=_compiler_params(),
         interpret=interpret,
-    )(off, s_arr, anchor_rows, other_all, anchor_all)
+    )(off, s_arr, *mask_args, anchor_rows, other_all, anchor_all)
 
 
-def _rows_bwd(anchor_rows, anchor_all, other_all, off, s_arr, lse, g,
-              neg_weight, tb, tc, interpret, precision):
+def _rows_bwd(anchor_rows, anchor_all, other_all, off, s_arr, ki, ka, lse, g,
+              neg_weight, tb, tc, interpret, precision, pruned):
     bl, d = anchor_rows.shape
     bg = anchor_all.shape[0]
     prec = _resolve_precision(precision)
 
+    row_mask_specs = (
+        [pl.BlockSpec((1, tc), lambda i, j: (0, j), memory_space=pltpu.VMEM)] * 2
+        if pruned
+        else []
+    )
+    row_mask_args = (ki, ka) if pruned else ()
     d_rows, ds_rows = pl.pallas_call(
         functools.partial(
             _rows_bwd_rows_kernel, neg_weight=neg_weight,
-            tb=tb, tc=tc, precision=prec,
+            tb=tb, tc=tc, precision=prec, pruned=pruned,
         ),
         grid=(bl // tb, bg // tc),
         in_specs=[
             _off_spec(),
             _off_spec(),
+            *row_mask_specs,
             pl.BlockSpec((tb, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tb, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tb, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
@@ -327,19 +371,29 @@ def _rows_bwd(anchor_rows, anchor_all, other_all, off, s_arr, lse, g,
         ],
         compiler_params=_compiler_params(),
         interpret=interpret,
-    )(off, s_arr, anchor_rows, lse, g, other_all, anchor_all)
+    )(off, s_arr, *row_mask_args, anchor_rows, lse, g, other_all, anchor_all)
 
     lse_t = lse.reshape(1, bl)
     g_t = g.reshape(1, bl)
+    # the transposed kernel wants per-candidate masks as [BG, 1] sublane
+    # vectors (candidates on axis 0) — reshaped OUTSIDE the kernel, where
+    # the relayout is an ordinary cheap XLA op
+    col_mask_specs = (
+        [pl.BlockSpec((tc, 1), lambda j, i: (j, 0), memory_space=pltpu.VMEM)] * 2
+        if pruned
+        else []
+    )
+    col_mask_args = (ki.reshape(bg, 1), ka.reshape(bg, 1)) if pruned else ()
     d_other, d_anchor_all = pl.pallas_call(
         functools.partial(
             _rows_bwd_cols_kernel, neg_weight=neg_weight,
-            tb=tb, tc=tc, precision=prec,
+            tb=tb, tc=tc, precision=prec, pruned=pruned,
         ),
         grid=(bg // tc, bl // tb),
         in_specs=[
             _off_spec(),
             _off_spec(),
+            *col_mask_specs,
             pl.BlockSpec((tc, d), lambda j, i: (j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tc, d), lambda j, i: (j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tb, d), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
@@ -360,36 +414,40 @@ def _rows_bwd(anchor_rows, anchor_all, other_all, off, s_arr, lse, g,
         ],
         compiler_params=_compiler_params(),
         interpret=interpret,
-    )(off, s_arr, other_all, anchor_all, anchor_rows, lse_t, g_t)
+    )(
+        off, s_arr, *col_mask_args,
+        other_all, anchor_all, anchor_rows, lse_t, g_t,
+    )
 
     return d_rows, d_anchor_all, d_other, ds_rows
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
-def _fused_lse_rows(anchor_rows, anchor_all, other_all, off, s_arr,
-                    neg_weight, tb, tc, interpret, precision):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12))
+def _fused_lse_rows(anchor_rows, anchor_all, other_all, off, s_arr, ki, ka,
+                    neg_weight, tb, tc, interpret, precision, pruned):
     return _rows_lse_fwd(
-        anchor_rows, anchor_all, other_all, off, s_arr,
-        neg_weight, tb, tc, interpret, precision,
+        anchor_rows, anchor_all, other_all, off, s_arr, ki, ka,
+        neg_weight, tb, tc, interpret, precision, pruned,
     )
 
 
 def _fused_lse_rows_fwd(anchor_rows, anchor_all, other_all, off, s_arr,
-                        neg_weight, tb, tc, interpret, precision):
+                        ki, ka, neg_weight, tb, tc, interpret, precision,
+                        pruned):
     lse = _fused_lse_rows(
-        anchor_rows, anchor_all, other_all, off, s_arr,
-        neg_weight, tb, tc, interpret, precision,
+        anchor_rows, anchor_all, other_all, off, s_arr, ki, ka,
+        neg_weight, tb, tc, interpret, precision, pruned,
     )
-    return lse, (anchor_rows, anchor_all, other_all, off, s_arr, lse)
+    return lse, (anchor_rows, anchor_all, other_all, off, s_arr, ki, ka, lse)
 
 
-def _fused_lse_rows_bwd(neg_weight, tb, tc, interpret, precision,
+def _fused_lse_rows_bwd(neg_weight, tb, tc, interpret, precision, pruned,
                         residuals, g):
-    anchor_rows, anchor_all, other_all, off, s_arr, lse = residuals
+    anchor_rows, anchor_all, other_all, off, s_arr, ki, ka, lse = residuals
     g = jnp.asarray(g, jnp.float32).reshape(-1, 1)
     d_rows, d_anchor_all, d_other, ds_rows = _rows_bwd(
-        anchor_rows, anchor_all, other_all, off, s_arr, lse, g,
-        neg_weight, tb, tc, interpret, precision,
+        anchor_rows, anchor_all, other_all, off, s_arr, ki, ka, lse, g,
+        neg_weight, tb, tc, interpret, precision, pruned,
     )
     # kernel rows accumulate Σ g·(p⊙z) = s · dL/ds per row
     ds = (jnp.sum(ds_rows) / s_arr[0, 0]).reshape(s_arr.shape)
@@ -399,6 +457,8 @@ def _fused_lse_rows_bwd(neg_weight, tb, tc, interpret, precision,
         d_other.astype(other_all.dtype),
         jnp.zeros_like(off),  # fp32 offset: no gradient
         ds,
+        jnp.zeros_like(ki),  # 0/1 prune masks: no gradient
+        jnp.zeros_like(ka),
     )
 
 
@@ -423,6 +483,8 @@ def fused_lse_rows(
     interpret: bool = False,
     precision: str | None = None,
     tiles: tuple[int, int] | None = None,
+    keep_inter: jax.Array | None = None,
+    keep_intra: jax.Array | None = None,
 ) -> jax.Array:
     """Per-row logsumexp of the global-candidate CrossCLR direction.
 
@@ -432,6 +494,13 @@ def fused_lse_rows(
     Python float (static) or a traced scalar (learnable).  Returns
     [b_loc, 1] fp32.  Differentiable w.r.t. all three feature arrays AND
     the temperature (exact, via the rematerializing backward kernels).
+
+    ``keep_inter`` / ``keep_intra`` (both or neither): [B] bool masks for
+    the FULL-CrossCLR pruned variant — False columns are excluded (−inf
+    semantics, matching functional._pruned_direction_rows: pruned
+    influential negatives and the self column drop out entirely; the
+    positive diagonal is always kept).  Without masks, the released-loss
+    semantics apply (self column's intra logit zeroed, not dropped).
     """
     bl, d = anchor_rows.shape
     bg = anchor_all.shape[0]
@@ -472,6 +541,15 @@ def fused_lse_rows(
         anchor_rows = jnp.pad(anchor_rows, ((0, 0), (0, pad)))
         anchor_all = jnp.pad(anchor_all, ((0, 0), (0, pad)))
         other_all = jnp.pad(other_all, ((0, 0), (0, pad)))
+    if (keep_inter is None) != (keep_intra is None):
+        raise ValueError("pass both keep masks or neither")
+    pruned = keep_inter is not None
+    if pruned:
+        ki = jnp.asarray(keep_inter, jnp.float32).reshape(1, bg)
+        ka = jnp.asarray(keep_intra, jnp.float32).reshape(1, bg)
+    else:
+        # dummies keep the custom_vjp signature fixed; never fed to Pallas
+        ki = ka = jnp.zeros((1, 1), jnp.float32)
     # fp32 scalar in SMEM: exactly represents offsets < 2^24
     off = jnp.asarray(row_offset, jnp.float32).reshape(1, 1)
     s_arr = jnp.asarray(scale, jnp.float32).reshape(1, 1)
@@ -482,9 +560,90 @@ def fused_lse_rows(
         other_all.astype(feat_dtype),
         off,
         s_arr,
+        ki,
+        ka,
         negative_weight,
         tb,
         tc,
         interpret,
         precision,
+        pruned,
     )
+
+
+def cross_clr_fused(
+    video_features: jax.Array,
+    text_features: jax.Array,
+    video_inputs: jax.Array | None = None,
+    text_inputs: jax.Array | None = None,
+    *,
+    temperature=0.03,
+    negative_weight: float = 0.8,
+    weight_temperature: float = 0.0035,
+    prune_percent: float = 0.10,
+    interpret: bool = False,
+    precision: str | None = None,
+) -> jax.Array:
+    """Drop-in fused equivalent of ``losses.cross_clr`` (the FULL paper
+    loss: influential-sample pruning + connectivity-weighted positives).
+
+    Connectivity scoring, the pruning quantile, and the positive-weight
+    softmax are plain jnp (they touch only ``[B]``/``[B, D]`` data); the
+    hot ``[B, 2B]`` masked-logsumexp rows run through the pruned rect
+    kernels at offset 0 (anchors == candidates), so the masked logits
+    never materialize in HBM.  Falls back to ``losses.cross_clr`` when
+    the shape is outside the kernels' tiling.  ``temperature`` may be a
+    traced scalar (learnable); dτ is exact.
+    """
+    from ..losses.functional import (
+        connectivity_scores,
+        cross_clr as _cross_clr_jnp,
+        l2_normalize,
+    )
+
+    b, d = video_features.shape
+    if not interpret and not rows_supported(b, b, d):
+        return _cross_clr_jnp(
+            video_features, text_features, video_inputs, text_inputs,
+            temperature=temperature, negative_weight=negative_weight,
+            weight_temperature=weight_temperature,
+            prune_percent=prune_percent,
+        )
+
+    if video_inputs is None:
+        video_inputs = video_features
+    if text_inputs is None:
+        text_inputs = text_features
+
+    v = l2_normalize(video_features.astype(jnp.float32), axis=1)
+    t = l2_normalize(text_features.astype(jnp.float32), axis=1)
+    c_v = connectivity_scores(video_inputs)
+    c_t = connectivity_scores(text_inputs)
+    if prune_percent > 0.0:
+        q = 1.0 - prune_percent
+        keep_v = c_v <= jnp.quantile(c_v, q)
+        keep_t = c_t <= jnp.quantile(c_t, q)
+    else:
+        keep_v = jnp.ones((b,), dtype=bool)
+        keep_t = jnp.ones((b,), dtype=bool)
+
+    off = jnp.zeros((), jnp.float32)
+    kw = dict(
+        temperature=temperature,
+        negative_weight=negative_weight,
+        interpret=interpret,
+        precision=precision,
+    )
+    # video anchors: inter columns are text samples (pruned by keep_t),
+    # intra columns are video samples (keep_v); symmetric for text
+    lse_v = fused_lse_rows(v, v, t, off, keep_inter=keep_t,
+                           keep_intra=keep_v, **kw)[:, 0]
+    lse_t = fused_lse_rows(t, t, v, off, keep_inter=keep_v,
+                           keep_intra=keep_t, **kw)[:, 0]
+    pos = jnp.sum(v * t, axis=1) / temperature
+    loss_v = lse_v - pos
+    loss_t = lse_t - pos
+
+    w_v = jax.nn.softmax(c_v / weight_temperature) * b
+    w_t = jax.nn.softmax(c_t / weight_temperature) * b
+    return (jnp.mean(w_v * loss_v) + jnp.mean(w_t * loss_t)) / 2

@@ -113,7 +113,27 @@ def make_loss_fn(cfg: TrainConfig, mesh: Mesh | None = None) -> Callable:
             negative_weight=cfg.negative_weight,
             precision=cfg.loss_precision,
         )
-    if cfg.loss == "crossclr":
+    if cfg.loss in ("crossclr", "crossclr_fused"):
+        # same GSPMD caveat as crossclr_intra_fused: under plain jit over a
+        # multi-device mesh a pallas_call cannot be partitioned — the jnp
+        # math runs there; shard_map (global negatives) feeds kernels
+        # per-device instead
+        multi_device_gspmd = mesh is not None and mesh.devices.size > 1
+        if cfg.loss == "crossclr_fused" and not multi_device_gspmd:
+            from ..ops.fused_global import cross_clr_fused
+
+            return lambda v, t, vr=None, tr=None, temperature=None: cross_clr_fused(
+                v,
+                t,
+                vr,
+                tr,
+                temperature=_temp(temperature),
+                negative_weight=cfg.negative_weight,
+                weight_temperature=cfg.weight_temperature,
+                prune_percent=cfg.prune_percent,
+                interpret=jax.default_backend() != "tpu",
+                precision=cfg.loss_precision,
+            )
         return lambda v, t, vr=None, tr=None, temperature=None: F.cross_clr(
             v,
             t,
@@ -141,6 +161,7 @@ def make_loss_fn(cfg: TrainConfig, mesh: Mesh | None = None) -> Callable:
 _TRACED_TEMP_LOSSES = (
     "crossclr_intra",
     "crossclr",
+    "crossclr_fused",
     "info_nce",
     "crossclr_intra_fused",
 )
@@ -173,6 +194,8 @@ def _global_cross_clr_loss(
         weight_temperature=cfg.weight_temperature,
         prune_percent=cfg.prune_percent,
         candidate_chunk=cfg.global_candidate_chunk,
+        use_fused=cfg.loss == "crossclr_fused",
+        precision=cfg.loss_precision,
     )
     return total / (2 * n)
 
@@ -393,7 +416,10 @@ class Trainer:
             and cfg.global_negatives
             and mesh.shape[DATA_AXIS] > 1
             and mesh.shape[MODEL_AXIS] == 1  # tp runs under plain GSPMD jit
-            and cfg.loss in ("crossclr_intra", "crossclr_intra_fused", "crossclr")
+            and cfg.loss in (
+                "crossclr_intra", "crossclr_intra_fused",
+                "crossclr", "crossclr_fused",
+            )
         )
 
         needs_dropout = (
@@ -448,7 +474,7 @@ class Trainer:
                 # temperature with no path back) is never needed
                 temp = cfg.temperature / jnp.exp(params["logit_scale"])
             if use_global:
-                if cfg.loss == "crossclr":
+                if cfg.loss in ("crossclr", "crossclr_fused"):
                     loss = _global_cross_clr_loss(
                         v_emb, t_emb, batch["video"], batch["text"],
                         cfg, DATA_AXIS, temperature=temp,

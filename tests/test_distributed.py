@@ -278,3 +278,38 @@ def test_trainer_global_cross_clr_matches_single_device(rng):
     np.testing.assert_allclose(
         float(m_sh["grad_norm"]), float(m_1["grad_norm"]), rtol=1e-3
     )
+
+
+@needs_multidevice
+def test_global_cross_clr_fused_matches_single_device(rng):
+    """Full CrossCLR over the mesh with use_fused=True (pruned rect
+    kernels, interpret mode on CPU): loss AND gradients equal the
+    single-device losses.cross_clr on the concatenated batch."""
+    from crossclr_tpu.losses import cross_clr
+    from crossclr_tpu.parallel import global_cross_clr
+
+    mesh = make_mesh()
+    b, d = 64, 32
+    v = jnp.asarray(rng.standard_normal((b, d)), jnp.float32)
+    t = jnp.asarray(rng.standard_normal((b, d)), jnp.float32)
+    vi = jnp.asarray(rng.standard_normal((b, 40)), jnp.float32)
+    ti = jnp.asarray(rng.standard_normal((b, 24)), jnp.float32)
+    sharding = data_sharding(mesh)
+    vs, ts = jax.device_put(v, sharding), jax.device_put(t, sharding)
+    vis, tis = jax.device_put(vi, sharding), jax.device_put(ti, sharding)
+
+    def fused(a, b_):
+        return global_cross_clr(
+            a, b_, vis, tis, mesh=mesh, use_fused=True, interpret=True
+        )
+
+    want_v, want_g = jax.value_and_grad(
+        lambda a, b_: cross_clr(a, b_, vi, ti), argnums=(0, 1)
+    )(v, t)
+    got_v, got_g = jax.value_and_grad(fused, argnums=(0, 1))(vs, ts)
+    np.testing.assert_allclose(float(got_v), float(want_v), rtol=2e-5, atol=2e-5)
+    for g_got, g_want, name in zip(got_g, want_g, ("d_v", "d_t")):
+        np.testing.assert_allclose(
+            np.asarray(g_got), np.asarray(g_want), rtol=1e-4, atol=1e-6,
+            err_msg=name,
+        )

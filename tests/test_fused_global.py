@@ -130,6 +130,77 @@ def test_traced_temperature_gradient_matches_autodiff(rng):
         )
 
 
+def test_pruned_masks_match_jnp_reference(rng):
+    """The PRUNED variant (full-CrossCLR semantics: influential negatives
+    and the self column dropped, positive diagonal always kept) matches
+    parallel.global_loss.pruned_rows_global — forward, all three feature
+    gradients, AND dτ."""
+    from crossclr_tpu.parallel.global_loss import pruned_rows_global
+
+    v_all, t_all, b_loc = _setup(rng, b_loc=64, b_glob=256, d=16)
+    keep_i = jnp.asarray(rng.random(256) > 0.15)
+    keep_a = jnp.asarray(rng.random(256) > 0.15)
+    offset = 2 * b_loc
+    rows = v_all[offset : offset + b_loc]
+
+    def fused(tau, r, va, ta):
+        lse = fused_lse_rows(
+            r, va, ta, jnp.asarray(offset), temperature=tau,
+            interpret=INTERPRET, keep_inter=keep_i, keep_intra=keep_a,
+        )[:, 0]
+        pos = jnp.sum(
+            r * jax.lax.dynamic_slice_in_dim(ta, offset, b_loc), axis=1
+        ) / tau
+        return jnp.sum(lse - pos)
+
+    def ref(tau, r, va, ta):
+        return jnp.sum(
+            pruned_rows_global(
+                r, ta, va, keep_i, keep_a, offset,
+                temperature=tau, negative_weight=0.8,
+            )
+        )
+
+    tau = jnp.asarray(0.05, jnp.float32)
+    fv, fg = jax.value_and_grad(fused, argnums=(0, 1, 2, 3))(tau, rows, v_all, t_all)
+    rv, rg = jax.value_and_grad(ref, argnums=(0, 1, 2, 3))(tau, rows, v_all, t_all)
+    np.testing.assert_allclose(float(fv), float(rv), rtol=2e-5)
+    rtol, atol = (2e-3, 5e-5) if ON_TPU else (2e-4, 2e-5)
+    for g, w, name in zip(fg, rg, ("d_tau", "d_rows", "d_v_all", "d_t_all")):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(w), rtol=rtol, atol=atol, err_msg=name
+        )
+
+
+def test_cross_clr_fused_matches_jnp(rng):
+    """ops.cross_clr_fused (pruned kernels at offset 0) == losses.cross_clr
+    on the same batch — values and gradients, including the raw-input
+    connectivity path."""
+    from crossclr_tpu.losses import cross_clr
+    from crossclr_tpu.ops import cross_clr_fused
+
+    b, d = 64, 32
+    v = jnp.asarray(rng.standard_normal((b, d)), jnp.float32)
+    t = jnp.asarray(rng.standard_normal((b, d)), jnp.float32)
+    vi = jnp.asarray(rng.standard_normal((b, 40)), jnp.float32)
+    ti = jnp.asarray(rng.standard_normal((b, 24)), jnp.float32)
+
+    def fused(a, b_):
+        return cross_clr_fused(a, b_, vi, ti, interpret=INTERPRET)
+
+    def ref(a, b_):
+        return cross_clr(a, b_, vi, ti)
+
+    fv, fg = jax.value_and_grad(fused, argnums=(0, 1))(v, t)
+    rv, rg = jax.value_and_grad(ref, argnums=(0, 1))(v, t)
+    np.testing.assert_allclose(float(fv), float(rv), rtol=2e-5)
+    rtol, atol = (2e-3, 5e-5) if ON_TPU else (2e-4, 2e-5)
+    for g, w, name in zip(fg, rg, ("d_v", "d_t")):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(w), rtol=rtol, atol=atol, err_msg=name
+        )
+
+
 def test_nondefault_hparams(rng):
     v_all, t_all, b_loc = _setup(rng)
     rows = v_all[:b_loc]

@@ -383,3 +383,67 @@ def test_encode_multiprocess_dispatch(monkeypatch):
     captured.clear()
     v, t = tr.encode(state, {"video": data.video[:60], "text": data.text[:60]})
     assert not captured and v.shape == (60, 8) and t.shape == (60, 8)
+
+
+def test_crossclr_fused_matches_crossclr_single_device():
+    """loss='crossclr_fused' (pruned rect kernels, interpret off-TPU) takes
+    one step identical to loss='crossclr' (jnp) — the full paper loss has
+    a drop-in fused backend."""
+    from crossclr_tpu.data import SyntheticPairs, epoch_batches
+
+    data = SyntheticPairs(num_pairs=128, video_dim=48, text_dim=32, seed=0)
+    vc = TowerConfig(kind="mlp", input_dim=48, embed_dim=32, hidden_dim=64,
+                     dtype=jnp.float32)
+    tc = TowerConfig(kind="mlp", input_dim=32, embed_dim=32, hidden_dim=64,
+                     dtype=jnp.float32)
+
+    def one_step(loss):
+        cfg = TrainConfig(loss=loss, learning_rate=1e-3, warmup_steps=10,
+                          total_steps=100, temperature=0.1)
+        tr = Trainer(vc, tc, cfg, mesh=None)
+        batch = next(epoch_batches(data, 64, shuffle=False))
+        state = tr.init_state(batch["video"], batch["text"])
+        _, m = tr.train_step(state, batch)
+        return m
+
+    m_f = one_step("crossclr_fused")
+    m_j = one_step("crossclr")
+    np.testing.assert_allclose(
+        float(m_f["loss"]), float(m_j["loss"]), rtol=2e-5, atol=2e-5
+    )
+    np.testing.assert_allclose(
+        float(m_f["grad_norm"]), float(m_j["grad_norm"]), rtol=1e-3
+    )
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_crossclr_fused_global_matches_single_device():
+    """loss='crossclr_fused' + global negatives: the pruned rect kernels
+    run per-device inside shard_map and one step matches the unsharded
+    jnp crossclr step."""
+    from crossclr_tpu.data import SyntheticPairs, epoch_batches
+    from crossclr_tpu.parallel import make_mesh
+
+    data = SyntheticPairs(num_pairs=256, video_dim=48, text_dim=32, seed=0)
+    vc = TowerConfig(kind="mlp", input_dim=48, embed_dim=32, hidden_dim=64,
+                     dtype=jnp.float32)
+    tc = TowerConfig(kind="mlp", input_dim=32, embed_dim=32, hidden_dim=64,
+                     dtype=jnp.float32)
+
+    def one_step(loss, mesh):
+        cfg = TrainConfig(loss=loss, learning_rate=1e-3, warmup_steps=10,
+                          total_steps=100, temperature=0.1)
+        tr = Trainer(vc, tc, cfg, mesh=mesh)
+        batch = next(epoch_batches(data, 64, shuffle=False))
+        state = tr.init_state(batch["video"], batch["text"])
+        _, m = tr.train_step(state, batch)
+        return m
+
+    m_f = one_step("crossclr_fused", make_mesh())
+    m_j = one_step("crossclr", None)
+    np.testing.assert_allclose(
+        float(m_f["loss"]), float(m_j["loss"]), rtol=2e-5, atol=2e-5
+    )
+    np.testing.assert_allclose(
+        float(m_f["grad_norm"]), float(m_j["grad_norm"]), rtol=1e-3
+    )
