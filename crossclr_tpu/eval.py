@@ -30,11 +30,26 @@ def _encode_split(trainer, state, data, batch_size: int):
     """Encode every row of ``data`` in aligned batches -> (v_emb, t_emb)."""
     from .data import epoch_batches
 
+    replicate = None
+    if jax.process_count() > 1 and trainer.mesh is not None:
+        # multi-host: Trainer.encode returns embeddings sharded over the
+        # global mesh; np.asarray on a non-fully-addressable jax.Array
+        # raises.  Replicate first — a fully-replicated array is fetchable
+        # on every host (each host's local shard IS the full value).
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        replicate = jax.jit(
+            lambda a: a,
+            out_shardings=NamedSharding(trainer.mesh, P()),
+        )
+
     v_parts, t_parts = [], []
     for batch in epoch_batches(
         data, batch_size, shuffle=False, drop_remainder=False
     ):
         v, t = trainer.encode(state, batch)
+        if replicate is not None:
+            v, t = replicate(v), replicate(t)
         v_parts.append(np.asarray(v))
         t_parts.append(np.asarray(t))
     return np.concatenate(v_parts, axis=0), np.concatenate(t_parts, axis=0)
@@ -109,9 +124,10 @@ def main(argv: list[str] | None = None) -> int:
     else:
         raise SystemExit(f"unknown data.source {cfg.data.source!r}")
 
-    if args.split == "eval":
+    if args.split == "eval" and cfg.data.eval_fraction > 0:
         # identical split arithmetic to train.py so these are exactly the
-        # rows the training stream never saw
+        # rows the training stream never saw (eval_fraction=0 disables the
+        # holdout in train.py, so 'eval' degrades to the full dataset)
         n_eval = max(int(len(dataset) * cfg.data.eval_fraction), 1)
         if n_eval >= len(dataset):
             raise SystemExit(

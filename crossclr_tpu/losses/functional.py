@@ -49,6 +49,7 @@ __all__ = [
     "cross_clr_intra_per_row",
     "cross_clr",
     "connectivity_scores",
+    "connectivity_keep_and_weights",
     "pooled_unit_inputs",
     "max_margin",
     "info_nce",
@@ -207,6 +208,31 @@ def connectivity_scores(input_features: jax.Array) -> jax.Array:
     return off_sum / jnp.maximum(b - 1, 1)
 
 
+def connectivity_keep_and_weights(
+    conn: jax.Array,
+    *,
+    prune_percent: float,
+    weight_temperature: float,
+) -> tuple[jax.Array, jax.Array]:
+    """Keep mask + mean-one positive weights from a connectivity vector.
+
+    Samples above the ``1 − prune_percent`` quantile are influential →
+    pruned from the negative sets (``keep = False``); weights are
+    ``softmax(conn / τ_w) · N`` so the weighted row-loss mean stays scaled
+    like a plain mean.  SINGLE source of truth for this arithmetic — the
+    jnp loss (cross_clr), the fused kernels (ops.cross_clr_fused), and the
+    global-batch path (parallel.global_cross_clr_row_terms) must all stay
+    numerically identical.
+    """
+    n = conn.shape[0]
+    if prune_percent > 0.0:
+        keep = conn <= jnp.quantile(conn, 1.0 - prune_percent)
+    else:
+        keep = jnp.ones((n,), dtype=bool)
+    weights = jax.nn.softmax(conn / weight_temperature) * n
+    return keep, weights
+
+
 def _pruned_direction_rows(
     inter_sim: jax.Array,
     anchor_sim: jax.Array,
@@ -284,19 +310,16 @@ def cross_clr(
     sim_vv = _matmul(v, v.T)
     sim_tt = _matmul(t, t.T)
 
-    b = sim_vt.shape[0]
     c_v = connectivity_scores(video_inputs)
     c_t = connectivity_scores(text_inputs)
-
-    if prune_percent > 0.0:
-        q = 1.0 - prune_percent
-        thr_v = jnp.quantile(c_v, q)
-        thr_t = jnp.quantile(c_t, q)
-        keep_v = c_v <= thr_v
-        keep_t = c_t <= thr_t
-    else:
-        keep_v = jnp.ones((b,), dtype=bool)
-        keep_t = jnp.ones((b,), dtype=bool)
+    keep_v, w_v = connectivity_keep_and_weights(
+        c_v, prune_percent=prune_percent,
+        weight_temperature=weight_temperature,
+    )
+    keep_t, w_t = connectivity_keep_and_weights(
+        c_t, prune_percent=prune_percent,
+        weight_temperature=weight_temperature,
+    )
 
     # video anchors: inter columns are text samples (prune by keep_t),
     # intra columns are video samples (prune by keep_v); symmetric for text
@@ -306,9 +329,6 @@ def cross_clr(
     loss_t = _pruned_direction_rows(
         sim_vt.T, sim_tt, keep_v, keep_t, temperature, negative_weight
     )
-
-    w_v = jax.nn.softmax(c_v / weight_temperature) * b
-    w_t = jax.nn.softmax(c_t / weight_temperature) * b
     return (jnp.mean(w_v * loss_v) + jnp.mean(w_t * loss_t)) / 2
 
 

@@ -27,8 +27,10 @@ arrays so every in-kernel view is natively 2D — no 1D iota/reshape traps.
 Key padding masks are supported (``[B, S]``, 1 = valid); masked logits
 are −inf so their probability is exactly zero, and fully-masked query
 rows emit zeros instead of NaN.  Attention-probability dropout is NOT
-supported on this path — the tower falls back to the XLA path when
-``dropout > 0`` at train time.
+supported on this path (it cannot be fused into an online softmax) —
+towers using it apply dropout to the attention OUTPUT instead
+(models/encoders.py:_MHA), which regularizes but is not the XLA path's
+probability dropout.
 
 Off-TPU the public entry runs the same math in jnp (or the kernel under
 ``interpret=True`` for tests).

@@ -596,13 +596,17 @@ def cross_clr_fused(
     traced scalar (learnable); dτ is exact.
     """
     from ..losses.functional import (
+        connectivity_keep_and_weights,
         connectivity_scores,
         cross_clr as _cross_clr_jnp,
         l2_normalize,
     )
 
     b, d = video_features.shape
-    if not interpret and not rows_supported(b, b, d):
+    # interpret mode accepts any 8-divisible batch (small interpreter
+    # tiles); compiled kernels need the real tiling
+    supported = b % 8 == 0 if interpret else rows_supported(b, b, d)
+    if not supported:
         return _cross_clr_jnp(
             video_features, text_features, video_inputs, text_inputs,
             temperature=temperature, negative_weight=negative_weight,
@@ -619,13 +623,14 @@ def cross_clr_fused(
     t = l2_normalize(text_features.astype(jnp.float32), axis=1)
     c_v = connectivity_scores(video_inputs)
     c_t = connectivity_scores(text_inputs)
-    if prune_percent > 0.0:
-        q = 1.0 - prune_percent
-        keep_v = c_v <= jnp.quantile(c_v, q)
-        keep_t = c_t <= jnp.quantile(c_t, q)
-    else:
-        keep_v = jnp.ones((b,), dtype=bool)
-        keep_t = jnp.ones((b,), dtype=bool)
+    keep_v, w_v = connectivity_keep_and_weights(
+        c_v, prune_percent=prune_percent,
+        weight_temperature=weight_temperature,
+    )
+    keep_t, w_t = connectivity_keep_and_weights(
+        c_t, prune_percent=prune_percent,
+        weight_temperature=weight_temperature,
+    )
 
     off = jnp.zeros((), jnp.float32)
     kw = dict(
@@ -643,7 +648,4 @@ def cross_clr_fused(
     pos = jnp.sum(v * t, axis=1) / temperature
     loss_v = lse_v - pos
     loss_t = lse_t - pos
-
-    w_v = jax.nn.softmax(c_v / weight_temperature) * b
-    w_t = jax.nn.softmax(c_t / weight_temperature) * b
     return (jnp.mean(w_v * loss_v) + jnp.mean(w_t * loss_t)) / 2

@@ -298,20 +298,18 @@ def global_cross_clr_row_terms(
     c_v_all = jax.lax.all_gather(conn(xv, xv_all), axis, tiled=True)  # [n]
     c_t_all = jax.lax.all_gather(conn(xt, xt_all), axis, tiled=True)
 
-    if prune_percent > 0.0:
-        q = 1.0 - prune_percent
-        keep_v = c_v_all <= jnp.quantile(c_v_all, q)
-        keep_t = c_t_all <= jnp.quantile(c_t_all, q)
-    else:
-        keep_v = jnp.ones((n,), dtype=bool)
-        keep_t = jnp.ones((n,), dtype=bool)
+    from ..losses.functional import connectivity_keep_and_weights
 
-    w_v_loc = jax.lax.dynamic_slice(
-        jax.nn.softmax(c_v_all / weight_temperature) * n, (offset,), (b_loc,)
+    keep_v, w_v_all = connectivity_keep_and_weights(
+        c_v_all, prune_percent=prune_percent,
+        weight_temperature=weight_temperature,
     )
-    w_t_loc = jax.lax.dynamic_slice(
-        jax.nn.softmax(c_t_all / weight_temperature) * n, (offset,), (b_loc,)
+    keep_t, w_t_all = connectivity_keep_and_weights(
+        c_t_all, prune_percent=prune_percent,
+        weight_temperature=weight_temperature,
     )
+    w_v_loc = jax.lax.dynamic_slice(w_v_all, (offset,), (b_loc,))
+    w_t_loc = jax.lax.dynamic_slice(w_t_all, (offset,), (b_loc,))
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"

@@ -137,22 +137,40 @@ def sequence_parallel_attention(
     Under jit/GSPMD this composes with position-wise layers that keep
     activations sequence-sharded; communication is ``n_devices − 1``
     neighbor ppermutes of one K/V block each — the ICI-friendly layout.
+
+    The BATCH dim is kept sharded over the ``data`` mesh axis whenever it
+    divides evenly (decided at trace time from static shapes): a
+    batch-replicated spec would make GSPMD all-gather the activations over
+    ``data`` and run the full-batch ring on every data-parallel device —
+    redundant compute that defeats the dp×sp layout.  Odd batches (e.g.
+    remainder eval batches) fall back to the replicated spec.
     """
+    from .mesh import DATA_AXIS
+
+    bspec = None
+    if (
+        DATA_AXIS in mesh.shape
+        and mesh.shape[DATA_AXIS] > 1
+        and axis != DATA_AXIS
+        and q.shape[0] % mesh.shape[DATA_AXIS] == 0
+    ):
+        bspec = DATA_AXIS
+
     in_specs = [
-        P(None, None, axis, None),
-        P(None, None, axis, None),
-        P(None, None, axis, None),
+        P(bspec, None, axis, None),
+        P(bspec, None, axis, None),
+        P(bspec, None, axis, None),
     ]
     args = [q, k, v]
     if mask is not None:
-        in_specs.append(P(None, axis))
+        in_specs.append(P(bspec, axis))
         args.append(mask)
 
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
         in_specs=tuple(in_specs),
-        out_specs=P(None, None, axis, None),
+        out_specs=P(bspec, None, axis, None),
     )
     def _sharded(*local):
         m = local[3] if len(local) > 3 else None

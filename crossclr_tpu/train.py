@@ -88,14 +88,26 @@ def main(argv: list[str] | None = None) -> int:
         raise SystemExit(f"unknown data.source {cfg.data.source!r}")
 
     # held-out eval split: eval/R@K must measure retrieval on UNSEEN pairs,
-    # so the eval rows are excluded from the train stream entirely
-    n_eval = max(int(len(dataset) * cfg.data.eval_fraction), 1)
-    if n_eval >= len(dataset):
-        raise SystemExit(
-            f"data.eval_fraction {cfg.data.eval_fraction} leaves no train "
-            f"rows (dataset has {len(dataset)})"
-        )
-    train_data, eval_data = train_eval_split(dataset, n_eval)
+    # so the eval rows are excluded from the train stream entirely.
+    # eval_fraction=0 disables the holdout: trains on every row and
+    # evaluates on the train rows (a memorization diagnostic, not
+    # retrieval quality — stated on stderr so nobody mistakes the number)
+    if cfg.data.eval_fraction > 0:
+        n_eval = max(int(len(dataset) * cfg.data.eval_fraction), 1)
+        if n_eval >= len(dataset):
+            raise SystemExit(
+                f"data.eval_fraction {cfg.data.eval_fraction} leaves no train "
+                f"rows (dataset has {len(dataset)})"
+            )
+        train_data, eval_data = train_eval_split(dataset, n_eval)
+    else:
+        train_data = eval_data = dataset
+        if jax.process_index() == 0:
+            print(
+                "data.eval_fraction=0: no held-out split; eval/R@K measures "
+                "memorization of training rows",
+                file=sys.stderr,
+            )
     eval_batch = {
         "video": np.asarray(eval_data.video),
         "text": np.asarray(eval_data.text),

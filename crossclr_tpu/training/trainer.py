@@ -328,6 +328,31 @@ class Trainer:
         train_cfg: TrainConfig,
         mesh: Mesh | None = None,
     ):
+        # attention="flash" is a pallas_call: GSPMD cannot partition it, so
+        # under a multi-device mesh (towers run under plain jit for TP /
+        # non-global losses, and ALWAYS for Trainer.encode) it would force
+        # resharding or fail to compile — same constraint make_loss_fn
+        # routes around for the loss kernels.  Fall back to the numerically
+        # identical XLA attention and say so.
+        if mesh is not None and mesh.devices.size > 1:
+            import dataclasses as _dc
+            import sys as _sys
+
+            def _demote_flash(cfg_, name):
+                if cfg_.attention != "flash":
+                    return cfg_
+                if jax.process_index() == 0:
+                    print(
+                        f"{name}: attention='flash' cannot run under GSPMD "
+                        "on a multi-device mesh; using 'xla' (identical "
+                        "values). For sequence parallelism use "
+                        "attention='ring'.",
+                        file=_sys.stderr,
+                    )
+                return _dc.replace(cfg_, attention="xla")
+
+            video_cfg = _demote_flash(video_cfg, "video_cfg")
+            text_cfg = _demote_flash(text_cfg, "text_cfg")
         # mesh/seq_axis reach the towers for attention="ring" (sequence
         # parallelism over the model axis); inert otherwise
         self.model = DualEncoder(

@@ -221,3 +221,66 @@ def test_eval_cli_requires_checkpoint(tmp_path):
 
     with pytest.raises(SystemExit, match="no checkpoint"):
         eval_main(["data.num_pairs=32", "data.batch_size=16"])
+
+
+def test_eval_encode_split_multihost_replicates(monkeypatch):
+    """_encode_split under jax.process_count() > 1: embeddings are
+    replicated over the mesh before the host fetch (np.asarray on a
+    non-fully-addressable sharded array would raise on a real multi-host
+    slice), and values match the single-process path."""
+    import jax
+
+    from crossclr_tpu.data import SyntheticPairs, epoch_batches
+    from crossclr_tpu.eval import _encode_split
+    from crossclr_tpu.models import TowerConfig
+    from crossclr_tpu.parallel import make_mesh
+    from crossclr_tpu.training import TrainConfig, Trainer
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+
+    data = SyntheticPairs(num_pairs=60, video_dim=24, text_dim=16, seed=0)
+    vc = TowerConfig(kind="mlp", input_dim=24, embed_dim=16, hidden_dim=32,
+                     dtype=jnp.float32)
+    tc = TowerConfig(kind="mlp", input_dim=16, embed_dim=16, hidden_dim=32,
+                     dtype=jnp.float32)
+    tr = Trainer(vc, tc, TrainConfig(total_steps=5), mesh=make_mesh())
+    batch0 = next(epoch_batches(data, 30))
+    state = tr.init_state(batch0["video"], batch0["text"])
+
+    v1, t1 = _encode_split(tr, state, data, 30)
+
+    # batches of 30 rows are not divisible by the 8-device mesh, so
+    # Trainer.encode takes its replicated plain path under the mocked
+    # process count and _encode_split's replicate wrapper engages
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    v2, t2 = _encode_split(tr, state, data, 30)
+    np.testing.assert_allclose(v1, v2, rtol=1e-6)
+    np.testing.assert_allclose(t1, t2, rtol=1e-6)
+
+
+def test_train_cli_eval_fraction_zero_disables_holdout(tmp_path, capsys):
+    """data.eval_fraction=0: train on every row, eval on the train rows
+    (memorization diagnostic), with the caveat stated on stderr."""
+    from crossclr_tpu.train import main
+
+    csv_path = tmp_path / "metrics.csv"
+    rc = main(
+        [
+            "--steps", "2",
+            "--metrics-csv", str(csv_path),
+            "data.num_pairs=32", "data.batch_size=32",
+            "data.eval_fraction=0",
+            "data.video_dim=24", "data.text_dim=16",
+            "video_tower.input_dim=24", "video_tower.embed_dim=16",
+            "video_tower.hidden_dim=32", "video_tower.dtype=float32",
+            "text_tower.input_dim=16", "text_tower.embed_dim=16",
+            "text_tower.hidden_dim=32", "text_tower.dtype=float32",
+            "train.warmup_steps=1", "eval_every=2", "log_every=1",
+        ]
+    )
+    assert rc == 0
+    assert "memorization" in capsys.readouterr().err
+    # with a 32-row dataset and batch 32, a holdout would have made the
+    # train stream impossible — fraction 0 keeps every row trainable
+    assert csv_path.exists()

@@ -447,3 +447,40 @@ def test_sharded_crossclr_fused_global_matches_single_device():
     np.testing.assert_allclose(
         float(m_f["grad_norm"]), float(m_j["grad_norm"]), rtol=1e-3
     )
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_flash_attention_demoted_on_multidevice_mesh(capsys):
+    """attention='flash' towers on a multi-device mesh fall back to 'xla'
+    (a pallas_call cannot be partitioned by GSPMD) with a stderr note;
+    single-device trainers keep flash."""
+    from crossclr_tpu.parallel import make_mesh
+
+    vc = TowerConfig(kind="transformer", input_dim=16, embed_dim=16,
+                     hidden_dim=32, num_layers=1, num_heads=2, max_seq_len=4,
+                     dtype=jnp.float32, attention="flash")
+    tc = TowerConfig(kind="transformer", input_dim=12, embed_dim=16,
+                     hidden_dim=32, num_layers=1, num_heads=2, max_seq_len=4,
+                     dtype=jnp.float32, attention="flash")
+
+    tr = Trainer(vc, tc, TrainConfig(total_steps=5), mesh=make_mesh())
+    assert tr.video_cfg.attention == "xla"
+    assert tr.text_cfg.attention == "xla"
+    assert "flash" in capsys.readouterr().err
+
+    tr1 = Trainer(vc, tc, TrainConfig(total_steps=5), mesh=None)
+    assert tr1.video_cfg.attention == "flash"
+
+
+def test_crossclr_fused_odd_batch_falls_back():
+    """Batches outside the kernel tiling (here 50 rows) fall back to the
+    jnp cross_clr on every backend, interpret mode included."""
+    from crossclr_tpu.losses import cross_clr
+    from crossclr_tpu.ops import cross_clr_fused
+
+    rng = np.random.default_rng(0)
+    v = jnp.asarray(rng.standard_normal((50, 32)), jnp.float32)
+    t = jnp.asarray(rng.standard_normal((50, 32)), jnp.float32)
+    got = float(cross_clr_fused(v, t, interpret=True))
+    want = float(cross_clr(v, t))
+    np.testing.assert_allclose(got, want, rtol=2e-5)
