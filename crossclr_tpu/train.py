@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
+import signal
 import sys
 
 import numpy as np
@@ -154,6 +155,29 @@ def main(argv: list[str] | None = None) -> int:
     )
     sharding = data_sharding(mesh) if mesh is not None else None
 
+    # preemption tolerance: TPU pods deliver SIGTERM with a grace window.
+    # The handler only sets a flag; fit() polls it before each step, so we
+    # exit at a step boundary with a final checkpoint instead of dying
+    # mid-step (deterministic data order + the saved step make the resumed
+    # run continue the exact batch sequence).
+    stop_requested = {"flag": False}
+
+    def _on_signal(signum, frame):
+        stop_requested["flag"] = True
+        if is_rank0:
+            print(
+                f"signal {signum}: stopping at the next step boundary "
+                "(checkpoint + clean exit)",
+                file=sys.stderr,
+            )
+
+    prev_handlers = {}
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        try:
+            prev_handlers[sig] = signal.signal(sig, _on_signal)
+        except ValueError:  # non-main thread (tests): leave handlers alone
+            pass
+
     # -- train --------------------------------------------------------------
     steps = cfg.train.total_steps
     done = int(state.step)
@@ -164,22 +188,37 @@ def main(argv: list[str] | None = None) -> int:
         host_data, local_batch, seed=cfg.data.seed, start_step=done
     )
     it = prefetch_to_device(batches, size=2, sharding=sharding)
-    while done < steps:
-        chunk = min(cfg.eval_every, steps - done)
-        state, history = trainer.fit(
-            state, it, steps=chunk, log_every=cfg.log_every, writer=writer
-        )
-        done += chunk
-        v_emb, t_emb = trainer.encode(state, eval_batch)
-        metrics = retrieval_metrics(v_emb, t_emb)
-        metrics["step"] = done
-        writer({f"eval/{k}" if k != "step" else k: v for k, v in metrics.items()})
+    try:
+        while done < steps:
+            chunk = min(cfg.eval_every, steps - done)
+            state, history = trainer.fit(
+                state, it, steps=chunk, log_every=cfg.log_every,
+                writer=writer,
+                should_stop=lambda: stop_requested["flag"],
+            )
+            done = int(state.step)
+            if stop_requested["flag"]:
+                if ckpt is not None:
+                    ckpt.save(done, state, wait=True)
+                    if is_rank0:
+                        print(
+                            f"preemption checkpoint saved at step {done}",
+                            file=sys.stderr,
+                        )
+                break
+            v_emb, t_emb = trainer.encode(state, eval_batch)
+            metrics = retrieval_metrics(v_emb, t_emb)
+            metrics["step"] = done
+            writer({f"eval/{k}" if k != "step" else k: v for k, v in metrics.items()})
+            if ckpt is not None:
+                ckpt.save(done, state)
+    finally:
+        for sig, handler in prev_handlers.items():
+            signal.signal(sig, handler)
         if ckpt is not None:
-            ckpt.save(done, state)
-    if ckpt is not None:
-        ckpt.wait()
-        ckpt.close()
-    writer.close()
+            ckpt.wait()
+            ckpt.close()
+        writer.close()
     return 0
 
 

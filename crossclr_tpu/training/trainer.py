@@ -659,10 +659,14 @@ class Trainer:
         log_every: int = 50,
         writer: Any = None,
         step_offset: int | None = None,
+        should_stop: Any = None,
     ) -> tuple[TrainState, list[dict]]:
         """Run ``steps`` train steps.  ``step_offset`` sets the global step
         reported in metrics (defaults to the state's own step counter, so
-        chunked/resumed runs log a monotonically increasing step)."""
+        chunked/resumed runs log a monotonically increasing step).
+        ``should_stop``: optional zero-arg callable polled before each
+        step; returning True ends the loop early (preemption handling —
+        the caller checkpoints whatever state comes back)."""
         history = []
         it = iter(batches)
         if step_offset is None:
@@ -670,6 +674,8 @@ class Trainer:
         t_start = time.perf_counter()
         t_steady = t_start  # reset after the first (compiling) step
         for i in range(steps):
+            if should_stop is not None and should_stop():
+                break
             batch = next(it)
             state, metrics = self.train_step(state, batch)
             if i == 0:

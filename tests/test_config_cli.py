@@ -284,3 +284,58 @@ def test_train_cli_eval_fraction_zero_disables_holdout(tmp_path, capsys):
     # with a 32-row dataset and batch 32, a holdout would have made the
     # train stream impossible — fraction 0 keeps every row trainable
     assert csv_path.exists()
+
+
+def test_sigterm_checkpoints_and_resumes(tmp_path):
+    """Preemption tolerance: SIGTERM mid-run exits 0 at a step boundary
+    with a checkpoint; a rerun resumes from it (TPU pods deliver SIGTERM
+    with a grace window — dying mid-step loses the step, a flag + poll
+    does not)."""
+    import os
+    import signal as _signal
+    import time
+
+    csv_path = tmp_path / "metrics.csv"
+    code = (
+        "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+        "import sys\n"
+        "from crossclr_tpu.train import main\n"
+        "sys.exit(main(sys.argv[1:]))\n"
+    )
+    args = [
+        sys.executable, "-c", code,
+        "--steps", "100000",
+        "--metrics-csv", str(csv_path),
+        "data.num_pairs=64", "data.batch_size=32",
+        "data.video_dim=24", "data.text_dim=16",
+        "video_tower.input_dim=24", "video_tower.embed_dim=16",
+        "video_tower.hidden_dim=32", "video_tower.dtype=float32",
+        "text_tower.input_dim=16", "text_tower.embed_dim=16",
+        "text_tower.hidden_dim=32", "text_tower.dtype=float32",
+        "train.warmup_steps=2", "eval_every=100000", "log_every=50",
+        f"checkpoint_dir={tmp_path}/ck",
+    ]
+    proc = subprocess.Popen(
+        args, cwd="/root/repo", stderr=subprocess.PIPE, text=True
+    )
+    # wait until training is demonstrably under way (metrics rows exist)
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if csv_path.exists() and len(csv_path.read_text().splitlines()) >= 2:
+            break
+        if proc.poll() is not None:
+            raise AssertionError(f"CLI died early: {proc.communicate()[1]}")
+        time.sleep(0.5)
+    else:
+        proc.kill()
+        raise AssertionError("training never produced metrics")
+
+    proc.send_signal(_signal.SIGTERM)
+    _, err = proc.communicate(timeout=120)
+    assert proc.returncode == 0, err
+    assert "preemption checkpoint saved" in err
+
+    from crossclr_tpu.training import CheckpointManager
+
+    saved = CheckpointManager(f"{tmp_path}/ck").latest_step()
+    assert saved is not None and 0 < saved < 100000
