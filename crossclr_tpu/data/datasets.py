@@ -58,28 +58,39 @@ class SyntheticPairs:
     # token sequences sharing the pair latent (for transformer towers)
     video_seq_len: int = 0
     text_seq_len: int = 0
+    # draw per-row valid lengths in [1, S] and emit [N, S] key-padding
+    # masks (real clip/caption sets are ragged); padded steps are zeroed
+    variable_lengths: bool = False
 
     def __post_init__(self):
         rng = np.random.default_rng(self.seed)
         z = rng.standard_normal((self.num_pairs, self.latent_dim)).astype(np.float32)
 
-        def modality(dim: int, seq_len: int) -> np.ndarray:
+        def modality(dim: int, seq_len: int):
             w = rng.standard_normal((self.latent_dim, dim)).astype(
                 np.float32
             ) / np.sqrt(self.latent_dim)
             pooled = z @ w
             if seq_len == 0:
-                return pooled + self.noise * rng.standard_normal(
+                feats = pooled + self.noise * rng.standard_normal(
                     pooled.shape
                 ).astype(np.float32)
+                return feats, None
             # each timestep = shared pair signal + per-step noise
             seq = np.repeat(pooled[:, None, :], seq_len, axis=1)
-            return seq + self.noise * rng.standard_normal(seq.shape).astype(
+            seq = seq + self.noise * rng.standard_normal(seq.shape).astype(
                 np.float32
             )
+            if not self.variable_lengths:
+                return seq, None
+            lengths = rng.integers(1, seq_len + 1, size=self.num_pairs)
+            mask = (
+                np.arange(seq_len)[None, :] < lengths[:, None]
+            ).astype(np.float32)
+            return seq * mask[:, :, None], mask
 
-        self.video = modality(self.video_dim, self.video_seq_len)
-        self.text = modality(self.text_dim, self.text_seq_len)
+        self.video, self.video_mask = modality(self.video_dim, self.video_seq_len)
+        self.text, self.text_mask = modality(self.text_dim, self.text_seq_len)
 
     def __len__(self) -> int:
         return self.num_pairs
@@ -90,9 +101,20 @@ class FeaturePairDataset:
 
     Files are memory-mapped, so arbitrarily large feature stores never
     load fully into host RAM; batch assembly gathers only the touched rows.
+
+    ``video_mask_path`` / ``text_mask_path``: optional ``[N, S]`` key-
+    padding masks (1 = valid) for ``[N, S, D]`` sequence stores with
+    ragged true lengths (scripts/prepare_features.py emits them alongside
+    padded sequence archives).
     """
 
-    def __init__(self, video_path: str | Path, text_path: str | Path):
+    def __init__(
+        self,
+        video_path: str | Path,
+        text_path: str | Path,
+        video_mask_path: str | Path | None = None,
+        text_mask_path: str | Path | None = None,
+    ):
         self.video = np.load(video_path, mmap_mode="r")
         self.text = np.load(text_path, mmap_mode="r")
         if self.video.shape[0] != self.text.shape[0]:
@@ -100,6 +122,25 @@ class FeaturePairDataset:
                 f"row mismatch: video {self.video.shape[0]} vs text "
                 f"{self.text.shape[0]}"
             )
+        self.video_mask = self._load_mask(video_mask_path, self.video, "video")
+        self.text_mask = self._load_mask(text_mask_path, self.text, "text")
+
+    @staticmethod
+    def _load_mask(path, feats, name):
+        if path is None:
+            return None
+        mask = np.load(path, mmap_mode="r")
+        if feats.ndim != 3:
+            raise ValueError(
+                f"{name}_mask provided but {name} features are pooled "
+                f"{feats.shape}; masks require [N, S, D] sequences"
+            )
+        if mask.shape != feats.shape[:2]:
+            raise ValueError(
+                f"{name}_mask shape {mask.shape} does not match "
+                f"features {feats.shape[:2]}"
+            )
+        return mask
 
     def __len__(self) -> int:
         return self.video.shape[0]
@@ -115,6 +156,9 @@ class RowSubset:
     def __init__(self, dataset, start: int, stop: int):
         self.video = dataset.video[start:stop]
         self.text = dataset.text[start:stop]
+        for name in ("video_mask", "text_mask"):
+            m = getattr(dataset, name, None)
+            setattr(self, name, None if m is None else m[start:stop])
 
     def __len__(self) -> int:
         return self.video.shape[0]
@@ -154,6 +198,13 @@ class HostShard:
         usable = len(dataset) // process_count
         self.video = dataset.video[process_index::process_count][:usable]
         self.text = dataset.text[process_index::process_count][:usable]
+        for name in ("video_mask", "text_mask"):
+            m = getattr(dataset, name, None)
+            setattr(
+                self,
+                name,
+                None if m is None else m[process_index::process_count][:usable],
+            )
 
     def __len__(self) -> int:
         return self.video.shape[0]
@@ -185,10 +236,15 @@ def epoch_batches(
     end = n - (n % batch_size) if drop_remainder else n
     for start in range(start_batch * batch_size, end, batch_size):
         idx = np.sort(order[start : start + batch_size])  # sorted: mmap-friendly
-        yield {
+        batch = {
             "video": gather_rows(dataset.video, idx),
             "text": gather_rows(dataset.text, idx),
         }
+        for name in ("video_mask", "text_mask"):
+            m = getattr(dataset, name, None)
+            if m is not None:
+                batch[name] = gather_rows(m, idx)
+        yield batch
 
 
 def infinite_batches(

@@ -117,10 +117,16 @@ def main(argv: list[str] | None = None) -> int:
             text_dim=cfg.data.text_dim,
             video_seq_len=cfg.data.video_seq_len,
             text_seq_len=cfg.data.text_seq_len,
+            variable_lengths=cfg.data.variable_lengths,
             seed=cfg.data.seed,
         )
     elif cfg.data.source == "files":
-        dataset = FeaturePairDataset(cfg.data.video_path, cfg.data.text_path)
+        dataset = FeaturePairDataset(
+            cfg.data.video_path,
+            cfg.data.text_path,
+            video_mask_path=cfg.data.video_mask_path or None,
+            text_mask_path=cfg.data.text_mask_path or None,
+        )
     else:
         raise SystemExit(f"unknown data.source {cfg.data.source!r}")
 

@@ -60,18 +60,76 @@ def _metrics_from_sim(sim: jax.Array, ks: tuple[int, ...]) -> dict:
     return out
 
 
+# dense [N, N] similarity beyond this row count would not fit HBM
+# comfortably; metrics switch to the query-chunked path automatically
+_DENSE_SIM_MAX_ROWS = 16384
+
+
+@functools.partial(jax.jit, static_argnames=("query_chunk",))
+def _ranks_chunked(
+    q_norm: jax.Array, c_norm: jax.Array, query_chunk: int
+) -> jax.Array:
+    """0-based ground-truth ranks (query i ↔ corpus row i) without ever
+    materializing more than ``[query_chunk, N]`` similarities."""
+    n = q_norm.shape[0]
+    pad = (-n) % query_chunk
+    q_padded = jnp.pad(q_norm, ((0, pad), (0, 0)))
+    idx = jnp.pad(jnp.arange(n), (0, pad))
+    blocks = q_padded.reshape(-1, query_chunk, q_norm.shape[1])
+    idx_blocks = idx.reshape(-1, query_chunk)
+
+    def one_block(args):
+        qb, ib = args
+        sim = jnp.matmul(qb, c_norm.T, precision=jax.lax.Precision.HIGHEST)
+        truth = sim[jnp.arange(query_chunk), ib][:, None]
+        return jnp.sum(sim > truth, axis=1)
+
+    ranks = jax.lax.map(one_block, (blocks, idx_blocks))
+    return ranks.reshape(-1)[:n]
+
+
+def _metrics_from_ranks(ranks: jax.Array, ks: tuple[int, ...]) -> dict:
+    out = {
+        f"R@{k}": jnp.mean((ranks < k).astype(jnp.float32)) * 100 for k in ks
+    }
+    out["MdR"] = jnp.median(ranks).astype(jnp.float32) + 1  # 1-based
+    out["MnR"] = jnp.mean(ranks.astype(jnp.float32)) + 1
+    return out
+
+
 def retrieval_metrics(
     video_emb: jax.Array,
     text_emb: jax.Array,
     ks: tuple[int, ...] = (1, 5, 10),
+    query_chunk: int | None = None,
 ) -> dict[str, float]:
     """Bidirectional retrieval metrics as host floats.
 
     ``video_emb`` / ``text_emb``: aligned ``[N, D]`` embeddings (row i of
-    each is a ground-truth pair).
+    each is a ground-truth pair).  ``query_chunk``: process queries in
+    blocks of this many rows so only ``[chunk, N]`` similarities live at a
+    time — required for corpora where ``[N, N]`` exceeds device memory.
+    Defaults to the dense one-matmul path for small N and auto-chunks
+    beyond ``_DENSE_SIM_MAX_ROWS``; both paths are rank-identical (ties
+    resolve in favor of the ground truth either way).
     """
-    sim = similarity_matrix(video_emb, text_emb)
-    return {k: float(v) for k, v in _metrics_from_sim(sim, ks).items()}
+    n = video_emb.shape[0]
+    if query_chunk is None and n > _DENSE_SIM_MAX_ROWS:
+        query_chunk = 4096
+    if query_chunk is None:
+        sim = similarity_matrix(video_emb, text_emb)
+        return {k: float(v) for k, v in _metrics_from_sim(sim, ks).items()}
+
+    v = l2_normalize(video_emb.astype(jnp.float32), axis=1)
+    t = l2_normalize(text_emb.astype(jnp.float32), axis=1)
+    chunk = min(query_chunk, n)
+    out = {}
+    for tag, q, c in (("v2t", v, t), ("t2v", t, v)):
+        ranks = _ranks_chunked(q, c, chunk)
+        out.update(
+            {f"{tag}/{k}": v_ for k, v_ in _metrics_from_ranks(ranks, ks).items()}
+        )
+    return {k: float(v) for k, v in out.items()}
 
 
 @functools.partial(jax.jit, static_argnames=("k", "query_chunk"))

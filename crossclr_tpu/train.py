@@ -81,10 +81,16 @@ def main(argv: list[str] | None = None) -> int:
             text_dim=cfg.data.text_dim,
             video_seq_len=cfg.data.video_seq_len,
             text_seq_len=cfg.data.text_seq_len,
+            variable_lengths=cfg.data.variable_lengths,
             seed=cfg.data.seed,
         )
     elif cfg.data.source == "files":
-        dataset = FeaturePairDataset(cfg.data.video_path, cfg.data.text_path)
+        dataset = FeaturePairDataset(
+            cfg.data.video_path,
+            cfg.data.text_path,
+            video_mask_path=cfg.data.video_mask_path or None,
+            text_mask_path=cfg.data.text_mask_path or None,
+        )
     else:
         raise SystemExit(f"unknown data.source {cfg.data.source!r}")
 
@@ -113,6 +119,10 @@ def main(argv: list[str] | None = None) -> int:
         "video": np.asarray(eval_data.video),
         "text": np.asarray(eval_data.text),
     }
+    for name in ("video_mask", "text_mask"):
+        m = getattr(eval_data, name, None)
+        if m is not None:
+            eval_batch[name] = np.asarray(m)
 
     # -- mesh / trainer -----------------------------------------------------
     mesh = (

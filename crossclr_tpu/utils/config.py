@@ -24,11 +24,16 @@ class DataConfig:
     source: str = "synthetic"  # "synthetic" | "files"
     video_path: str = ""
     text_path: str = ""
+    # optional [N, S] key-padding masks for [N, S, D] sequence stores
+    video_mask_path: str = ""
+    text_mask_path: str = ""
     num_pairs: int = 4096
     video_dim: int = 512
     text_dim: int = 384
     video_seq_len: int = 0  # >0: synthetic [N, S, D] sequences (transformers)
     text_seq_len: int = 0
+    # synthetic sequences: ragged true lengths + masks (real sets are ragged)
+    variable_lengths: bool = False
     batch_size: int = 256
     eval_fraction: float = 0.1
     seed: int = 0

@@ -38,11 +38,35 @@ def _pool(x: np.ndarray, keep_sequence: bool) -> np.ndarray:
     return x
 
 
+def _pad_stack(arrs, keep_sequence):
+    """Stack per-clip features; ragged ``[S_i, D]`` sequences under
+    --keep-sequence are zero-padded to the max length with a ``[N, S]``
+    key-padding mask (1 = valid) emitted alongside.  Returns
+    ``(array, mask_or_None)`` — the mask is None for pooled features and
+    for uniform-length sequences (all-ones would be redundant)."""
+    arrs = [np.asarray(a, dtype=np.float32) for a in arrs]
+    if not keep_sequence or arrs[0].ndim == 1:
+        return (
+            np.stack([_pool(a, keep_sequence) for a in arrs]).astype(np.float32),
+            None,
+        )
+    s_max = max(a.shape[0] for a in arrs)
+    d = arrs[0].shape[1]
+    out = np.zeros((len(arrs), s_max, d), np.float32)
+    mask = np.zeros((len(arrs), s_max), np.float32)
+    for i, a in enumerate(arrs):
+        out[i, : a.shape[0]] = a
+        mask[i, : a.shape[0]] = 1.0
+    return out, (None if bool((mask == 1.0).all()) else mask)
+
+
 def _from_npz(path, video_key, text_key, keep_sequence):
     with np.load(path, allow_pickle=True) as z:
         return (
             _pool(z[video_key], keep_sequence),
+            None,
             _pool(z[text_key], keep_sequence),
+            None,
             [str(i) for i in range(z[video_key].shape[0])],
         )
 
@@ -53,12 +77,14 @@ def _from_pickle(path, video_key, text_key, keep_sequence):
     video, text = obj[video_key], obj[text_key]
     if isinstance(video, dict):
         ids = sorted(set(video) & set(text))
-        v = np.stack([_pool(np.asarray(video[i]), keep_sequence) for i in ids])
-        t = np.stack([_pool(np.asarray(text[i]), keep_sequence) for i in ids])
-        return v.astype(np.float32), t.astype(np.float32), list(map(str, ids))
+        v, vm = _pad_stack([video[i] for i in ids], keep_sequence)
+        t, tm = _pad_stack([text[i] for i in ids], keep_sequence)
+        return v, vm, t, tm, list(map(str, ids))
     return (
         _pool(video, keep_sequence),
+        None,
         _pool(text, keep_sequence),
+        None,
         [str(i) for i in range(len(video))],
     )
 
@@ -70,9 +96,9 @@ def _from_dirs(video_dir, text_dir, keep_sequence):
     ids = sorted(set(v_files) & set(t_files))
     if not ids:
         raise SystemExit("no matching basenames between the two directories")
-    v = np.stack([_pool(np.load(v_files[i]), keep_sequence) for i in ids])
-    t = np.stack([_pool(np.load(t_files[i]), keep_sequence) for i in ids])
-    return v.astype(np.float32), t.astype(np.float32), ids
+    v, vm = _pad_stack([np.load(v_files[i]) for i in ids], keep_sequence)
+    t, tm = _pad_stack([np.load(t_files[i]) for i in ids], keep_sequence)
+    return v, vm, t, tm, ids
 
 
 def main(argv=None) -> int:
@@ -89,15 +115,19 @@ def main(argv=None) -> int:
     args = ap.parse_args(argv)
 
     if args.npz:
-        v, t, ids = _from_npz(args.npz, args.video_key, args.text_key, args.keep_sequence)
+        v, vm, t, tm, ids = _from_npz(
+            args.npz, args.video_key, args.text_key, args.keep_sequence
+        )
     elif args.pickle:
-        v, t, ids = _from_pickle(
+        v, vm, t, tm, ids = _from_pickle(
             args.pickle, args.video_key, args.text_key, args.keep_sequence
         )
     else:
         if not args.text_dir:
             raise SystemExit("--video-dir requires --text-dir")
-        v, t, ids = _from_dirs(args.video_dir, args.text_dir, args.keep_sequence)
+        v, vm, t, tm, ids = _from_dirs(
+            args.video_dir, args.text_dir, args.keep_sequence
+        )
 
     if v.shape[0] != t.shape[0]:
         raise SystemExit(f"row mismatch: {v.shape[0]} video vs {t.shape[0]} text")
@@ -105,8 +135,13 @@ def main(argv=None) -> int:
     out.mkdir(parents=True, exist_ok=True)
     np.save(out / "video_feats.npy", v)
     np.save(out / "text_feats.npy", t)
+    for mask, name in ((vm, "video_mask.npy"), (tm, "text_mask.npy")):
+        if mask is not None:
+            np.save(out / name, mask)
     (out / "ids.json").write_text(json.dumps(ids))
-    print(f"wrote {v.shape} video / {t.shape} text features to {out}")
+    masked = [n for m, n in ((vm, "video"), (tm, "text")) if m is not None]
+    note = f" (+ {'/'.join(masked)} masks)" if masked else ""
+    print(f"wrote {v.shape} video / {t.shape} text features to {out}{note}")
     return 0
 
 

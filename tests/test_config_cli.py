@@ -339,3 +339,33 @@ def test_sigterm_checkpoints_and_resumes(tmp_path):
 
     saved = CheckpointManager(f"{tmp_path}/ck").latest_step()
     assert saved is not None and 0 < saved < 100000
+
+
+def test_cli_variable_length_sequences(tmp_path):
+    """End-to-end CLI with ragged synthetic sequences: masks flow through
+    training AND the periodic eval encode."""
+    from crossclr_tpu.train import main
+
+    csv_path = tmp_path / "metrics.csv"
+    rc = main(
+        [
+            "--steps", "4",
+            "--metrics-csv", str(csv_path),
+            "data.num_pairs=48", "data.batch_size=16",
+            "data.video_dim=16", "data.text_dim=12",
+            "data.video_seq_len=5", "data.text_seq_len=3",
+            "data.variable_lengths=true",
+            "video_tower.kind=transformer", "video_tower.input_dim=16",
+            "video_tower.embed_dim=16", "video_tower.hidden_dim=32",
+            "video_tower.num_layers=1", "video_tower.num_heads=2",
+            "video_tower.max_seq_len=8", "video_tower.dtype=float32",
+            "text_tower.kind=transformer", "text_tower.input_dim=12",
+            "text_tower.embed_dim=16", "text_tower.hidden_dim=32",
+            "text_tower.num_layers=1", "text_tower.num_heads=2",
+            "text_tower.max_seq_len=8", "text_tower.dtype=float32",
+            "train.warmup_steps=1", "eval_every=4", "log_every=2",
+        ]
+    )
+    assert rc == 0
+    rows = csv_path.read_text().splitlines()
+    assert any("eval/v2t/R@1" in r for r in rows[:1])  # header has eval keys

@@ -57,3 +57,60 @@ def test_dir_pairing_feeds_dataset(tmp_path, rng):
     ds = FeaturePairDataset(out / "video_feats.npy", out / "text_feats.npy")
     assert len(ds) == 5
     assert ds.video.shape == (5, 8) and ds.text.shape == (5, 6)
+
+
+def test_ragged_sequences_padded_with_masks(tmp_path, rng):
+    """--keep-sequence with ragged per-clip lengths: sequences zero-padded
+    to the max length, [N, S] masks emitted, and FeaturePairDataset +
+    epoch_batches carry them end to end."""
+    from crossclr_tpu.data import FeaturePairDataset, epoch_batches
+
+    vd, td = tmp_path / "v", tmp_path / "t"
+    vd.mkdir(), td.mkdir()
+    lengths = [3, 5, 2, 5]
+    for i, s in enumerate(lengths):
+        np.save(vd / f"clip{i}.npy", rng.standard_normal((s, 8)).astype(np.float32))
+        np.save(td / f"clip{i}.npy", rng.standard_normal((4, 6)).astype(np.float32))
+    out = tmp_path / "out"
+    prepare_features.main([
+        "--video-dir", str(vd), "--text-dir", str(td),
+        "--keep-sequence", "--out", str(out),
+    ])
+
+    v = np.load(out / "video_mask.npy")
+    assert v.shape == (4, 5)
+    np.testing.assert_array_equal(v.sum(axis=1), lengths)
+    assert not (out / "text_mask.npy").exists()  # uniform lengths: no mask
+
+    feats = np.load(out / "video_feats.npy")
+    assert feats.shape == (4, 5, 8)
+    assert np.all(feats[v == 0.0] == 0.0)  # padding is zeros
+
+    ds = FeaturePairDataset(
+        out / "video_feats.npy", out / "text_feats.npy",
+        video_mask_path=out / "video_mask.npy",
+    )
+    batch = next(epoch_batches(ds, 4, shuffle=False))
+    assert batch["video_mask"].shape == (4, 5)
+    assert "text_mask" not in batch
+
+
+def test_mask_shape_validation(tmp_path, rng):
+    from crossclr_tpu.data import FeaturePairDataset
+
+    np.save(tmp_path / "v.npy", rng.standard_normal((4, 5, 8)).astype(np.float32))
+    np.save(tmp_path / "t.npy", rng.standard_normal((4, 6)).astype(np.float32))
+    np.save(tmp_path / "bad.npy", np.ones((4, 3), np.float32))
+    import pytest
+
+    with pytest.raises(ValueError, match="does not match"):
+        FeaturePairDataset(
+            tmp_path / "v.npy", tmp_path / "t.npy",
+            video_mask_path=tmp_path / "bad.npy",
+        )
+    with pytest.raises(ValueError, match="pooled"):
+        FeaturePairDataset(
+            tmp_path / "v.npy", tmp_path / "t.npy",
+            text_mask_path=np.save(tmp_path / "tm.npy", np.ones((4, 6), np.float32))
+            or tmp_path / "tm.npy",
+        )

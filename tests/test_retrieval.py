@@ -93,3 +93,18 @@ def test_encode_corpus_collects_batches():
     assert v_out.shape == (12, 3) and t_out.shape == (12, 2)
     np.testing.assert_array_equal(np.asarray(v_out[4:8]), np.full((4, 3), 2.0))
     np.testing.assert_array_equal(np.asarray(t_out), np.full((12, 2), 2.0))
+
+
+def test_chunked_metrics_match_dense(rng):
+    """query_chunk path == dense path exactly (same tie convention), for
+    chunk sizes that do and don't divide N."""
+    from crossclr_tpu.evaluation import retrieval_metrics
+
+    v = jnp.asarray(rng.standard_normal((100, 16)), jnp.float32)
+    t = jnp.asarray(0.5 * np.asarray(v[:, :16]) + rng.standard_normal((100, 16)).astype(np.float32))
+    dense = retrieval_metrics(v, t)
+    for chunk in (100, 32, 7):
+        chunked = retrieval_metrics(v, t, query_chunk=chunk)
+        assert set(chunked) == set(dense)
+        for k in dense:
+            np.testing.assert_allclose(chunked[k], dense[k], rtol=1e-6, err_msg=k)

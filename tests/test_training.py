@@ -484,3 +484,50 @@ def test_crossclr_fused_odd_batch_falls_back():
     got = float(cross_clr_fused(v, t, interpret=True))
     want = float(cross_clr(v, t))
     np.testing.assert_allclose(got, want, rtol=2e-5)
+
+
+def test_variable_length_masks_flow_through_training():
+    """SyntheticPairs(variable_lengths=True) emits [N, S] masks that reach
+    the towers: perturbing a PADDED frame's features must not change the
+    loss (masked attention + masked mean pooling), while perturbing a
+    VALID frame must."""
+    from crossclr_tpu.data import SyntheticPairs, epoch_batches
+
+    data = SyntheticPairs(
+        num_pairs=64, video_dim=16, text_dim=12,
+        video_seq_len=6, text_seq_len=4, variable_lengths=True, seed=0,
+    )
+    assert data.video_mask.shape == (64, 6)
+    assert data.text_mask.shape == (64, 4)
+
+    vc = TowerConfig(kind="transformer", input_dim=16, embed_dim=16,
+                     hidden_dim=32, num_layers=1, num_heads=2, max_seq_len=8,
+                     dtype=jnp.float32)
+    tc = TowerConfig(kind="transformer", input_dim=12, embed_dim=16,
+                     hidden_dim=32, num_layers=1, num_heads=2, max_seq_len=8,
+                     dtype=jnp.float32)
+    tr = Trainer(vc, tc, TrainConfig(total_steps=10, warmup_steps=2))
+    batch = next(epoch_batches(data, 32, shuffle=False))
+    assert set(batch) == {"video", "text", "video_mask", "text_mask"}
+    state = tr.init_state(batch["video"], batch["text"])
+    # the step donates the state buffers: snapshot to host and rebuild a
+    # fresh identical state per call
+    host_state = jax.tree.map(np.array, state)
+    fresh = lambda: jax.tree.map(jnp.asarray, host_state)  # noqa: E731
+    _, m0 = tr.train_step(fresh(), batch)
+
+    # find a row with padding and poke a padded frame
+    row = int(np.argmin(batch["video_mask"].sum(axis=1)))
+    pad_pos = int(np.argmin(batch["video_mask"][row]))
+    assert batch["video_mask"][row, pad_pos] == 0.0
+    poked = dict(batch)
+    poked["video"] = np.array(batch["video"])
+    poked["video"][row, pad_pos] += 100.0
+    _, m1 = tr.train_step(fresh(), poked)
+    np.testing.assert_allclose(float(m1["loss"]), float(m0["loss"]), rtol=1e-6)
+
+    valid_pos = int(np.argmax(batch["video_mask"][row]))
+    poked["video"] = np.array(batch["video"])
+    poked["video"][row, valid_pos] += 100.0
+    _, m2 = tr.train_step(fresh(), poked)
+    assert abs(float(m2["loss"]) - float(m0["loss"])) > 1e-4
