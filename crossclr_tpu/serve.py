@@ -1,0 +1,249 @@
+"""Retrieval serving: ``python -m crossclr_tpu.serve``.
+
+Loads a trained checkpoint, encodes one modality of the dataset as the
+retrieval corpus (held on device), and serves nearest-neighbor search
+over HTTP — the online counterpart of ``crossclr_tpu.eval``'s offline
+top-k dumps.  The reference ships no serving path (SURVEY.md §1: only
+the loss exists).
+
+Endpoints:
+  GET  /healthz   → {"status": "ok", "corpus_rows": N, ...}
+  POST /search    → body {"features": [[...], ...], "k": 10}
+                    raw QUERY-modality features ([B, D] pooled or
+                    [B, S, D] sequences, optional "mask": [B, S]);
+                    returns {"indices", "scores", "ids"?}
+
+Example:
+  python -m crossclr_tpu.serve --config cfg.json --corpus video \\
+      --port 8777           # text queries retrieve video clips
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from pathlib import Path
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+class RetrievalService:
+    """Checkpoint + encoded corpus + a jitted query→top-k path.
+
+    ``corpus_side``: which modality is indexed ("video" or "text");
+    queries are the OTHER modality's raw features, encoded by its tower.
+    Device work is serialized with a lock — handler threads must not
+    interleave dispatches against donated/async state.
+    """
+
+    def __init__(self, trainer, state, corpus_emb, corpus_side: str,
+                 ids: list[str] | None = None):
+        self.trainer = trainer
+        self.state = state
+        self.corpus_emb = jnp.asarray(corpus_emb)
+        self.corpus_side = corpus_side
+        self.query_side = "text" if corpus_side == "video" else "video"
+        self.ids = ids
+        self._lock = threading.Lock()
+
+    def _encode_query(self, features: np.ndarray, mask: np.ndarray | None):
+        # the dual encoder wants both modalities; feed zeros of the
+        # corpus modality's input shape and discard that side
+        n = features.shape[0]
+        corpus_feats = getattr(self, "_corpus_stub", None)
+        if corpus_feats is None or corpus_feats.shape[0] != n:
+            shape = (n,) + self._corpus_input_shape
+            corpus_feats = np.zeros(shape, np.float32)
+            self._corpus_stub = corpus_feats
+        batch = {
+            self.query_side: features,
+            self.corpus_side: corpus_feats,
+        }
+        if mask is not None:
+            batch[f"{self.query_side}_mask"] = mask
+        v, t = self.trainer.encode(self.state, batch)
+        return v if self.query_side == "video" else t
+
+    def search(self, features, mask=None, k: int = 10):
+        from .evaluation import retrieve_topk
+
+        features = np.asarray(features, np.float32)
+        if features.ndim == self._query_ndim - 1:
+            features = features[None]  # single query convenience
+        if mask is not None:
+            mask = np.asarray(mask, np.float32)
+            if mask.ndim == 1:
+                mask = mask[None]
+        with self._lock:
+            q_emb = self._encode_query(features, mask)
+            scores, idx = retrieve_topk(q_emb, self.corpus_emb, k=int(k))
+            scores = np.asarray(scores)
+            idx = np.asarray(idx)
+        out = {"indices": idx.tolist(), "scores": scores.tolist()}
+        if self.ids is not None:
+            out["ids"] = [[self.ids[j] for j in row] for row in idx.tolist()]
+        return out
+
+    # set by build_service (static shapes for the zero-stub batch)
+    _corpus_input_shape: tuple = ()
+    _query_ndim: int = 2
+
+
+def _make_handler(service: RetrievalService):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet by default
+            pass
+
+        def _reply(self, code: int, payload: dict):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path != "/healthz":
+                return self._reply(404, {"error": "unknown path"})
+            self._reply(
+                200,
+                {
+                    "status": "ok",
+                    "corpus_rows": int(service.corpus_emb.shape[0]),
+                    "corpus_side": service.corpus_side,
+                    "query_side": service.query_side,
+                },
+            )
+
+        def do_POST(self):
+            if self.path != "/search":
+                return self._reply(404, {"error": "unknown path"})
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(length) or b"{}")
+                out = service.search(
+                    req["features"], req.get("mask"), req.get("k", 10)
+                )
+            except (KeyError, ValueError, TypeError) as e:
+                return self._reply(400, {"error": f"{type(e).__name__}: {e}"})
+            self._reply(200, out)
+
+    return Handler
+
+
+def build_service(cfg, checkpoint_dir: str | None, corpus_side: str,
+                  batch_size: int | None = None,
+                  random_params: bool = False) -> RetrievalService:
+    """Construct the service: dataset → trainer → restore → encode corpus."""
+    from .data import FeaturePairDataset, SyntheticPairs, epoch_batches
+    from .eval import _encode_split
+    from .parallel import make_mesh
+    from .training import CheckpointManager, Trainer
+
+    if cfg.data.source == "synthetic":
+        dataset = SyntheticPairs(
+            num_pairs=cfg.data.num_pairs,
+            video_dim=cfg.data.video_dim,
+            text_dim=cfg.data.text_dim,
+            video_seq_len=cfg.data.video_seq_len,
+            text_seq_len=cfg.data.text_seq_len,
+            variable_lengths=cfg.data.variable_lengths,
+            seed=cfg.data.seed,
+        )
+        ids = None
+    elif cfg.data.source == "files":
+        dataset = FeaturePairDataset(
+            cfg.data.video_path,
+            cfg.data.text_path,
+            video_mask_path=cfg.data.video_mask_path or None,
+            text_mask_path=cfg.data.text_mask_path or None,
+        )
+        manifest = Path(cfg.data.video_path).parent / "ids.json"
+        ids = json.loads(manifest.read_text()) if manifest.exists() else None
+    else:
+        raise SystemExit(f"unknown data.source {cfg.data.source!r}")
+
+    mesh = make_mesh() if len(jax.devices()) > 1 else None
+    trainer = Trainer(cfg.video_tower, cfg.text_tower, cfg.train, mesh=mesh)
+    batch_size = batch_size or min(cfg.data.batch_size, len(dataset))
+    first = next(epoch_batches(dataset, batch_size, shuffle=False))
+    state = trainer.init_state(first["video"], first["text"])
+    if not random_params:
+        if not checkpoint_dir:
+            raise SystemExit(
+                "no checkpoint: pass --checkpoint-dir / set it in the "
+                "config, or use --random-params"
+            )
+        state = CheckpointManager(checkpoint_dir).restore(state)
+
+    v_emb, t_emb = _encode_split(trainer, state, dataset, batch_size)
+    corpus_emb = v_emb if corpus_side == "video" else t_emb
+
+    service = RetrievalService(trainer, state, corpus_emb, corpus_side, ids)
+    query_feats = getattr(
+        dataset, "text" if corpus_side == "video" else "video"
+    )
+    corpus_feats = getattr(dataset, corpus_side)
+    service._corpus_input_shape = tuple(np.asarray(corpus_feats).shape[1:])
+    service._query_ndim = np.asarray(query_feats).ndim
+    return service
+
+
+def main(argv: list[str] | None = None) -> int:
+    from .parallel import initialize_multihost
+    from .utils.config import ExperimentConfig, apply_overrides, load_config
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--config", default=None)
+    ap.add_argument("--checkpoint-dir", default=None)
+    ap.add_argument(
+        "--corpus",
+        choices=("video", "text"),
+        default="video",
+        help="modality to index; queries are the other modality",
+    )
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8777)
+    ap.add_argument("--batch-size", type=int, default=None)
+    ap.add_argument("--random-params", action="store_true")
+    ap.add_argument("overrides", nargs="*")
+    args = ap.parse_args(argv)
+
+    cfg = load_config(args.config) if args.config else ExperimentConfig()
+    if args.overrides:
+        cfg = apply_overrides(cfg, args.overrides)
+
+    initialize_multihost()
+    service = build_service(
+        cfg,
+        args.checkpoint_dir or cfg.checkpoint_dir,
+        args.corpus,
+        batch_size=args.batch_size,
+        random_params=args.random_params,
+    )
+    httpd = ThreadingHTTPServer(
+        (args.host, args.port), _make_handler(service)
+    )
+    print(
+        f"serving {int(service.corpus_emb.shape[0])} {args.corpus} rows on "
+        f"http://{args.host}:{httpd.server_address[1]} "
+        f"(queries: raw {service.query_side} features)",
+        file=sys.stderr,
+    )
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        httpd.server_close()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
