@@ -5,6 +5,7 @@ from .datasets import (
     HostShard,
     RowSubset,
     SyntheticPairs,
+    dataset_from_config,
     epoch_batches,
     infinite_batches,
     prefetch_to_device,
@@ -16,6 +17,7 @@ __all__ = [
     "HostShard",
     "RowSubset",
     "SyntheticPairs",
+    "dataset_from_config",
     "epoch_batches",
     "infinite_batches",
     "prefetch_to_device",

@@ -30,6 +30,7 @@ import numpy as np
 __all__ = [
     "SyntheticPairs",
     "FeaturePairDataset",
+    "dataset_from_config",
     "epoch_batches",
     "infinite_batches",
     "prefetch_to_device",
@@ -37,6 +38,50 @@ __all__ = [
     "RowSubset",
     "train_eval_split",
 ]
+
+
+def dataset_from_config(data_cfg):
+    """Build the dataset a ``DataConfig`` describes — the SINGLE
+    constructor behind the train/eval/serve CLIs (they used to carry
+    three hand-synced copies of this if/else).
+
+    Returns ``(dataset, ids)`` where ``ids`` is the row-aligned clip-id
+    manifest when one exists next to a files store (ids.json written by
+    scripts/prepare_features.py), else None.
+    """
+    import json
+
+    if data_cfg.source == "synthetic":
+        return (
+            SyntheticPairs(
+                num_pairs=data_cfg.num_pairs,
+                video_dim=data_cfg.video_dim,
+                text_dim=data_cfg.text_dim,
+                video_seq_len=data_cfg.video_seq_len,
+                text_seq_len=data_cfg.text_seq_len,
+                variable_lengths=data_cfg.variable_lengths,
+                seed=data_cfg.seed,
+            ),
+            None,
+        )
+    if data_cfg.source == "files":
+        dataset = FeaturePairDataset(
+            data_cfg.video_path,
+            data_cfg.text_path,
+            video_mask_path=data_cfg.video_mask_path or None,
+            text_mask_path=data_cfg.text_mask_path or None,
+        )
+        manifest = Path(data_cfg.video_path).parent / "ids.json"
+        ids = None
+        if manifest.exists():
+            ids = json.loads(manifest.read_text())
+            if len(ids) != len(dataset):
+                raise SystemExit(
+                    f"ids manifest {manifest} has {len(ids)} entries but the "
+                    f"feature store has {len(dataset)} rows — stale manifest?"
+                )
+        return dataset, ids
+    raise SystemExit(f"unknown data.source {data_cfg.source!r}")
 
 
 @dataclasses.dataclass

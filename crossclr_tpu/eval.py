@@ -56,12 +56,7 @@ def _encode_split(trainer, state, data, batch_size: int):
 
 
 def main(argv: list[str] | None = None) -> int:
-    from .data import (
-        FeaturePairDataset,
-        SyntheticPairs,
-        epoch_batches,
-        train_eval_split,
-    )
+    from .data import dataset_from_config, epoch_batches, train_eval_split
     from .evaluation import retrieval_metrics, retrieve_topk
     from .parallel import initialize_multihost, make_mesh
     from .training import CheckpointManager, Trainer
@@ -110,25 +105,7 @@ def main(argv: list[str] | None = None) -> int:
 
     initialize_multihost()
 
-    if cfg.data.source == "synthetic":
-        dataset = SyntheticPairs(
-            num_pairs=cfg.data.num_pairs,
-            video_dim=cfg.data.video_dim,
-            text_dim=cfg.data.text_dim,
-            video_seq_len=cfg.data.video_seq_len,
-            text_seq_len=cfg.data.text_seq_len,
-            variable_lengths=cfg.data.variable_lengths,
-            seed=cfg.data.seed,
-        )
-    elif cfg.data.source == "files":
-        dataset = FeaturePairDataset(
-            cfg.data.video_path,
-            cfg.data.text_path,
-            video_mask_path=cfg.data.video_mask_path or None,
-            text_mask_path=cfg.data.text_mask_path or None,
-        )
-    else:
-        raise SystemExit(f"unknown data.source {cfg.data.source!r}")
+    dataset, _ = dataset_from_config(cfg.data)
 
     if args.split == "eval" and cfg.data.eval_fraction > 0:
         # identical split arithmetic to train.py so these are exactly the

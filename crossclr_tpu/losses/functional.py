@@ -50,6 +50,7 @@ __all__ = [
     "cross_clr",
     "connectivity_scores",
     "connectivity_keep_and_weights",
+    "masked_mean_pool",
     "pooled_unit_inputs",
     "max_margin",
     "info_nce",
@@ -191,6 +192,25 @@ def pooled_unit_inputs(input_features: jax.Array) -> jax.Array:
     if x.ndim == 3:
         x = jnp.mean(x, axis=1)
     return jax.lax.stop_gradient(l2_normalize(x, axis=1))
+
+
+def masked_mean_pool(x: jax.Array, mask: jax.Array | None = None) -> jax.Array:
+    """Mean-pool ``[B, S, D]`` sequences to ``[B, D]``; with a ``[B, S]``
+    key-padding mask (1 = valid), average only the valid steps.
+
+    The connectivity-scoring entry point for ragged inputs: plain mean
+    over all S steps is only padding-invariant when padded positions are
+    exactly zero (and even then mis-scales by valid/S before the
+    normalize), and real feature stores commonly pad by repeating the
+    last frame.  Pooled ``[B, D]`` inputs pass through unchanged.
+    """
+    if x.ndim != 3:
+        return x
+    if mask is None:
+        return jnp.mean(x.astype(jnp.float32), axis=1)
+    w = mask.astype(jnp.float32)[:, :, None]
+    denom = jnp.maximum(jnp.sum(w, axis=1), 1.0)
+    return jnp.sum(x.astype(jnp.float32) * w, axis=1) / denom
 
 
 def connectivity_scores(input_features: jax.Array) -> jax.Array:

@@ -25,7 +25,6 @@ import json
 import sys
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from pathlib import Path
 
 import numpy as np
 
@@ -141,37 +140,18 @@ def build_service(cfg, checkpoint_dir: str | None, corpus_side: str,
                   batch_size: int | None = None,
                   random_params: bool = False) -> RetrievalService:
     """Construct the service: dataset → trainer → restore → encode corpus."""
-    from .data import FeaturePairDataset, SyntheticPairs, epoch_batches
+    from .data import dataset_from_config, epoch_batches
     from .eval import _encode_split
     from .parallel import make_mesh
     from .training import CheckpointManager, Trainer
 
-    if cfg.data.source == "synthetic":
-        dataset = SyntheticPairs(
-            num_pairs=cfg.data.num_pairs,
-            video_dim=cfg.data.video_dim,
-            text_dim=cfg.data.text_dim,
-            video_seq_len=cfg.data.video_seq_len,
-            text_seq_len=cfg.data.text_seq_len,
-            variable_lengths=cfg.data.variable_lengths,
-            seed=cfg.data.seed,
-        )
-        ids = None
-    elif cfg.data.source == "files":
-        dataset = FeaturePairDataset(
-            cfg.data.video_path,
-            cfg.data.text_path,
-            video_mask_path=cfg.data.video_mask_path or None,
-            text_mask_path=cfg.data.text_mask_path or None,
-        )
-        manifest = Path(cfg.data.video_path).parent / "ids.json"
-        ids = json.loads(manifest.read_text()) if manifest.exists() else None
-    else:
-        raise SystemExit(f"unknown data.source {cfg.data.source!r}")
+    # dataset_from_config also validates the ids manifest length against
+    # the store, so a stale manifest fails at startup, not mid-request
+    dataset, ids = dataset_from_config(cfg.data)
 
     mesh = make_mesh() if len(jax.devices()) > 1 else None
     trainer = Trainer(cfg.video_tower, cfg.text_tower, cfg.train, mesh=mesh)
-    batch_size = batch_size or min(cfg.data.batch_size, len(dataset))
+    batch_size = min(batch_size or cfg.data.batch_size, len(dataset))
     first = next(epoch_batches(dataset, batch_size, shuffle=False))
     state = trainer.init_state(first["video"], first["text"])
     if not random_params:

@@ -18,21 +18,19 @@ import dataclasses
 import signal
 import sys
 
-import numpy as np
-
 import jax
 
 
 def main(argv: list[str] | None = None) -> int:
     from .data import (
-        FeaturePairDataset,
         HostShard,
-        SyntheticPairs,
+        dataset_from_config,
         epoch_batches,
         infinite_batches,
         prefetch_to_device,
         train_eval_split,
     )
+    from .eval import _encode_split
     from .evaluation import retrieval_metrics
     from .parallel import (
         data_sharding,
@@ -74,25 +72,7 @@ def main(argv: list[str] | None = None) -> int:
     initialize_multihost()
 
     # -- data ---------------------------------------------------------------
-    if cfg.data.source == "synthetic":
-        dataset = SyntheticPairs(
-            num_pairs=cfg.data.num_pairs,
-            video_dim=cfg.data.video_dim,
-            text_dim=cfg.data.text_dim,
-            video_seq_len=cfg.data.video_seq_len,
-            text_seq_len=cfg.data.text_seq_len,
-            variable_lengths=cfg.data.variable_lengths,
-            seed=cfg.data.seed,
-        )
-    elif cfg.data.source == "files":
-        dataset = FeaturePairDataset(
-            cfg.data.video_path,
-            cfg.data.text_path,
-            video_mask_path=cfg.data.video_mask_path or None,
-            text_mask_path=cfg.data.text_mask_path or None,
-        )
-    else:
-        raise SystemExit(f"unknown data.source {cfg.data.source!r}")
+    dataset, _ = dataset_from_config(cfg.data)
 
     # held-out eval split: eval/R@K must measure retrieval on UNSEEN pairs,
     # so the eval rows are excluded from the train stream entirely.
@@ -115,14 +95,6 @@ def main(argv: list[str] | None = None) -> int:
                 "memorization of training rows",
                 file=sys.stderr,
             )
-    eval_batch = {
-        "video": np.asarray(eval_data.video),
-        "text": np.asarray(eval_data.text),
-    }
-    for name in ("video_mask", "text_mask"):
-        m = getattr(eval_data, name, None)
-        if m is not None:
-            eval_batch[name] = np.asarray(m)
 
     # -- mesh / trainer -----------------------------------------------------
     mesh = (
@@ -208,7 +180,9 @@ def main(argv: list[str] | None = None) -> int:
             )
             done = int(state.step)
             if stop_requested["flag"]:
-                if ckpt is not None:
+                # a regular save (or the restore we resumed from) may
+                # already hold this exact step — Orbax raises on duplicates
+                if ckpt is not None and ckpt.latest_step() != done:
                     ckpt.save(done, state, wait=True)
                     if is_rank0:
                         print(
@@ -216,8 +190,15 @@ def main(argv: list[str] | None = None) -> int:
                             file=sys.stderr,
                         )
                 break
-            v_emb, t_emb = trainer.encode(state, eval_batch)
-            metrics = retrieval_metrics(v_emb, t_emb)
+            # batched eval encode: never materializes the eval split as one
+            # host array / one device batch (matters for eval_fraction=0,
+            # where the "split" is the whole — possibly mmapped — dataset)
+            v_emb, t_emb = _encode_split(
+                trainer, state, eval_data, local_batch
+            )
+            metrics = retrieval_metrics(
+                jax.numpy.asarray(v_emb), jax.numpy.asarray(t_emb)
+            )
             metrics["step"] = done
             writer({f"eval/{k}" if k != "step" else k: v for k, v in metrics.items()})
             if ckpt is not None:

@@ -498,10 +498,17 @@ class Trainer:
                 # gradient is zero outside the bound, latching the
                 # temperature with no path back) is never needed
                 temp = cfg.temperature / jnp.exp(params["logit_scale"])
+            # connectivity inputs for the full-CrossCLR variants: pool
+            # ragged sequences with their key-padding masks HERE, so the
+            # loss layer scores only valid steps (a plain mean over S
+            # would count padding frames — only accidentally harmless
+            # when padding is exactly zero)
+            v_raw = F.masked_mean_pool(batch["video"], batch.get("video_mask"))
+            t_raw = F.masked_mean_pool(batch["text"], batch.get("text_mask"))
             if use_global:
                 if cfg.loss in ("crossclr", "crossclr_fused"):
                     loss = _global_cross_clr_loss(
-                        v_emb, t_emb, batch["video"], batch["text"],
+                        v_emb, t_emb, v_raw, t_raw,
                         cfg, DATA_AXIS, temperature=temp,
                     )
                 else:
@@ -514,7 +521,7 @@ class Trainer:
                     )
             else:
                 loss = plain_loss(
-                    v_emb, t_emb, batch["video"], batch["text"],
+                    v_emb, t_emb, v_raw, t_raw,
                     temperature=temp,
                 )
             return loss, (v_emb, t_emb)

@@ -114,3 +114,32 @@ def test_mask_shape_validation(tmp_path, rng):
             text_mask_path=np.save(tmp_path / "tm.npy", np.ones((4, 6), np.float32))
             or tmp_path / "tm.npy",
         )
+
+
+def test_stale_ids_manifest_rejected(tmp_path, rng):
+    """dataset_from_config fails at startup when ids.json disagrees with
+    the feature store row count (stale manifest would otherwise cause
+    IndexErrors mid-request in the serving path)."""
+    import dataclasses
+
+    import pytest
+
+    from crossclr_tpu.data import dataset_from_config
+    from crossclr_tpu.utils.config import DataConfig
+
+    np.save(tmp_path / "video_feats.npy", rng.standard_normal((4, 8)).astype(np.float32))
+    np.save(tmp_path / "text_feats.npy", rng.standard_normal((4, 6)).astype(np.float32))
+    (tmp_path / "ids.json").write_text(json.dumps(["a", "b"]))  # wrong length
+
+    cfg = DataConfig(
+        source="files",
+        video_path=str(tmp_path / "video_feats.npy"),
+        text_path=str(tmp_path / "text_feats.npy"),
+    )
+    with pytest.raises(SystemExit, match="stale manifest"):
+        dataset_from_config(cfg)
+
+    (tmp_path / "ids.json").write_text(json.dumps(["a", "b", "c", "d"]))
+    ds, ids = dataset_from_config(cfg)
+    assert len(ds) == 4 and ids == ["a", "b", "c", "d"]
+    assert dataclasses.is_dataclass(cfg)

@@ -486,11 +486,14 @@ def test_crossclr_fused_odd_batch_falls_back():
     np.testing.assert_allclose(got, want, rtol=2e-5)
 
 
-def test_variable_length_masks_flow_through_training():
+@pytest.mark.parametrize("loss", ["crossclr_intra", "crossclr"])
+def test_variable_length_masks_flow_through_training(loss):
     """SyntheticPairs(variable_lengths=True) emits [N, S] masks that reach
     the towers: perturbing a PADDED frame's features must not change the
     loss (masked attention + masked mean pooling), while perturbing a
-    VALID frame must."""
+    VALID frame must.  loss='crossclr' additionally exercises the
+    CONNECTIVITY path — its input pooling must be masked too, even for
+    NON-ZERO padding content (real stores pad by repeating frames)."""
     from crossclr_tpu.data import SyntheticPairs, epoch_batches
 
     data = SyntheticPairs(
@@ -506,7 +509,7 @@ def test_variable_length_masks_flow_through_training():
     tc = TowerConfig(kind="transformer", input_dim=12, embed_dim=16,
                      hidden_dim=32, num_layers=1, num_heads=2, max_seq_len=8,
                      dtype=jnp.float32)
-    tr = Trainer(vc, tc, TrainConfig(total_steps=10, warmup_steps=2))
+    tr = Trainer(vc, tc, TrainConfig(loss=loss, total_steps=10, warmup_steps=2))
     batch = next(epoch_batches(data, 32, shuffle=False))
     assert set(batch) == {"video", "text", "video_mask", "text_mask"}
     state = tr.init_state(batch["video"], batch["text"])
