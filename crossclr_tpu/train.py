@@ -53,6 +53,12 @@ def main(argv: list[str] | None = None) -> int:
         help="mesh model-axis size (tensor parallelism); data axis gets the rest",
     )
     ap.add_argument("--save-config", default=None, help="dump resolved config and exit")
+    ap.add_argument(
+        "--profile-dir",
+        default=None,
+        help="capture a jax.profiler device trace of the first train chunk "
+        "into this directory (view in TensorBoard/XProf)",
+    )
     ap.add_argument("overrides", nargs="*", help="section.key=value overrides")
     args = ap.parse_args(argv)
 
@@ -171,13 +177,29 @@ def main(argv: list[str] | None = None) -> int:
     )
     it = prefetch_to_device(batches, size=2, sharding=sharding)
     try:
+        first_chunk = True
         while done < steps:
             chunk = min(cfg.eval_every, steps - done)
-            state, history = trainer.fit(
-                state, it, steps=chunk, log_every=cfg.log_every,
-                writer=writer,
-                should_stop=lambda: stop_requested["flag"],
-            )
+            if args.profile_dir and first_chunk:
+                # device trace of the first chunk only: compilation + the
+                # steady-state steps, bounded file size
+                from .utils.profiling import trace as profiler_trace
+
+                profile_cm = profiler_trace(args.profile_dir)
+            else:
+                import contextlib
+
+                profile_cm = contextlib.nullcontext()
+            with profile_cm:
+                state, history = trainer.fit(
+                    state, it, steps=chunk, log_every=cfg.log_every,
+                    writer=writer,
+                    should_stop=lambda: stop_requested["flag"],
+                )
+            if args.profile_dir and first_chunk and is_rank0:
+                print(f"profiler trace written to {args.profile_dir}",
+                      file=sys.stderr)
+            first_chunk = False
             done = int(state.step)
             if stop_requested["flag"]:
                 # a regular save (or the restore we resumed from) may

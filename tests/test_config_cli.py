@@ -369,3 +369,26 @@ def test_cli_variable_length_sequences(tmp_path):
     assert rc == 0
     rows = csv_path.read_text().splitlines()
     assert any("eval/v2t/R@1" in r for r in rows[:1])  # header has eval keys
+
+
+def test_cli_profile_dir_writes_trace(tmp_path):
+    """--profile-dir captures a jax.profiler trace of the first chunk."""
+    from crossclr_tpu.train import main
+
+    rc = main(
+        [
+            "--steps", "2",
+            "--profile-dir", str(tmp_path / "trace"),
+            "data.num_pairs=32", "data.batch_size=16",
+            "data.video_dim=24", "data.text_dim=16",
+            "video_tower.input_dim=24", "video_tower.embed_dim=16",
+            "video_tower.hidden_dim=32", "video_tower.dtype=float32",
+            "text_tower.input_dim=16", "text_tower.embed_dim=16",
+            "text_tower.hidden_dim=32", "text_tower.dtype=float32",
+            "train.warmup_steps=1", "eval_every=2", "log_every=1",
+        ]
+    )
+    assert rc == 0
+    # jax writes plugins/profile/<ts>/*.xplane.pb under the logdir
+    traces = list((tmp_path / "trace").rglob("*.xplane.pb"))
+    assert traces, list((tmp_path / "trace").rglob("*"))
