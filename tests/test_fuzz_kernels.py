@@ -1,0 +1,132 @@
+"""Randomized cross-checks of the Pallas kernel families against the jnp
+formulations — shapes, hyperparameters, offsets, and masks drawn from a
+seeded space.  Complements the targeted kernel tests with breadth: any
+(shape, τ, w, offset, mask) the wrappers accept must agree with the
+reference math.
+
+Interpret-mode only: every random (shape, τ, w) combination is a fresh
+Mosaic compile, which via the remote-compile tunnel takes minutes per
+case — the targeted kernel tests cover the compiled TPU path."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+if jax.default_backend() == "tpu":
+    pytest.skip(
+        "fuzz sweep is interpret-mode only (per-case Mosaic compiles are "
+        "minutes each on the remote-compile tunnel)",
+        allow_module_level=True,
+    )
+
+from crossclr_tpu.losses import cross_clr_intra
+from crossclr_tpu.losses.functional import l2_normalize
+from crossclr_tpu.ops.fused_crossclr import cross_clr_intra_fused
+from crossclr_tpu.ops.fused_global import fused_lse_rows
+from crossclr_tpu.parallel.global_loss import (
+    local_rows_cross_clr_intra,
+    pruned_rows_global,
+)
+
+ON_TPU = jax.default_backend() == "tpu"
+INTERPRET = not ON_TPU
+
+# compiled kernels need >= 64-wide tiles; the interpreter accepts 8
+_BATCHES = (64, 128) if ON_TPU else (16, 40, 64)
+
+
+@pytest.mark.parametrize("case", range(6))
+def test_fuzz_intra_fused(case, rng):
+    r = np.random.default_rng(1000 + case)
+    b = int(r.choice(_BATCHES))
+    d = int(r.choice((16, 32, 100)))
+    tau = float(r.uniform(0.02, 0.5))
+    w = float(r.uniform(0.0, 1.0))
+    v = jnp.asarray(r.standard_normal((b, d)), jnp.float32)
+    t = jnp.asarray(r.standard_normal((b, d)), jnp.float32)
+
+    def fused(v_, t_):
+        return cross_clr_intra_fused(
+            v_, t_, temperature=tau, negative_weight=w, interpret=INTERPRET
+        )
+
+    def ref(v_, t_):
+        return cross_clr_intra(v_, t_, temperature=tau, negative_weight=w)
+
+    fv, fg = jax.value_and_grad(fused, argnums=(0, 1))(v, t)
+    rv, rg = jax.value_and_grad(ref, argnums=(0, 1))(v, t)
+    np.testing.assert_allclose(float(fv), float(rv), rtol=3e-5, atol=3e-5)
+    rtol, atol = (3e-3, 1e-4) if ON_TPU else (3e-4, 3e-5)
+    for g, wnt in zip(fg, rg):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(wnt), rtol=rtol, atol=atol,
+            err_msg=f"b={b} d={d} tau={tau:.3f} w={w:.3f}",
+        )
+
+
+@pytest.mark.parametrize("case", range(6))
+def test_fuzz_rect_rows(case, rng):
+    r = np.random.default_rng(2000 + case)
+    b_loc = int(r.choice(_BATCHES))
+    n_blocks = int(r.integers(1, 5))
+    n = b_loc * n_blocks
+    d = int(r.choice((16, 32)))
+    tau = float(r.uniform(0.02, 0.5))
+    w = float(r.uniform(0.0, 1.0))
+    block = int(r.integers(0, n_blocks))
+    offset = block * b_loc
+    pruned = bool(r.integers(0, 2))
+
+    v_all = l2_normalize(jnp.asarray(r.standard_normal((n, d)), jnp.float32), 1)
+    t_all = l2_normalize(jnp.asarray(r.standard_normal((n, d)), jnp.float32), 1)
+    rows = v_all[offset : offset + b_loc]
+    kw = dict(temperature=tau, negative_weight=w)
+    if pruned:
+        keep_i = jnp.asarray(r.random(n) > r.uniform(0.0, 0.4))
+        keep_a = jnp.asarray(r.random(n) > r.uniform(0.0, 0.4))
+
+        def fused(rows_, va, ta):
+            return jnp.sum(
+                fused_lse_rows(
+                    rows_, va, ta, jnp.asarray(offset), interpret=INTERPRET,
+                    keep_inter=keep_i, keep_intra=keep_a, **kw,
+                )
+            )
+
+        def ref(rows_, va, ta):
+            pos = jnp.sum(
+                rows_ * jax.lax.dynamic_slice_in_dim(ta, offset, b_loc), axis=1
+            ) / tau
+            return jnp.sum(
+                pruned_rows_global(rows_, ta, va, keep_i, keep_a, offset, **kw)
+                + pos
+            )
+    else:
+
+        def fused(rows_, va, ta):
+            return jnp.sum(
+                fused_lse_rows(
+                    rows_, va, ta, jnp.asarray(offset),
+                    interpret=INTERPRET, **kw,
+                )
+            )
+
+        def ref(rows_, va, ta):
+            pos = jnp.sum(
+                rows_ * jax.lax.dynamic_slice_in_dim(ta, offset, b_loc), axis=1
+            ) / tau
+            return jnp.sum(
+                local_rows_cross_clr_intra(rows_, va, ta, offset, **kw) + pos
+            )
+
+    fv, fg = jax.value_and_grad(fused, argnums=(0, 1, 2))(rows, v_all, t_all)
+    rv, rg = jax.value_and_grad(ref, argnums=(0, 1, 2))(rows, v_all, t_all)
+    tag = f"b={b_loc} n={n} d={d} tau={tau:.3f} w={w:.3f} pruned={pruned}"
+    np.testing.assert_allclose(float(fv), float(rv), rtol=3e-5, err_msg=tag)
+    rtol, atol = (4e-3, 1e-4) if ON_TPU else (3e-4, 3e-5)
+    for g, wnt in zip(fg, rg):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(wnt), rtol=rtol, atol=atol, err_msg=tag
+        )
