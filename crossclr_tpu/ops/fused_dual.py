@@ -60,6 +60,18 @@ from .fused_crossclr import (
 
 __all__ = ["dual_lse_pair", "dual_supported", "sym_supported"]
 
+# finite "excluded candidate" logit for the PRUNED (full-CrossCLR) variant
+# — see fused_global._MASKED for why −1e9 rather than −inf
+_MASKED = -1e9
+# floor for the pruned online max: a FULLY-masked tile sets the running
+# max to _MASKED itself and its entries momentarily contribute exp(0) = 1
+# each; the later rescale by exp(_MASKED − real_max) = 0 wipes them (every
+# row keeps its positive), so this floor is defense-in-depth, not a fix —
+# it makes the invariant local instead of relying on the wipe.  Genuine
+# logits are bounded (|z| ≤ s ≤ 3333 under the CLIP temperature clamp),
+# so −1e4 sits safely between: exp(−1e9 − (−1e4)) underflows to 0
+_MASK_MAX_FLOOR = -1e4
+
 # the backward keeps a [B, D] fp32 accumulator for the column-indexed text
 # gradient in VMEM; cap it so tiles + accumulator stay within the budget
 _MAX_COL_ACC_BYTES = 48 * 1024 * 1024
@@ -78,26 +90,22 @@ def dual_supported(b: int, d: int) -> bool:
 
 
 def _dual_fwd_kernel(
-    s_ref,
-    v_row_ref,
-    t_row_ref,
-    t_col_ref,
-    v_col_ref,
-    lse_v_ref,
-    lse_ti_ref,
-    lse_tc_ref,
-    m_v,
-    l_v,
-    m_ti,
-    l_ti,
-    m_tc,
-    l_tc,
-    *,
+    *refs,
     neg_weight: float,
     tb: int,
     tc: int,
     precision,
+    pruned: bool,
 ):
+    if pruned:
+        (s_ref, kv_row_ref, kv_col_ref, kt_col_ref,
+         v_row_ref, t_row_ref, t_col_ref, v_col_ref,
+         lse_v_ref, lse_ti_ref, lse_tc_ref,
+         m_v, l_v, m_ti, l_ti, m_tc, l_tc) = refs
+    else:
+        (s_ref, v_row_ref, t_row_ref, t_col_ref, v_col_ref,
+         lse_v_ref, lse_ti_ref, lse_tc_ref,
+         m_v, l_v, m_ti, l_ti, m_tc, l_tc) = refs
     i = pl.program_id(0)
     j = pl.program_id(1)
     ni = pl.num_programs(0)
@@ -128,22 +136,39 @@ def _dual_fwd_kernel(
     rows = i * tb + jax.lax.broadcasted_iota(jnp.int32, (tb, tc), 0)
     cols = j * tc + jax.lax.broadcasted_iota(jnp.int32, (tb, tc), 1)
     on_diag = rows == cols
-    # parity quirk: the self-similarity logit is ZEROED, not dropped
-    z_vv = jnp.where(on_diag, 0.0, z_vv)
-    z_tt = jnp.where(on_diag, 0.0, z_tt)
+    if pruned:
+        # full-CrossCLR: pruned negatives / self column DROPPED (−1e9),
+        # positive diagonal always kept.  The shared z_vt tile carries
+        # DIFFERENT masks per direction — each anchor prunes candidates by
+        # the CANDIDATE modality's keep mask: video anchors (row-lse) by
+        # keep_t over columns, text anchors (col-lse) by keep_v over rows.
+        keep_t_col = kt_col_ref[:] > 0.5  # [1, TC]
+        keep_v_col = kv_col_ref[:] > 0.5
+        keep_v_row = kv_row_ref[:] > 0.5  # [TB, 1]
+        zA_vt = jnp.where(keep_t_col | on_diag, z_vt, _MASKED)
+        zB_vt = jnp.where(keep_v_row | on_diag, z_vt, _MASKED)
+        z_vv = jnp.where(keep_v_col & ~on_diag, z_vv, _MASKED)
+        z_tt = jnp.where(keep_t_col & ~on_diag, z_tt, _MASKED)
+    else:
+        # parity quirk: the self-similarity logit is ZEROED, not dropped
+        zA_vt = zB_vt = z_vt
+        z_vv = jnp.where(on_diag, 0.0, z_vv)
+        z_tt = jnp.where(on_diag, 0.0, z_tt)
 
-    # video direction: row-wise online lse over {z_vt ‖ z_vv}
+    # video direction: row-wise online lse over {zA_vt ‖ z_vv}
     m_prev = m_v[:]
     m_new = jnp.maximum(
         m_prev,
         jnp.maximum(
-            jnp.max(z_vt, axis=1, keepdims=True),
+            jnp.max(zA_vt, axis=1, keepdims=True),
             jnp.max(z_vv, axis=1, keepdims=True),
         ),
     )
+    if pruned:
+        m_new = jnp.maximum(m_new, _MASK_MAX_FLOOR)
     l_new = (
         l_v[:] * jnp.exp(m_prev - m_new)
-        + jnp.sum(jnp.exp(z_vt - m_new), axis=1, keepdims=True)
+        + jnp.sum(jnp.exp(zA_vt - m_new), axis=1, keepdims=True)
         + jnp.sum(jnp.exp(z_vv - m_new), axis=1, keepdims=True)
     )
     m_v[:] = m_new
@@ -156,6 +181,8 @@ def _dual_fwd_kernel(
     # text direction, intra part: row-wise online lse over z_tt
     mt_prev = m_ti[:]
     mt_new = jnp.maximum(mt_prev, jnp.max(z_tt, axis=1, keepdims=True))
+    if pruned:
+        mt_new = jnp.maximum(mt_new, _MASK_MAX_FLOOR)
     lt_new = l_ti[:] * jnp.exp(mt_prev - mt_new) + jnp.sum(
         jnp.exp(z_tt - mt_new), axis=1, keepdims=True
     )
@@ -170,9 +197,11 @@ def _dual_fwd_kernel(
     # z_vt tile (column c = anchor t_{j+c} vs the V_i rows), accumulated
     # across the outer i loop in per-column-block scratch
     mc_prev = m_tc[j]  # [1, TC]
-    mc_new = jnp.maximum(mc_prev, jnp.max(z_vt, axis=0, keepdims=True))
+    mc_new = jnp.maximum(mc_prev, jnp.max(zB_vt, axis=0, keepdims=True))
+    if pruned:
+        mc_new = jnp.maximum(mc_new, _MASK_MAX_FLOOR)
     lc_new = l_tc[j] * jnp.exp(mc_prev - mc_new) + jnp.sum(
-        jnp.exp(z_vt - mc_new), axis=0, keepdims=True
+        jnp.exp(zB_vt - mc_new), axis=0, keepdims=True
     )
     m_tc[j] = mc_new
     l_tc[j] = lc_new
@@ -183,7 +212,8 @@ def _dual_fwd_kernel(
 
 
 def _dual_fwd(
-    v_norm, t_norm, scale_arr, neg_weight, tb, tc, interpret, precision
+    v_norm, t_norm, scale_arr, kv, kt, neg_weight, tb, tc, interpret,
+    precision, pruned
 ):
     b, d = v_norm.shape
     ni, nj = b // tb, b // tc
@@ -193,14 +223,30 @@ def _dual_fwd(
         tb=tb,
         tc=tc,
         precision=_resolve_precision(precision),
+        pruned=pruned,
     )
     row = lambda i, j: (i, 0)  # noqa: E731
     col = lambda i, j: (j, 0)  # noqa: E731
+    mask_specs = (
+        [
+            pl.BlockSpec((tb, 1), row, memory_space=pltpu.VMEM),  # kv rows
+            pl.BlockSpec((1, tc), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tc), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        ]
+        if pruned
+        else []
+    )
+    mask_args = (
+        (kv.reshape(b, 1), kv.reshape(1, b), kt.reshape(1, b))
+        if pruned
+        else ()
+    )
     lse_v, lse_ti, lse_tc = pl.pallas_call(
         kernel,
         grid=(ni, nj),
         in_specs=[
             pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            *mask_specs,
             pl.BlockSpec((tb, d), row, memory_space=pltpu.VMEM),
             pl.BlockSpec((tb, d), row, memory_space=pltpu.VMEM),
             pl.BlockSpec((tc, d), col, memory_space=pltpu.VMEM),
@@ -229,7 +275,7 @@ def _dual_fwd(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(scale_arr, v_norm, t_norm, t_norm, v_norm)
+    )(scale_arr, *mask_args, v_norm, t_norm, t_norm, v_norm)
     # exact: lse over the union of two candidate blocks = stable logaddexp
     # of the per-block logsumexps
     lse_t = jnp.logaddexp(lse_tc.reshape(b, 1), lse_ti)
@@ -242,34 +288,28 @@ def _dual_fwd(
 
 
 def _dual_bwd_kernel(
-    s_ref,
-    v_row_ref,
-    t_row_ref,
-    lse_v_row_ref,
-    lse_t_row_ref,
-    gv_row_ref,
-    gt_row_ref,
-    t_col_ref,
-    v_col_ref,
-    lse_v_colT_ref,
-    lse_t_colT_ref,
-    gv_colT_ref,
-    gt_colT_ref,
-    dv_ref,
-    dt_row_out_ref,
-    dt_col_out_ref,
-    ds_ref,
-    dv_scr,
-    dt_row_scr,
-    dt_col_scr,
-    ds_scr,
-    *,
+    *refs,
     neg_weight: float,
     tb: int,
     tc: int,
     precision,
     factored: bool,
+    pruned: bool,
 ):
+    if pruned:
+        (s_ref, kv_row_ref, kt_row_ref, kv_col_ref, kt_col_ref,
+         v_row_ref, t_row_ref, lse_v_row_ref, lse_t_row_ref,
+         gv_row_ref, gt_row_ref, t_col_ref, v_col_ref,
+         lse_v_colT_ref, lse_t_colT_ref, gv_colT_ref, gt_colT_ref,
+         dv_ref, dt_row_out_ref, dt_col_out_ref, ds_ref,
+         dv_scr, dt_row_scr, dt_col_scr, ds_scr) = refs
+    else:
+        (s_ref,
+         v_row_ref, t_row_ref, lse_v_row_ref, lse_t_row_ref,
+         gv_row_ref, gt_row_ref, t_col_ref, v_col_ref,
+         lse_v_colT_ref, lse_t_colT_ref, gv_colT_ref, gt_colT_ref,
+         dv_ref, dt_row_out_ref, dt_col_out_ref, ds_ref,
+         dv_scr, dt_row_scr, dt_col_scr, ds_scr) = refs
     i = pl.program_id(0)
     j = pl.program_id(1)
     ni = pl.num_programs(0)
@@ -315,41 +355,97 @@ def _dual_bwd_kernel(
     cols = j * tc + jax.lax.broadcasted_iota(jnp.int32, (tb, tc), 1)
     on_diag = rows == cols
 
-    # ---- shared inter-modal tile: one logit dot, both gradients
-    z_vt = scale * _dot_nt(v_i, t_j, precision)
-    m = two_softmax(z_vt, gv_i, lse_v_i, gt_j, lse_t_j)
-    dv_acc = _dot(m, t_j, precision)
-    # dTⱼ += Mᵀ·Vᵢ as a dim-0 contraction — no transpose materializes
-    dt_col_scr[j] = dt_col_scr[j] + jax.lax.dot_general(
-        m,
-        v_i,
-        (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=precision,
-    )
+    if pruned:
+        # Pruned (full-CrossCLR) masks are ROLE-ASYMMETRIC: the same
+        # logit value z[r, c] is masked by the CANDIDATE's keep when the
+        # row is the anchor and by the ROW's keep when the column is the
+        # anchor, so each tile carries TWO masked variants (A = row-role,
+        # B = column-role).  Both roles' coefficient parts still sum into
+        # one matrix for the feature dots (∂z/∂feature is identical for
+        # both roles), but the dτ products must pair each part with ITS
+        # masked z — masked parts are exactly 0, so 0·(−1e9) = −0 keeps
+        # the sums finite.
+        keep_v_row = kv_row_ref[:] > 0.5  # [TB, 1]
+        keep_t_row = kt_row_ref[:] > 0.5
+        keep_v_col = kv_col_ref[:] > 0.5  # [1, TC]
+        keep_t_col = kt_col_ref[:] > 0.5
 
-    # ---- video intra tile
-    z_vv = (neg_weight * scale) * _dot_nt(v_i, v_j, precision)
-    q_v = two_softmax(z_vv, gv_i, lse_v_i, gv_j, lse_v_j)
-    q_v = jnp.where(on_diag, 0.0, q_v)  # zeroed logit ⇒ constant ⇒ no grad
-    dv_acc = dv_acc + neg_weight * _dot(q_v, v_j, precision)
-    dv_scr[:] = dv_scr[:] + dv_acc
+        z_vt = scale * _dot_nt(v_i, t_j, precision)
+        zA_vt = jnp.where(keep_t_col | on_diag, z_vt, _MASKED)
+        zB_vt = jnp.where(keep_v_row | on_diag, z_vt, _MASKED)
+        mA = gv_i * jnp.exp(zA_vt - lse_v_i)
+        mB = gt_j * jnp.exp(zB_vt - lse_t_j)
+        m = mA + mB
+        dv_acc = _dot(m, t_j, precision)
+        dt_col_scr[j] = dt_col_scr[j] + jax.lax.dot_general(
+            m, v_i, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
+        )
 
-    # ---- text intra tile
-    z_tt = (neg_weight * scale) * _dot_nt(t_i, t_j, precision)
-    q_t = two_softmax(z_tt, gt_i, lse_t_i, gt_j, lse_t_j)
-    q_t = jnp.where(on_diag, 0.0, q_t)
-    dt_row_scr[:] = dt_row_scr[:] + neg_weight * _dot(q_t, t_j, precision)
+        z_vv = (neg_weight * scale) * _dot_nt(v_i, v_j, precision)
+        zA_vv = jnp.where(keep_v_col & ~on_diag, z_vv, _MASKED)
+        zB_vv = jnp.where(keep_v_row & ~on_diag, z_vv, _MASKED)
+        qA_v = gv_i * jnp.exp(zA_vv - lse_v_i)
+        qB_v = gv_j * jnp.exp(zB_vv - lse_v_j)
+        dv_acc = dv_acc + neg_weight * _dot(qA_v + qB_v, v_j, precision)
+        dv_scr[:] = dv_scr[:] + dv_acc
 
-    # ---- temperature gradient: Σ coeff⊙z over all logits (÷ scale
-    # outside).  q_v/q_t fold the row- AND column-role coefficients of the
-    # same symmetric intra logit (needed for the feature gradient), so each
-    # intra logit appears twice in q⊙z — halve those sums.  m's two factors
-    # belong to DIFFERENT loss directions, each counted once.
-    ds_scr[0, 0] = ds_scr[0, 0] + (
-        jnp.sum(m * z_vt)
-        + 0.5 * (jnp.sum(q_v * z_vv) + jnp.sum(q_t * z_tt))
-    )
+        z_tt = (neg_weight * scale) * _dot_nt(t_i, t_j, precision)
+        zA_tt = jnp.where(keep_t_col & ~on_diag, z_tt, _MASKED)
+        zB_tt = jnp.where(keep_t_row & ~on_diag, z_tt, _MASKED)
+        qA_t = gt_i * jnp.exp(zA_tt - lse_t_i)
+        qB_t = gt_j * jnp.exp(zB_tt - lse_t_j)
+        dt_row_scr[:] = dt_row_scr[:] + neg_weight * _dot(
+            qA_t + qB_t, t_j, precision
+        )
+
+        # dτ: inter parts belong to different loss directions (once each);
+        # the A/B intra sweeps each cover every (anchor, candidate) pair
+        # exactly once more — summing both and halving counts each once
+        ds_scr[0, 0] = ds_scr[0, 0] + (
+            jnp.sum(mA * zA_vt)
+            + jnp.sum(mB * zB_vt)
+            + 0.5 * (
+                jnp.sum(qA_v * zA_vv) + jnp.sum(qB_v * zB_vv)
+                + jnp.sum(qA_t * zA_tt) + jnp.sum(qB_t * zB_tt)
+            )
+        )
+    else:
+        # ---- shared inter-modal tile: one logit dot, both gradients
+        z_vt = scale * _dot_nt(v_i, t_j, precision)
+        m = two_softmax(z_vt, gv_i, lse_v_i, gt_j, lse_t_j)
+        dv_acc = _dot(m, t_j, precision)
+        # dTⱼ += Mᵀ·Vᵢ as a dim-0 contraction — no transpose materializes
+        dt_col_scr[j] = dt_col_scr[j] + jax.lax.dot_general(
+            m,
+            v_i,
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        )
+
+        # ---- video intra tile
+        z_vv = (neg_weight * scale) * _dot_nt(v_i, v_j, precision)
+        q_v = two_softmax(z_vv, gv_i, lse_v_i, gv_j, lse_v_j)
+        q_v = jnp.where(on_diag, 0.0, q_v)  # zeroed logit ⇒ constant ⇒ no grad
+        dv_acc = dv_acc + neg_weight * _dot(q_v, v_j, precision)
+        dv_scr[:] = dv_scr[:] + dv_acc
+
+        # ---- text intra tile
+        z_tt = (neg_weight * scale) * _dot_nt(t_i, t_j, precision)
+        q_t = two_softmax(z_tt, gt_i, lse_t_i, gt_j, lse_t_j)
+        q_t = jnp.where(on_diag, 0.0, q_t)
+        dt_row_scr[:] = dt_row_scr[:] + neg_weight * _dot(q_t, t_j, precision)
+
+        # ---- temperature gradient: Σ coeff⊙z over all logits (÷ scale
+        # outside).  q_v/q_t fold the row- AND column-role coefficients of
+        # the same symmetric intra logit (needed for the feature gradient),
+        # so each intra logit appears twice in q⊙z — halve those sums.  m's
+        # two factors belong to DIFFERENT loss directions, each counted once.
+        ds_scr[0, 0] = ds_scr[0, 0] + (
+            jnp.sum(m * z_vt)
+            + 0.5 * (jnp.sum(q_v * z_vv) + jnp.sum(q_t * z_tt))
+        )
 
     @pl.when(j == nj - 1)
     def _fin_rows():
@@ -369,6 +465,8 @@ def _dual_bwd(
     v_norm,
     t_norm,
     scale_arr,
+    kv,
+    kt,
     lse_v,
     lse_t,
     g_v,
@@ -379,6 +477,7 @@ def _dual_bwd(
     interpret,
     precision,
     factored,
+    pruned,
 ):
     b, d = v_norm.shape
     ni, nj = b // tb, b // tc
@@ -389,6 +488,7 @@ def _dual_bwd(
         tc=tc,
         precision=_resolve_precision(precision),
         factored=factored,
+        pruned=pruned,
     )
     row = lambda i, j: (i, 0)  # noqa: E731
     col = lambda i, j: (j, 0)  # noqa: E731
@@ -398,11 +498,32 @@ def _dual_bwd(
     lse_t_t = lse_t.reshape(1, b)
     g_v_t = g_v.reshape(1, b)
     g_t_t = g_t.reshape(1, b)
+    mask_specs = (
+        [
+            pl.BlockSpec((tb, 1), row, memory_space=pltpu.VMEM),  # kv rows
+            pl.BlockSpec((tb, 1), row, memory_space=pltpu.VMEM),  # kt rows
+            pl.BlockSpec((1, tc), colT, memory_space=pltpu.VMEM),  # kv cols
+            pl.BlockSpec((1, tc), colT, memory_space=pltpu.VMEM),  # kt cols
+        ]
+        if pruned
+        else []
+    )
+    mask_args = (
+        (
+            kv.reshape(b, 1),
+            kt.reshape(b, 1),
+            kv.reshape(1, b),
+            kt.reshape(1, b),
+        )
+        if pruned
+        else ()
+    )
     dv, dt_row, dt_col, ds = pl.pallas_call(
         kernel,
         grid=(ni, nj),
         in_specs=[
             pl.BlockSpec((1, 1), smem, memory_space=pltpu.SMEM),
+            *mask_specs,
             pl.BlockSpec((tb, d), row, memory_space=pltpu.VMEM),
             pl.BlockSpec((tb, d), row, memory_space=pltpu.VMEM),
             pl.BlockSpec((tb, 1), row, memory_space=pltpu.VMEM),
@@ -441,6 +562,7 @@ def _dual_bwd(
         interpret=interpret,
     )(
         scale_arr,
+        *mask_args,
         v_norm,
         t_norm,
         lse_v,
@@ -462,47 +584,59 @@ def _dual_bwd(
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11))
 def _dual_lse_pair(
     v_norm,
     t_norm,
     scale_arr,
+    kv,
+    kt,
     neg_weight: float,
     tb: int,
     tc: int,
     interpret: bool,
     precision: str | None,
     factored: bool,
+    pruned: bool,
 ):
     return _dual_fwd(
-        v_norm, t_norm, scale_arr, neg_weight, tb, tc, interpret, precision
+        v_norm, t_norm, scale_arr, kv, kt, neg_weight, tb, tc, interpret,
+        precision, pruned,
     )
 
 
 def _dual_lse_pair_fwd(
-    v_norm, t_norm, scale_arr, neg_weight, tb, tc, interpret, precision,
-    factored,
+    v_norm, t_norm, scale_arr, kv, kt, neg_weight, tb, tc, interpret,
+    precision, factored, pruned,
 ):
     lse_v, lse_t = _dual_fwd(
-        v_norm, t_norm, scale_arr, neg_weight, tb, tc, interpret, precision
+        v_norm, t_norm, scale_arr, kv, kt, neg_weight, tb, tc, interpret,
+        precision, pruned,
     )
-    return (lse_v, lse_t), (v_norm, t_norm, scale_arr, lse_v, lse_t)
+    return (lse_v, lse_t), (v_norm, t_norm, scale_arr, kv, kt, lse_v, lse_t)
 
 
 def _dual_lse_pair_bwd(
-    neg_weight, tb, tc, interpret, precision, factored, residuals, cotangents
+    neg_weight, tb, tc, interpret, precision, factored, pruned,
+    residuals, cotangents,
 ):
-    v_norm, t_norm, scale_arr, lse_v, lse_t = residuals
+    v_norm, t_norm, scale_arr, kv, kt, lse_v, lse_t = residuals
     g_v, g_t = cotangents
     g_v = jnp.asarray(g_v, jnp.float32).reshape(-1, 1)
     g_t = jnp.asarray(g_t, jnp.float32).reshape(-1, 1)
     dv, dt, ds_raw = _dual_bwd(
-        v_norm, t_norm, scale_arr, lse_v, lse_t, g_v, g_t,
-        neg_weight, tb, tc, interpret, precision, factored,
+        v_norm, t_norm, scale_arr, kv, kt, lse_v, lse_t, g_v, g_t,
+        neg_weight, tb, tc, interpret, precision, factored, pruned,
     )
     # kernel accumulates Σ coeff⊙z = scale · dL/dscale
     ds = (ds_raw / scale_arr[0, 0]).reshape(scale_arr.shape)
-    return dv.astype(v_norm.dtype), dt.astype(t_norm.dtype), ds
+    return (
+        dv.astype(v_norm.dtype),
+        dt.astype(t_norm.dtype),
+        ds,
+        jnp.zeros_like(kv),  # 0/1 keep masks: no gradient
+        jnp.zeros_like(kt),
+    )
 
 
 _dual_lse_pair.defvjp(_dual_lse_pair_fwd, _dual_lse_pair_bwd)
@@ -522,6 +656,8 @@ def dual_lse_pair(
     interpret: bool = False,
     precision: str | None = None,
     tiles: tuple[int, int] | None = None,
+    keep_video: jax.Array | None = None,
+    keep_text: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Both directions' ``[B, 1]`` logsumexps in one fused pass.
 
@@ -529,13 +665,25 @@ def dual_lse_pair(
     (learnable); gradients flow to features AND temperature.  Inputs must
     be L2-normalized.  Caller must check :func:`dual_supported` (or pass
     ``interpret=True`` with manual ``tiles``).
+
+    ``keep_video`` / ``keep_text`` (both or neither): ``[B]`` bool keep
+    masks for the FULL-CrossCLR pruned variant — each anchor's negatives
+    are pruned by the CANDIDATE modality's mask, the self column is
+    dropped (−inf semantics, not the released loss's zeroing quirk), and
+    the positive diagonal is always kept.  Matches
+    functional._pruned_direction_rows on both directions.
     """
     b, d = v_norm.shape
+    if (keep_video is None) != (keep_text is None):
+        raise ValueError("pass both keep masks or neither")
+    pruned = keep_video is not None
     static_temp = isinstance(temperature, (int, float))
     if static_temp:
         scale = 1.0 / float(temperature)
         w_scale = negative_weight * scale
-        factored = 0.0 < scale < 80.0 and 0.0 <= w_scale < 80.0
+        factored = (
+            not pruned and 0.0 < scale < 80.0 and 0.0 <= w_scale < 80.0
+        )
     else:
         scale = 1.0 / temperature
         factored = False  # CLIP-bounded τ can reach s≈3333: exp(z) unsafe
@@ -544,13 +692,22 @@ def dual_lse_pair(
         tiles = _pick_tiles(b, d)
         if tiles is None:
             raise ValueError(f"unsupported shape [{b},{d}] for dual kernel")
+        if pruned:
+            # the pruned backward holds role-A AND role-B masked variants
+            # of all three logit tiles live at once (~6 extra [TB, TC]
+            # fp32 buffers) — (512, 2048) tiles blow the scoped-VMEM
+            # limit at d=512; halve the row tile
+            tiles = (min(tiles[0], 256), tiles[1])
     tb, tc = tiles
     # symmetric static-max kernels win at HIGHEST (the 15% dot cut is
     # the bottleneck there: measured 8.6 vs 10.1 ms interleaved); at
     # DEFAULT the online-max kernels' wider column tiles win instead
-    # (4.49 vs 4.78 ms) — route by precision tier
+    # (4.49 vs 4.78 ms) — route by precision tier.  The pruned variant's
+    # role-asymmetric masks break the static-max triangle sharing: it
+    # always runs the online-max kernels.
     use_sym = (
         static_temp
+        and not pruned
         and not explicit_tiles  # sweeps pin the online-max kernels
         and precision in (None, "highest")
         and sym_supported(b, d, scale, negative_weight)
@@ -575,17 +732,26 @@ def dual_lse_pair(
             interpret,
             precision,
         )
+    if pruned:
+        kv = jnp.asarray(keep_video, jnp.float32).reshape(b)
+        kt = jnp.asarray(keep_text, jnp.float32).reshape(b)
+    else:
+        # dummies keep the custom_vjp signature fixed; never fed to Pallas
+        kv = kt = jnp.zeros((1,), jnp.float32)
     scale_arr = jnp.asarray(scale, jnp.float32).reshape(1, 1)
     return _dual_lse_pair(
         v_norm.astype(feat_dtype),
         t_norm.astype(feat_dtype),
         scale_arr,
+        kv,
+        kt,
         negative_weight,
         tb,
         tc,
         interpret,
         precision,
         factored,
+        pruned,
     )
 
 

@@ -53,6 +53,15 @@ __all__ = ["cross_clr_fused", "fused_lse_rows", "rows_supported"]
 # running max and the p⊙z temperature-gradient products NaN-free
 # (0 · −1e9 = −0.0, while 0 · −inf would be NaN).
 _MASKED = -1e9
+# floor for the pruned online max.  A FULLY-masked tile sets the running
+# max to _MASKED itself and its masked entries momentarily contribute
+# exp(0) = 1 each; the accumulation still ends CORRECT because the next
+# real logit (every row keeps its positive) rescales the sum by
+# exp(_MASKED − real) = 0, wiping the bogus terms.  The floor removes the
+# reliance on that rescue entirely — genuine logits are bounded
+# (|z| ≤ s ≤ 3333 under the CLIP temperature clamp), so −1e4 sits safely
+# between and exp(−1e9 − (−1e4)) underflows to exactly 0
+_MASK_MAX_FLOOR = -1e4
 
 
 def _global_ids(i, j, off_ref, tb: int, tc: int, transposed: bool = False):
@@ -122,6 +131,11 @@ def _rows_lse_kernel(
             jnp.max(intra, axis=1, keepdims=True),
         ),
     )
+    if pruned:
+        # fully-masked tile: keep m_new off the _MASKED value itself (see
+        # _MASK_MAX_FLOOR — correct either way, this avoids relying on
+        # the later-rescale wipe)
+        m_new = jnp.maximum(m_new, _MASK_MAX_FLOOR)
     l_new = (
         l_scr[:] * jnp.exp(m_prev - m_new)
         + jnp.sum(jnp.exp(inter - m_new), axis=1, keepdims=True)
@@ -632,19 +646,36 @@ def cross_clr_fused(
         weight_temperature=weight_temperature,
     )
 
-    off = jnp.zeros((), jnp.float32)
     kw = dict(
         temperature=temperature,
         negative_weight=negative_weight,
         interpret=interpret,
         precision=precision,
     )
-    # video anchors: inter columns are text samples (pruned by keep_t),
-    # intra columns are video samples (keep_v); symmetric for text
-    lse_v = fused_lse_rows(v, v, t, off, keep_inter=keep_t,
-                           keep_intra=keep_v, **kw)[:, 0]
-    lse_t = fused_lse_rows(t, t, v, off, keep_inter=keep_v,
-                           keep_intra=keep_t, **kw)[:, 0]
+    from .fused_dual import dual_lse_pair, dual_supported
+
+    # preferred: the dual-direction pruned kernel shares the inter-modal
+    # logit tile between both directions (10 vs the two rect calls' 12
+    # B²D dot units); rect row kernels remain the fallback for shapes
+    # outside the dual kernel's VMEM budget
+    use_dual = b % 8 == 0 if interpret else dual_supported(b, d)
+    if use_dual:
+        tiles = None
+        if interpret and _pick_tiles(b, d) is None:
+            small = max(s for s in (64, 32, 16, 8) if b % s == 0)
+            tiles = (small, small)
+        lse_v, lse_t = dual_lse_pair(
+            v, t, keep_video=keep_v, keep_text=keep_t, tiles=tiles, **kw
+        )
+        lse_v, lse_t = lse_v[:, 0], lse_t[:, 0]
+    else:
+        off = jnp.zeros((), jnp.float32)
+        # video anchors: inter columns are text samples (pruned by
+        # keep_t), intra columns are video samples (keep_v); symmetric
+        lse_v = fused_lse_rows(v, v, t, off, keep_inter=keep_t,
+                               keep_intra=keep_v, **kw)[:, 0]
+        lse_t = fused_lse_rows(t, t, v, off, keep_inter=keep_v,
+                               keep_intra=keep_t, **kw)[:, 0]
     pos = jnp.sum(v * t, axis=1) / temperature
     loss_v = lse_v - pos
     loss_t = lse_t - pos

@@ -237,6 +237,21 @@ def test_pruned_mask_edge_cases(rng):
         np.asarray(got_none), np.asarray(pos), rtol=2e-5, atol=2e-5
     )
 
+    # same with a NONZERO offset: the fully-masked tiles now come BEFORE
+    # the tile holding the positive diagonal — pins the all-masked-prefix
+    # accumulation path (bogus exp(0) terms must be wiped by the rescale /
+    # held off by the _MASK_MAX_FLOOR)
+    offset = 2 * b_loc
+    rows2 = v_all[offset : offset + b_loc]
+    got_off = fused_lse_rows(
+        rows2, v_all, t_all, jnp.asarray(offset), interpret=INTERPRET,
+        keep_inter=zeros, keep_intra=zeros,
+    )[:, 0]
+    pos2 = jnp.sum(rows2 * t_all[offset : offset + b_loc], axis=1) / 0.03
+    np.testing.assert_allclose(
+        np.asarray(got_off), np.asarray(pos2), rtol=2e-5, atol=2e-5
+    )
+
 
 def test_mask_arg_validation(rng):
     v_all, t_all, b_loc = _setup(rng)
@@ -273,3 +288,28 @@ def test_feature_dim_padding(rng):
     want = _ref_lse(rows, v_all, t_all, 0)
     got = fused_lse_rows(rows, v_all, t_all, jnp.asarray(0), interpret=INTERPRET)[:, 0]
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+
+def test_cross_clr_fused_traced_temperature(rng):
+    """Learnable τ through the pruned DUAL kernel: d/dτ of cross_clr_fused
+    matches autodiff of losses.cross_clr (the ds accumulation must pair
+    each role's coefficients with its own masked logits)."""
+    from crossclr_tpu.losses import cross_clr
+    from crossclr_tpu.ops import cross_clr_fused
+
+    b, d = 64, 32
+    v = jnp.asarray(rng.standard_normal((b, d)), jnp.float32)
+    t = jnp.asarray(rng.standard_normal((b, d)), jnp.float32)
+
+    def fused(tau):
+        return cross_clr_fused(v, t, temperature=tau, interpret=INTERPRET)
+
+    def ref(tau):
+        return cross_clr(v, t, temperature=tau)
+
+    tau = jnp.asarray(0.07, jnp.float32)
+    fv, fd = jax.value_and_grad(fused)(tau)
+    rv, rd = jax.value_and_grad(ref)(tau)
+    np.testing.assert_allclose(float(fv), float(rv), rtol=2e-5)
+    rtol = 2e-3 if ON_TPU else 2e-4
+    np.testing.assert_allclose(float(fd), float(rd), rtol=rtol)
