@@ -58,19 +58,12 @@ from .fused_crossclr import (
     _resolve_precision,
 )
 
-__all__ = ["dual_lse_pair", "dual_supported", "sym_supported"]
+# the PRUNED (full-CrossCLR) variant's "excluded candidate" logit —
+# single source in fused_global (see its comment for the −1e9 choice and
+# the fully-masked-tile online-max rescue)
+from .fused_global import _MASKED
 
-# finite "excluded candidate" logit for the PRUNED (full-CrossCLR) variant
-# — see fused_global._MASKED for why −1e9 rather than −inf
-_MASKED = -1e9
-# floor for the pruned online max: a FULLY-masked tile sets the running
-# max to _MASKED itself and its entries momentarily contribute exp(0) = 1
-# each; the later rescale by exp(_MASKED − real_max) = 0 wipes them (every
-# row keeps its positive), so this floor is defense-in-depth, not a fix —
-# it makes the invariant local instead of relying on the wipe.  Genuine
-# logits are bounded (|z| ≤ s ≤ 3333 under the CLIP temperature clamp),
-# so −1e4 sits safely between: exp(−1e9 − (−1e4)) underflows to 0
-_MASK_MAX_FLOOR = -1e4
+__all__ = ["dual_lse_pair", "dual_supported", "sym_supported"]
 
 # the backward keeps a [B, D] fp32 accumulator for the column-indexed text
 # gradient in VMEM; cap it so tiles + accumulator stay within the budget
@@ -164,8 +157,6 @@ def _dual_fwd_kernel(
             jnp.max(z_vv, axis=1, keepdims=True),
         ),
     )
-    if pruned:
-        m_new = jnp.maximum(m_new, _MASK_MAX_FLOOR)
     l_new = (
         l_v[:] * jnp.exp(m_prev - m_new)
         + jnp.sum(jnp.exp(zA_vt - m_new), axis=1, keepdims=True)
@@ -181,8 +172,6 @@ def _dual_fwd_kernel(
     # text direction, intra part: row-wise online lse over z_tt
     mt_prev = m_ti[:]
     mt_new = jnp.maximum(mt_prev, jnp.max(z_tt, axis=1, keepdims=True))
-    if pruned:
-        mt_new = jnp.maximum(mt_new, _MASK_MAX_FLOOR)
     lt_new = l_ti[:] * jnp.exp(mt_prev - mt_new) + jnp.sum(
         jnp.exp(z_tt - mt_new), axis=1, keepdims=True
     )
@@ -198,8 +187,6 @@ def _dual_fwd_kernel(
     # across the outer i loop in per-column-block scratch
     mc_prev = m_tc[j]  # [1, TC]
     mc_new = jnp.maximum(mc_prev, jnp.max(zB_vt, axis=0, keepdims=True))
-    if pruned:
-        mc_new = jnp.maximum(mc_new, _MASK_MAX_FLOOR)
     lc_new = l_tc[j] * jnp.exp(mc_prev - mc_new) + jnp.sum(
         jnp.exp(zB_vt - mc_new), axis=0, keepdims=True
     )

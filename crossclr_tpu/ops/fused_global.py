@@ -52,16 +52,15 @@ __all__ = ["cross_clr_fused", "fused_lse_rows", "rows_supported"]
 # exp(−1e9 − m) underflows to exactly 0.0, and unlike −inf it keeps the
 # running max and the p⊙z temperature-gradient products NaN-free
 # (0 · −1e9 = −0.0, while 0 · −inf would be NaN).
+#
+# Online-max note: a FULLY-masked tile sets the running max to _MASKED
+# itself and its entries momentarily contribute exp(0) = 1 each — the
+# accumulation still ends CORRECT because the next real logit (every row
+# always keeps its positive) rescales the sum by exp(_MASKED − real) = 0,
+# wiping the bogus terms.  Do NOT "fix" this with a finite max floor: any
+# floor above _MASKED silently corrupts rows whose genuine kept logits
+# all fall below it (extreme 1/τ), while the rescale wipe is scale-free.
 _MASKED = -1e9
-# floor for the pruned online max.  A FULLY-masked tile sets the running
-# max to _MASKED itself and its masked entries momentarily contribute
-# exp(0) = 1 each; the accumulation still ends CORRECT because the next
-# real logit (every row keeps its positive) rescales the sum by
-# exp(_MASKED − real) = 0, wiping the bogus terms.  The floor removes the
-# reliance on that rescue entirely — genuine logits are bounded
-# (|z| ≤ s ≤ 3333 under the CLIP temperature clamp), so −1e4 sits safely
-# between and exp(−1e9 − (−1e4)) underflows to exactly 0
-_MASK_MAX_FLOOR = -1e4
 
 
 def _global_ids(i, j, off_ref, tb: int, tc: int, transposed: bool = False):
@@ -131,11 +130,6 @@ def _rows_lse_kernel(
             jnp.max(intra, axis=1, keepdims=True),
         ),
     )
-    if pruned:
-        # fully-masked tile: keep m_new off the _MASKED value itself (see
-        # _MASK_MAX_FLOOR — correct either way, this avoids relying on
-        # the later-rescale wipe)
-        m_new = jnp.maximum(m_new, _MASK_MAX_FLOOR)
     l_new = (
         l_scr[:] * jnp.exp(m_prev - m_new)
         + jnp.sum(jnp.exp(inter - m_new), axis=1, keepdims=True)

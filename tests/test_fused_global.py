@@ -313,3 +313,22 @@ def test_cross_clr_fused_traced_temperature(rng):
     np.testing.assert_allclose(float(fv), float(rv), rtol=2e-5)
     rtol = 2e-3 if ON_TPU else 2e-4
     np.testing.assert_allclose(float(fd), float(rd), rtol=rtol)
+
+
+def test_pruned_extreme_temperature_stays_finite(rng):
+    """Review regression: at extreme scales (1/τ = 2e4) a row whose only
+    kept candidate (its positive) has strongly negative similarity must
+    still produce a finite lse equal to the positive logit — a finite
+    online-max floor above _MASKED silently turned this into −inf."""
+    b, d = 8, 16
+    v = l2_normalize(jnp.asarray(rng.standard_normal((b, d)), jnp.float32), 1)
+    t = jnp.asarray(-np.asarray(v))  # cos(v_i, t_i) = -1 exactly
+    zeros = jnp.zeros((b,), bool)
+    tau = 5e-5  # scale 2e4: genuine logits at -2e4, far below any floor
+    got = fused_lse_rows(
+        v, v, t, jnp.asarray(0), temperature=tau, interpret=True,
+        keep_inter=zeros, keep_intra=zeros,
+    )[:, 0]
+    want = jnp.sum(v * t, axis=1) / tau  # = -2e4 per row
+    assert np.all(np.isfinite(np.asarray(got)))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)

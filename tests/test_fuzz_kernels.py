@@ -30,15 +30,18 @@ from crossclr_tpu.parallel.global_loss import (
     pruned_rows_global,
 )
 
-ON_TPU = jax.default_backend() == "tpu"
-INTERPRET = not ON_TPU
+INTERPRET = True  # module skips on TPU above
 
-# compiled kernels need >= 64-wide tiles; the interpreter accepts 8
-_BATCHES = (64, 128) if ON_TPU else (16, 40, 64)
+# the interpreter accepts tiny tiles; batches below the compiled tiling
+# minimum (64) exercise the kernels via an explicit TILE_OVERRIDE so the
+# sweep never silently degenerates to jnp-vs-jnp
+_BATCHES = (16, 40, 64)
 
 
 @pytest.mark.parametrize("case", range(6))
 def test_fuzz_intra_fused(case, rng):
+    import crossclr_tpu.ops.fused_crossclr as fk
+
     r = np.random.default_rng(1000 + case)
     b = int(r.choice(_BATCHES))
     d = int(r.choice((16, 32, 100)))
@@ -55,13 +58,17 @@ def test_fuzz_intra_fused(case, rng):
     def ref(v_, t_):
         return cross_clr_intra(v_, t_, temperature=tau, negative_weight=w)
 
-    fv, fg = jax.value_and_grad(fused, argnums=(0, 1))(v, t)
+    small = max(s for s in (64, 32, 16, 8) if b % s == 0)
+    fk.TILE_OVERRIDE = (small, small)
+    try:
+        fv, fg = jax.value_and_grad(fused, argnums=(0, 1))(v, t)
+    finally:
+        fk.TILE_OVERRIDE = None
     rv, rg = jax.value_and_grad(ref, argnums=(0, 1))(v, t)
     np.testing.assert_allclose(float(fv), float(rv), rtol=3e-5, atol=3e-5)
-    rtol, atol = (3e-3, 1e-4) if ON_TPU else (3e-4, 3e-5)
     for g, wnt in zip(fg, rg):
         np.testing.assert_allclose(
-            np.asarray(g), np.asarray(wnt), rtol=rtol, atol=atol,
+            np.asarray(g), np.asarray(wnt), rtol=3e-4, atol=3e-5,
             err_msg=f"b={b} d={d} tau={tau:.3f} w={w:.3f}",
         )
 
@@ -125,7 +132,7 @@ def test_fuzz_rect_rows(case, rng):
     rv, rg = jax.value_and_grad(ref, argnums=(0, 1, 2))(rows, v_all, t_all)
     tag = f"b={b_loc} n={n} d={d} tau={tau:.3f} w={w:.3f} pruned={pruned}"
     np.testing.assert_allclose(float(fv), float(rv), rtol=3e-5, err_msg=tag)
-    rtol, atol = (4e-3, 1e-4) if ON_TPU else (3e-4, 3e-5)
+    rtol, atol = (3e-4, 3e-5)
     for g, wnt in zip(fg, rg):
         np.testing.assert_allclose(
             np.asarray(g), np.asarray(wnt), rtol=rtol, atol=atol, err_msg=tag
