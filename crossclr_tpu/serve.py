@@ -210,6 +210,19 @@ def main(argv: list[str] | None = None) -> int:
     httpd = ThreadingHTTPServer(
         (args.host, args.port), _make_handler(service)
     )
+
+    # graceful SIGTERM (pod eviction): stop accepting, finish in-flight
+    # requests, exit 0.  shutdown() must run off the serving thread.
+    def _on_term(signum, frame):
+        threading.Thread(target=httpd.shutdown, daemon=True).start()
+
+    import signal
+
+    try:
+        signal.signal(signal.SIGTERM, _on_term)
+    except ValueError:  # non-main thread (tests): leave handlers alone
+        pass
+
     print(
         f"serving {int(service.corpus_emb.shape[0])} {args.corpus} rows on "
         f"http://{args.host}:{httpd.server_address[1]} "
@@ -222,6 +235,7 @@ def main(argv: list[str] | None = None) -> int:
         pass
     finally:
         httpd.server_close()
+    print("server stopped", file=sys.stderr)
     return 0
 
 

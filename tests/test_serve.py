@@ -105,3 +105,49 @@ def test_search_single_query_and_errors(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         urllib.request.urlopen(req)
     assert e.value.code == 404
+
+
+def test_serve_cli_sigterm_graceful(tmp_path):
+    """SIGTERM to the serve CLI: stop accepting, exit 0 ('server stopped'),
+    not a traceback — the pod-eviction path."""
+    import signal as _signal
+    import subprocess
+    import sys as _sys
+    import time
+
+    code = (
+        "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+        "import sys\n"
+        "from crossclr_tpu.serve import main\n"
+        "sys.exit(main(sys.argv[1:]))\n"
+    )
+    proc = subprocess.Popen(
+        [
+            _sys.executable, "-c", code,
+            "--random-params", "--port", "0",
+            "data.num_pairs=32", "data.batch_size=16",
+            "data.video_dim=24", "data.text_dim=16",
+            "video_tower.input_dim=24", "video_tower.embed_dim=16",
+            "video_tower.hidden_dim=32", "video_tower.dtype=float32",
+            "text_tower.input_dim=16", "text_tower.embed_dim=16",
+            "text_tower.hidden_dim=32", "text_tower.dtype=float32",
+        ],
+        cwd="/root/repo",
+        stderr=subprocess.PIPE,
+        text=True,
+    )
+    # wait for the "serving ..." banner (readiness), then SIGTERM
+    deadline = time.time() + 120
+    banner = ""
+    while time.time() < deadline:
+        line = proc.stderr.readline()
+        if "serving" in line:
+            banner = line
+            break
+        if proc.poll() is not None:
+            raise AssertionError(proc.communicate()[1])
+    assert "serving 32 video rows" in banner
+    proc.send_signal(_signal.SIGTERM)
+    _, rest = proc.communicate(timeout=60)
+    assert proc.returncode == 0, rest
+    assert "server stopped" in rest
