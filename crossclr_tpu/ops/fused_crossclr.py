@@ -403,6 +403,13 @@ def _pick_tiles(b: int, d: int) -> tuple[int, int] | None:
 
     def largest(candidates):
         for t in candidates:
+            # lane-vector blocks: several kernels feed per-row factors as
+            # (1, t) blocks of a (1, b) array (pre-transposed lse/g/mask
+            # vectors) — Mosaic requires the last block dim be divisible
+            # by 128 OR equal to the array dim, so t=64 is only legal
+            # when it covers the whole batch
+            if t % 128 != 0 and t != b:
+                continue
             if b % t == 0 and t * max(d, 128) * 4 * 6 < 64 * 1024 * 1024:
                 return t
         return None

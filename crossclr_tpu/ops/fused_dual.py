@@ -1107,8 +1107,14 @@ _sym_lse_pair.defvjp(_sym_lse_pair_fwd, _sym_lse_pair_bwd)
 def _pick_square_tile(b: int, d: int) -> int | None:
     """Largest square tile; capped at 512 — the HIGHEST-precision backward
     with 1024 tiles exceeds what Mosaic can compile (observed HTTP-500
-    from the compile helper), and 512 measures equal at DEFAULT."""
+    from the compile helper), and 512 measures equal at DEFAULT.
+
+    The column-side outputs are (1, t) blocks of (1, b) arrays, so Mosaic
+    requires t % 128 == 0 or t == b (same lane-vector rule as
+    fused_crossclr._pick_tiles)."""
     for t in (512, 256, 128, 64):
+        if t % 128 != 0 and t != b:
+            continue
         if b % t == 0 and t * max(d, _LANE) * 4 * 10 < 64 * 1024 * 1024:
             return t
     return None
