@@ -137,3 +137,44 @@ def test_fuzz_rect_rows(case, rng):
         np.testing.assert_allclose(
             np.asarray(g), np.asarray(wnt), rtol=rtol, atol=atol, err_msg=tag
         )
+
+
+@pytest.mark.parametrize("case", range(6))
+def test_fuzz_cross_clr_fused(case, rng):
+    """Full CrossCLR through the pruned DUAL kernel route (b % 8 == 0 in
+    interpret mode): random shapes, hyperparameters, and prune fractions
+    vs losses.cross_clr — values and feature/temperature gradients."""
+    from crossclr_tpu.losses import cross_clr
+    from crossclr_tpu.ops import cross_clr_fused
+
+    r = np.random.default_rng(3000 + case)
+    b = int(r.choice((16, 40, 64, 96)))
+    d = int(r.choice((16, 32, 100)))
+    tau0 = float(r.uniform(0.02, 0.5))
+    w = float(r.uniform(0.0, 1.0))
+    wt = float(r.uniform(0.001, 0.1))
+    pp = float(r.choice((0.0, 0.1, 0.35)))
+    v = jnp.asarray(r.standard_normal((b, d)), jnp.float32)
+    t = jnp.asarray(r.standard_normal((b, d)), jnp.float32)
+    vi = jnp.asarray(r.standard_normal((b, 24)), jnp.float32)
+    ti = jnp.asarray(r.standard_normal((b, 20)), jnp.float32)
+    kw = dict(negative_weight=w, weight_temperature=wt, prune_percent=pp)
+
+    def fused(v_, t_, tau):
+        return cross_clr_fused(
+            v_, t_, vi, ti, temperature=tau, interpret=True, **kw
+        )
+
+    def ref(v_, t_, tau):
+        return cross_clr(v_, t_, vi, ti, temperature=tau, **kw)
+
+    tau = jnp.asarray(tau0, jnp.float32)
+    fv, fg = jax.value_and_grad(fused, argnums=(0, 1, 2))(v, t, tau)
+    rv, rg = jax.value_and_grad(ref, argnums=(0, 1, 2))(v, t, tau)
+    tag = f"b={b} d={d} tau={tau0:.3f} w={w:.3f} wt={wt:.4f} pp={pp}"
+    np.testing.assert_allclose(float(fv), float(rv), rtol=3e-5, err_msg=tag)
+    for g, wnt, name in zip(fg, rg, ("d_v", "d_t", "d_tau")):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(wnt), rtol=3e-4, atol=3e-5,
+            err_msg=f"{name} {tag}",
+        )
