@@ -389,6 +389,16 @@ def _lse_jnp_direction(
 # ---------------------------------------------------------------------------
 
 
+def _lane_block_ok(t: int, b: int) -> bool:
+    """Mosaic lane-vector block rule, shared by every tile picker.
+
+    Several kernels feed per-row factors as (1, t) blocks of a (1, b)
+    array (pre-transposed lse/g/mask vectors) — Mosaic requires the last
+    block dim be divisible by the 128 lane width OR equal to the array
+    dim, so e.g. t=64 is only legal when it covers the whole batch."""
+    return t % _LANE == 0 or t == b
+
+
 def _pick_tiles(b: int, d: int) -> tuple[int, int] | None:
     """Choose (row, col) tile sizes; None means the shape is unsupported.
 
@@ -403,12 +413,7 @@ def _pick_tiles(b: int, d: int) -> tuple[int, int] | None:
 
     def largest(candidates):
         for t in candidates:
-            # lane-vector blocks: several kernels feed per-row factors as
-            # (1, t) blocks of a (1, b) array (pre-transposed lse/g/mask
-            # vectors) — Mosaic requires the last block dim be divisible
-            # by 128 OR equal to the array dim, so t=64 is only legal
-            # when it covers the whole batch
-            if t % 128 != 0 and t != b:
+            if not _lane_block_ok(t, b):
                 continue
             if b % t == 0 and t * max(d, 128) * 4 * 6 < 64 * 1024 * 1024:
                 return t

@@ -54,6 +54,7 @@ from .fused_crossclr import (
     _NEG_INF,
     _dot,
     _dot_nt,
+    _lane_block_ok,
     _pick_tiles,
     _resolve_precision,
 )
@@ -1109,11 +1110,10 @@ def _pick_square_tile(b: int, d: int) -> int | None:
     with 1024 tiles exceeds what Mosaic can compile (observed HTTP-500
     from the compile helper), and 512 measures equal at DEFAULT.
 
-    The column-side outputs are (1, t) blocks of (1, b) arrays, so Mosaic
-    requires t % 128 == 0 or t == b (same lane-vector rule as
-    fused_crossclr._pick_tiles)."""
+    Column-side outputs are (1, t) blocks of (1, b) arrays — the shared
+    lane-vector rule (fused_crossclr._lane_block_ok) applies."""
     for t in (512, 256, 128, 64):
-        if t % 128 != 0 and t != b:
+        if not _lane_block_ok(t, b):
             continue
         if b % t == 0 and t * max(d, _LANE) * 4 * 10 < 64 * 1024 * 1024:
             return t

@@ -210,6 +210,10 @@ def main(argv: list[str] | None = None) -> int:
     httpd = ThreadingHTTPServer(
         (args.host, args.port), _make_handler(service)
     )
+    # non-daemon handler threads: server_close() then JOINS in-flight
+    # request handlers (block_on_close), so graceful shutdown really does
+    # let responses finish instead of killing daemons at process exit
+    httpd.daemon_threads = False
 
     # graceful SIGTERM (pod eviction): stop accepting, finish in-flight
     # requests, exit 0.  shutdown() must run off the serving thread.

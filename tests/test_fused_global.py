@@ -239,8 +239,10 @@ def test_pruned_mask_edge_cases(rng):
 
     # same with a NONZERO offset: the fully-masked tiles now come BEFORE
     # the tile holding the positive diagonal — pins the all-masked-prefix
-    # accumulation path (bogus exp(0) terms must be wiped by the rescale /
-    # held off by the _MASK_MAX_FLOOR)
+    # accumulation path (the bogus exp(0) terms of those tiles must be
+    # wiped by the online-max rescale once the kept positive arrives; see
+    # the _MASKED comment in fused_global.py — a finite max floor is NOT
+    # a valid alternative)
     offset = 2 * b_loc
     rows2 = v_all[offset : offset + b_loc]
     got_off = fused_lse_rows(

@@ -113,7 +113,6 @@ def test_serve_cli_sigterm_graceful(tmp_path):
     import signal as _signal
     import subprocess
     import sys as _sys
-    import time
 
     code = (
         "import jax; jax.config.update('jax_platforms', 'cpu')\n"
@@ -136,18 +135,29 @@ def test_serve_cli_sigterm_graceful(tmp_path):
         stderr=subprocess.PIPE,
         text=True,
     )
-    # wait for the "serving ..." banner (readiness), then SIGTERM
-    deadline = time.time() + 120
-    banner = ""
-    while time.time() < deadline:
-        line = proc.stderr.readline()
-        if "serving" in line:
-            banner = line
-            break
-        if proc.poll() is not None:
-            raise AssertionError(proc.communicate()[1])
-    assert "serving 32 video rows" in banner
-    proc.send_signal(_signal.SIGTERM)
-    _, rest = proc.communicate(timeout=60)
-    assert proc.returncode == 0, rest
-    assert "server stopped" in rest
+    # watchdog: readline() below blocks, so a wall-clock timer (not the
+    # loop condition) enforces the deadline; finally never leaks the child
+    watchdog = threading.Timer(120, proc.kill)
+    watchdog.start()
+    try:
+        # wait for the "serving ..." banner (readiness), then SIGTERM
+        banner = ""
+        while True:
+            line = proc.stderr.readline()
+            if "serving" in line:
+                banner = line
+                break
+            if line == "" or proc.poll() is not None:
+                raise AssertionError(
+                    f"server died/killed before readiness: "
+                    f"{proc.communicate()[1]}"
+                )
+        assert "serving 32 video rows" in banner
+        proc.send_signal(_signal.SIGTERM)
+        _, rest = proc.communicate(timeout=60)
+        assert proc.returncode == 0, rest
+        assert "server stopped" in rest
+    finally:
+        watchdog.cancel()
+        if proc.poll() is None:
+            proc.kill()
