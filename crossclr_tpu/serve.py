@@ -52,22 +52,11 @@ class RetrievalService:
         self._lock = threading.Lock()
 
     def _encode_query(self, features: np.ndarray, mask: np.ndarray | None):
-        # the dual encoder wants both modalities; feed zeros of the
-        # corpus modality's input shape and discard that side
-        n = features.shape[0]
-        corpus_feats = getattr(self, "_corpus_stub", None)
-        if corpus_feats is None or corpus_feats.shape[0] != n:
-            shape = (n,) + self._corpus_input_shape
-            corpus_feats = np.zeros(shape, np.float32)
-            self._corpus_stub = corpus_feats
-        batch = {
-            self.query_side: features,
-            self.corpus_side: corpus_feats,
-        }
-        if mask is not None:
-            batch[f"{self.query_side}_mask"] = mask
-        v, t = self.trainer.encode(self.state, batch)
-        return v if self.query_side == "video" else t
+        # single-tower path: only the query modality's tower runs — the
+        # corpus tower never executes on the request hot path
+        return self.trainer.encode_modality(
+            self.state, self.query_side, features, mask
+        )
 
     def search(self, features, mask=None, k: int = 10):
         from .evaluation import retrieve_topk
@@ -89,8 +78,7 @@ class RetrievalService:
             out["ids"] = [[self.ids[j] for j in row] for row in idx.tolist()]
         return out
 
-    # set by build_service (static shapes for the zero-stub batch)
-    _corpus_input_shape: tuple = ()
+    # set by build_service (single-query convenience reshaping)
     _query_ndim: int = 2
 
 
@@ -169,8 +157,6 @@ def build_service(cfg, checkpoint_dir: str | None, corpus_side: str,
     query_feats = getattr(
         dataset, "text" if corpus_side == "video" else "video"
     )
-    corpus_feats = getattr(dataset, corpus_side)
-    service._corpus_input_shape = tuple(np.asarray(corpus_feats).shape[1:])
     service._query_ndim = np.asarray(query_feats).ndim
     return service
 

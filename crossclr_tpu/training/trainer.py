@@ -364,6 +364,7 @@ class Trainer:
         self.mesh = mesh
         self._train_step = None
         self._encode = None
+        self._encode_one: dict = {}
 
     # -- init ---------------------------------------------------------------
 
@@ -654,6 +655,37 @@ class Trainer:
             else:
                 self._encode = plain
         return self._encode(state.params, batch)
+
+    def encode_modality(
+        self,
+        state: TrainState,
+        side: str,
+        features: jax.Array,
+        mask: jax.Array | None = None,
+    ) -> jax.Array:
+        """Encode ONE modality through its own tower only.
+
+        The serving hot path: a text query must not pay for the video tower
+        (and vice versa), so this jits ``DualEncoder.encode_video`` /
+        ``encode_text`` directly instead of the paired ``__call__``.
+        Matches ``encode``'s embeddings exactly — same params, same tower.
+        """
+        if side not in ("video", "text"):
+            raise ValueError(f"side must be 'video' or 'text', got {side!r}")
+        fn = self._encode_one.get(side)
+        if fn is None:
+            model = self.model
+            method = f"encode_{side}"
+
+            @jax.jit
+            def fn(params, features, mask):
+                towers = {k: v for k, v in params.items() if k != "logit_scale"}
+                return model.apply(
+                    {"params": towers}, features, mask, train=False, method=method
+                )
+
+            self._encode_one[side] = fn
+        return fn(state.params, features, mask)
 
     # -- loop ---------------------------------------------------------------
 

@@ -91,6 +91,75 @@ def test_search_returns_true_nearest_neighbors(server):
         assert row == sorted(row, reverse=True)
 
 
+def test_encode_query_matches_dual_path_embeddings(server):
+    """The single-tower serving encode equals the paired ``Trainer.encode``
+    embeddings for the query modality — same params, same tower."""
+    from crossclr_tpu.data import SyntheticPairs
+
+    service, _ = server
+    data = SyntheticPairs(num_pairs=48, video_dim=24, text_dim=16, seed=0)
+    batch = {"video": data.video[:8], "text": data.text[:8]}
+
+    # dual path runs GSPMD-sharded over the 8-device test mesh, the single
+    # path on one device — same math, but XLA fuses differently, so the
+    # comparison is tight-tolerance rather than bitwise
+    v_dual, t_dual = service.trainer.encode(service.state, batch)
+    t_single = service._encode_query(data.text[:8], None)
+    np.testing.assert_allclose(
+        np.asarray(t_single), np.asarray(t_dual), rtol=1e-5, atol=1e-6
+    )
+
+    v_single = service.trainer.encode_modality(
+        service.state, "video", batch["video"]
+    )
+    np.testing.assert_allclose(
+        np.asarray(v_single), np.asarray(v_dual), rtol=1e-5, atol=1e-6
+    )
+
+    with pytest.raises(ValueError):
+        service.trainer.encode_modality(service.state, "audio", batch["video"])
+
+
+def test_encode_query_never_touches_corpus_tower(server):
+    """The corpus (video) tower must NOT execute on the request hot path:
+    in the traced single-modality encode, every video-tower parameter is an
+    unused input — no equation consumes it."""
+    import jax
+
+    service, _ = server
+    trainer, state = service.trainer, service.state
+    feats = jnp.zeros((2, 16), jnp.float32)  # text input_dim = 16
+
+    def f(params, x):
+        towers = {k: v for k, v in params.items() if k != "logit_scale"}
+        return trainer.model.apply(
+            {"params": towers}, x, None, train=False, method="encode_text"
+        )
+
+    closed = jax.make_jaxpr(f)(state.params, feats)
+    leaves_with_paths = jax.tree_util.tree_flatten_with_path(
+        (state.params, feats)
+    )[0]
+    invars = closed.jaxpr.invars
+    assert len(invars) == len(leaves_with_paths)
+    used = set()
+    for eqn in closed.jaxpr.eqns:
+        for v in eqn.invars:
+            if not isinstance(v, jax.extend.core.Literal):
+                used.add(v)
+    used.update(v for v in closed.jaxpr.outvars if not isinstance(v, jax.extend.core.Literal))
+
+    video_used = text_used = 0
+    for (path, _), var in zip(leaves_with_paths, invars):
+        name = jax.tree_util.keystr(path)
+        if "video_tower" in name and var in used:
+            video_used += 1
+        if "text_tower" in name and var in used:
+            text_used += 1
+    assert video_used == 0, f"{video_used} video-tower params consumed"
+    assert text_used > 0  # sanity: the query tower really is in the trace
+
+
 def test_search_single_query_and_errors(server):
     _, url = server
     status, out = _post(url, {"features": [0.0] * 16, "k": 2})
