@@ -116,6 +116,64 @@ def test_mask_shape_validation(tmp_path, rng):
         )
 
 
+def test_realistic_archive_through_cli_train_eval(tmp_path, rng):
+    """The real-data on-ramp end to end (SURVEY.md §7 step 5): a realistic
+    archive fixture — ragged per-clip video dir + caption dir with
+    MISMATCHED id sets — through prepare_features, then the ``files`` data
+    source through one full CLI train+eval+checkpoint cycle."""
+    from crossclr_tpu.train import main as train_main
+
+    vd, td = tmp_path / "clips", tmp_path / "caps"
+    vd.mkdir(), td.mkdir()
+    lengths = {}
+    for i in range(40):  # video features for clips 0..39, ragged lengths
+        s = int(rng.integers(2, 7))
+        lengths[f"clip{i:03d}"] = s
+        np.save(vd / f"clip{i:03d}.npy", rng.standard_normal((s, 8)).astype(np.float32))
+    for i in range(4, 42):  # captions for clips 4..41: intersection = 4..39
+        np.save(td / f"clip{i:03d}.npy", rng.standard_normal(6).astype(np.float32))
+    out = tmp_path / "prepared"
+    prepare_features.main([
+        "--video-dir", str(vd), "--text-dir", str(td),
+        "--keep-sequence", "--out", str(out),
+    ])
+
+    ids = json.loads((out / "ids.json").read_text())
+    assert len(ids) == 36 and ids[0] == "clip004" and ids[-1] == "clip039"
+    v = np.load(out / "video_feats.npy")
+    mask = np.load(out / "video_mask.npy")
+    s_max = max(lengths[i] for i in ids)
+    assert v.shape == (36, s_max, 8) and mask.shape == (36, s_max)
+    np.testing.assert_array_equal(mask.sum(1), [lengths[i] for i in ids])
+
+    # one CLI train+eval cycle on the prepared store: sequence video tower
+    # (transformer, consumes the ragged masks) + pooled text tower
+    ckpt = tmp_path / "ckpt"
+    csv = tmp_path / "metrics.csv"
+    rc = train_main([
+        "--steps", "2", "--metrics-csv", str(csv),
+        "data.source=files",
+        f"data.video_path={out / 'video_feats.npy'}",
+        f"data.text_path={out / 'text_feats.npy'}",
+        f"data.video_mask_path={out / 'video_mask.npy'}",
+        "data.batch_size=16", "data.eval_fraction=0.25",
+        "video_tower.kind=transformer", "video_tower.input_dim=8",
+        "video_tower.embed_dim=16", "video_tower.hidden_dim=32",
+        "video_tower.num_layers=1", "video_tower.num_heads=2",
+        f"video_tower.max_seq_len={s_max}", "video_tower.dtype=float32",
+        "text_tower.input_dim=6", "text_tower.embed_dim=16",
+        "text_tower.hidden_dim=32", "text_tower.dtype=float32",
+        "train.loss=crossclr_intra", "train.warmup_steps=1",
+        f"checkpoint_dir={ckpt}", "eval_every=2", "log_every=1",
+    ])
+    assert rc == 0
+    rows = csv.read_text().strip().splitlines()
+    header = rows[0].split(",")
+    assert "eval/v2t/R@1" in header and "loss" in header
+    assert len(rows) >= 3  # header + 2 train steps + eval row
+    assert (ckpt / "2").exists()
+
+
 def test_stale_ids_manifest_rejected(tmp_path, rng):
     """dataset_from_config fails at startup when ids.json disagrees with
     the feature store row count (stale manifest would otherwise cause
