@@ -42,7 +42,13 @@ from crossclr_tpu.ops import cross_clr_intra_fused
 
 BASELINE_PAIRS_PER_SEC = 497.0  # torch reference fwd+bwd, bsz 4096 (BASELINE.md)
 B, D = 4096, 512
-K = 20  # chained steps per timed dispatch
+# Chained steps per timed dispatch.  This runtime reaches the chip through
+# a remote tunnel whose per-DISPATCH latency is ~30-40 ms; a production
+# training loop runs thousands of steps back-to-back, so the steady-state
+# rate is the amortized one.  Measured K sweep (r3, same kernels):
+# K=20 -> 3.19 ms/step, K=50 -> 1.92, K=100 -> 1.50 (asymptote: the
+# XProf-traced device-busy time is 1.14 ms/step — see BASELINE.md).
+K = 100
 FP32_FORWARD_TOL = 2e-5  # fp32 parity tolerance vs the torch reference
 PEAK_BF16_FLOPS = 197e12  # v5e TensorCore peak
 
@@ -214,11 +220,32 @@ def _bench_train_step(rng, on_tpu):
             state, m = trainer.train_step(state, batch)
         float(m["loss"])  # host read fences the whole window
         best = min(best, (time.perf_counter() - t0) / k)
-    return {
+    out = {
         "train_step_pairs_per_sec": round(b / best, 1),
         "train_step_ms": round(best * 1e3, 3),
         "train_step_bsz": b,
     }
+
+    # scanned variant (TrainConfig.steps_per_call): n steps per dispatch —
+    # the steady-state pipeline rate with dispatch latency amortized.
+    # The batch repeats within the chunk but the carried state differs
+    # every scan iteration, so no dispatch/result can be memoized.
+    n = 32 if on_tpu else 4
+    stacked = {k_: jnp.stack([v_] * n) for k_, v_ in batch.items()}
+    state, ms = trainer.train_steps(state, stacked)
+    if not np.isfinite(float(ms["loss"][-1])):
+        out["train_step_scanned_error"] = "non-finite loss"
+        return out
+    best_s = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        state, ms = trainer.train_steps(state, stacked)
+        float(ms["loss"][-1])
+        best_s = min(best_s, (time.perf_counter() - t0) / n)
+    out["train_step_scanned_ms"] = round(best_s * 1e3, 3)
+    out["train_step_scanned_pairs_per_sec"] = round(b / best_s, 1)
+    out["train_step_scanned_chunk"] = n
+    return out
 
 
 def main():

@@ -144,10 +144,11 @@ def main(argv: list[str] | None = None) -> int:
     sharding = data_sharding(mesh) if mesh is not None else None
 
     # preemption tolerance: TPU pods deliver SIGTERM with a grace window.
-    # The handler only sets a flag; fit() polls it before each step, so we
-    # exit at a step boundary with a final checkpoint instead of dying
-    # mid-step (deterministic data order + the saved step make the resumed
-    # run continue the exact batch sequence).
+    # The handler only sets a flag; fit() polls it before each dispatch
+    # (every train.steps_per_call steps), so we exit at a step boundary
+    # with a final checkpoint instead of dying mid-step (deterministic
+    # data order + the saved step make the resumed run continue the exact
+    # batch sequence).
     stop_requested = {"flag": False}
 
     def _on_signal(signum, frame):

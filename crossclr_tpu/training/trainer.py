@@ -60,6 +60,15 @@ class TrainConfig:
     # parity-grade, "default" = ~2.3x faster training tier (fwd inside
     # fp32 tolerance, grads ~1e-3 rel), "bf16" = bf16 feature storage
     loss_precision: str | None = None
+    # train steps executed per dispatch: >1 runs a lax.scan of that many
+    # steps inside ONE jitted call, so per-dispatch host/runtime latency
+    # amortizes across the chunk (measured on the v5e tunnel: the bare
+    # loss chain drops from 3.2 to 1.5 ms/step between 20- and 100-step
+    # dispatches).  Data for the chunk is stacked to [n, b, ...] and
+    # shipped in one transfer.  Trade-offs: metrics/should_stop
+    # granularity becomes n steps, and multi-process hosts fall back to 1
+    # (per-process stacking of globally-sharded batches is not wired).
+    steps_per_call: int = 1
     # CLIP-style learnable temperature: the criterion's logit_scale
     # parameter (vestigial in the reference, loss.py:52) becomes live —
     # effective temperature = cfg.temperature / exp(logit_scale), starting
@@ -363,6 +372,8 @@ class Trainer:
         self.cfg = train_cfg
         self.mesh = mesh
         self._train_step = None
+        self._train_multi = None
+        self._raw_step = None
         self._encode = None
         self._encode_one: dict = {}
 
@@ -588,13 +599,38 @@ class Trainer:
                 )
                 return inner(state, batch)
 
-            return jax.jit(sharded_step, donate_argnums=(0,))
-        return jax.jit(step, donate_argnums=(0,))
+            self._raw_step = sharded_step
+        else:
+            self._raw_step = step
+        return jax.jit(self._raw_step, donate_argnums=(0,))
 
     def train_step(self, state: TrainState, batch: dict) -> tuple[TrainState, dict]:
         if self._train_step is None:
             self._train_step = self._build_step()
         return self._train_step(state, batch)
+
+    def train_steps(self, state: TrainState, stacked_batch: dict) -> tuple[TrainState, dict]:
+        """Run ``n`` chained train steps in ONE dispatch.
+
+        ``stacked_batch``: dict of ``[n, b, ...]`` arrays (n batches
+        stacked on a new leading axis).  Executes ``lax.scan`` over the
+        exact same step function ``train_step`` jits, so the resulting
+        state matches n sequential ``train_step`` calls; per-dispatch
+        host/runtime latency is paid once for the whole chunk.  Returned
+        metrics are stacked ``[n]`` device arrays per key.
+        """
+        if self._train_multi is None:
+            if self._train_step is None:
+                self._train_step = self._build_step()
+            raw = self._raw_step
+
+            def multi(state, batches):
+                return jax.lax.scan(raw, state, batches)
+
+            # jit respecializes per stacked shape, so one callable serves
+            # any chunk length n
+            self._train_multi = jax.jit(multi, donate_argnums=(0,))
+        return self._train_multi(state, stacked_batch)
 
     # -- eval ---------------------------------------------------------------
 
@@ -704,35 +740,62 @@ class Trainer:
         reported in metrics (defaults to the state's own step counter, so
         chunked/resumed runs log a monotonically increasing step).
         ``should_stop``: optional zero-arg callable polled before each
-        step; returning True ends the loop early (preemption handling —
-        the caller checkpoints whatever state comes back)."""
+        dispatch; returning True ends the loop early (preemption handling
+        — the caller checkpoints whatever state comes back).
+
+        With ``cfg.steps_per_call > 1`` (single-host), that many steps run
+        inside each dispatch via :meth:`train_steps`; metrics are logged
+        from the chunk's final step and the stop flag is polled once per
+        chunk."""
         history = []
         it = iter(batches)
         if step_offset is None:
             step_offset = int(state.step)
+        spc = max(1, getattr(self.cfg, "steps_per_call", 1))
+        if spc > 1 and jax.process_count() > 1:
+            spc = 1  # stacking globally-sharded per-process batches unwired
         t_start = time.perf_counter()
-        t_steady = t_start  # reset after the first (compiling) step
-        for i in range(steps):
+        t_steady = t_start  # reset after the first (compiling) dispatch
+        steady_base = 0  # steps finished before the steady clock started
+        done = 0
+        while done < steps:
             if should_stop is not None and should_stop():
                 break
-            batch = next(it)
-            state, metrics = self.train_step(state, batch)
-            if i == 0:
-                # first step includes compilation; restart the clock so
-                # steps/sec reflects steady-state throughput
+            n = min(spc, steps - done)
+            if n == 1:
+                batch = next(it)
+                state, metrics = self.train_step(state, batch)
+                batch_rows = batch["video"].shape[0]
+            else:
+                group = [next(it) for _ in range(n)]
+                stacked = {
+                    k: jnp.stack([g[k] for g in group]) for k in group[0]
+                }
+                state, stacked_metrics = self.train_steps(state, stacked)
+                metrics = {k: v[-1] for k, v in stacked_metrics.items()}
+                batch_rows = group[0]["video"].shape[0]
+            first_dispatch = done == 0
+            prev_done, done = done, done + n
+            if first_dispatch:
+                # the first dispatch includes compilation; restart the
+                # clock so steps/sec reflects steady-state throughput
                 jax.block_until_ready(metrics["loss"])
                 t_steady = time.perf_counter()
-            if (i + 1) % log_every == 0 or i == steps - 1:
+                steady_base = done
+            crossed_log = (done // log_every) > (prev_done // log_every)
+            if crossed_log or done >= steps:
                 metrics = {k: float(v) for k, v in metrics.items()}
-                if i == 0:
-                    # only the compiling step has run: report its honest
-                    # (compile-inclusive) rate, not 1/epsilon
-                    rate = 1.0 / max(t_steady - t_start, 1e-9)
+                if first_dispatch:
+                    # only the compiling dispatch has run: report its
+                    # honest (compile-inclusive) rate, not 1/epsilon
+                    rate = n / max(t_steady - t_start, 1e-9)
                 else:
-                    rate = i / max(time.perf_counter() - t_steady, 1e-9)
+                    rate = (done - steady_base) / max(
+                        time.perf_counter() - t_steady, 1e-9
+                    )
                 metrics["steps_per_sec"] = rate
-                metrics["pairs_per_sec"] = rate * batch["video"].shape[0]
-                metrics["step"] = step_offset + i + 1
+                metrics["pairs_per_sec"] = rate * batch_rows
+                metrics["step"] = step_offset + done
                 history.append(metrics)
                 if writer is not None:
                     writer(metrics)

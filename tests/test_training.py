@@ -534,3 +534,91 @@ def test_variable_length_masks_flow_through_training(loss):
     poked["video"][row, valid_pos] += 100.0
     _, m2 = tr.train_step(fresh(), poked)
     assert abs(float(m2["loss"]) - float(m0["loss"])) > 1e-4
+
+
+def test_steps_per_call_matches_sequential_steps():
+    """The scanned multi-step dispatch (cfg.steps_per_call > 1) must
+    produce the same state/metrics as the same number of sequential
+    train_step calls on the same batch sequence."""
+    from crossclr_tpu.data import SyntheticPairs
+
+    data = SyntheticPairs(num_pairs=128, video_dim=24, text_dim=16, seed=0)
+    vc = TowerConfig(kind="mlp", input_dim=24, embed_dim=16, hidden_dim=32,
+                     dtype=jnp.float32)
+    tc = TowerConfig(kind="mlp", input_dim=16, embed_dim=16, hidden_dim=32,
+                     dtype=jnp.float32)
+
+    def build(spc):
+        cfg = TrainConfig(loss="crossclr_intra", total_steps=20,
+                          warmup_steps=2, steps_per_call=spc)
+        tr = Trainer(vc, tc, cfg, mesh=None)
+        st = tr.init_state(data.video[:2], data.text[:2])
+        return tr, st
+
+    import itertools
+
+    batches = list(itertools.islice(infinite_batches(data, 32, seed=0), 6))
+
+    tr1, st1 = build(1)
+    for b in batches:
+        st1, m1 = tr1.train_step(st1, b)
+
+    tr4, st4 = build(4)  # 6 steps = chunks of 4 + 2 (jit respecializes)
+    st4, history = tr4.fit(st4, iter(batches), steps=6, log_every=2)
+
+    flat1 = jax.tree.leaves(st1.params)
+    flat4 = jax.tree.leaves(st4.params)
+    for a, b in zip(flat1, flat4):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+    assert int(st4.step) == 6
+    np.testing.assert_allclose(history[-1]["loss"], float(m1["loss"]),
+                               rtol=1e-6)
+    # log boundaries still honored at chunk granularity: steps 4 and 6
+    assert [h["step"] for h in history] == [4, 6]
+
+
+def test_train_steps_stacked_metrics():
+    from crossclr_tpu.data import SyntheticPairs
+
+    data = SyntheticPairs(num_pairs=64, video_dim=24, text_dim=16, seed=1)
+    vc = TowerConfig(kind="mlp", input_dim=24, embed_dim=16, hidden_dim=32,
+                     dtype=jnp.float32)
+    tc = TowerConfig(kind="mlp", input_dim=16, embed_dim=16, hidden_dim=32,
+                     dtype=jnp.float32)
+    tr = Trainer(vc, tc, TrainConfig(loss="crossclr_intra", total_steps=10,
+                                     warmup_steps=2, steps_per_call=3))
+    st = tr.init_state(data.video[:2], data.text[:2])
+    stacked = {
+        "video": jnp.stack([data.video[:32], data.video[32:64]]),
+        "text": jnp.stack([data.text[:32], data.text[32:64]]),
+    }
+    st, metrics = tr.train_steps(st, stacked)
+    assert metrics["loss"].shape == (2,)
+    assert int(st.step) == 2
+    assert np.isfinite(np.asarray(metrics["loss"])).all()
+
+
+def test_steps_per_call_with_global_negatives_mesh():
+    """spc > 1 composes with the shard_map global-negative step (scan over
+    the sharded step inside one jit on the 8-device mesh)."""
+    from crossclr_tpu.data import SyntheticPairs
+    from crossclr_tpu.parallel import make_mesh
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs the multi-device CPU backend")
+    data = SyntheticPairs(num_pairs=128, video_dim=24, text_dim=16, seed=2)
+    vc = TowerConfig(kind="mlp", input_dim=24, embed_dim=16, hidden_dim=32,
+                     dtype=jnp.float32)
+    tc = TowerConfig(kind="mlp", input_dim=16, embed_dim=16, hidden_dim=32,
+                     dtype=jnp.float32)
+    mesh = make_mesh()
+    cfg = TrainConfig(loss="crossclr_intra", total_steps=10, warmup_steps=2,
+                      global_negatives=True, steps_per_call=2)
+    tr = Trainer(vc, tc, cfg, mesh=mesh)
+    st = tr.init_state(data.video[:2], data.text[:2])
+    st, history = tr.fit(
+        st, infinite_batches(data, 32, seed=0), steps=4, log_every=2
+    )
+    assert int(st.step) == 4
+    assert np.isfinite(history[-1]["loss"])
