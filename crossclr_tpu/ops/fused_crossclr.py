@@ -404,11 +404,16 @@ def _pick_tiles(b: int, d: int) -> tuple[int, int] | None:
 
     Large tiles keep the MXU busy and amortize per-step pipeline overhead;
     grid-step count falls with tile area.  Column tiles are pushed wider
-    than row tiles (2048 vs 512): columns are streamed per row block, so
-    wider columns cut grid steps linearly (measured ~10% at bsz 4096) while
-    the VMEM cost (~6 buffered blocks of tc·d fp32) stays within budget
-    for d ≤ 1024.  Tiles < 64 make Mosaic compile times pathological and
-    underutilize the MXU; such shapes take the jnp fallback instead.
+    than row tiles: columns are streamed per row block, so wider columns
+    cut grid steps linearly while the VMEM cost (~6 buffered blocks of
+    tc·d fp32) stays within budget for d ≤ 1024.  The 2048-wide column
+    tile only pays at (padded) d = 512, the original sweep shape; the
+    round-3 shape sweep (scripts/sweep_shapes.py, docs/sweep_shapes_r3.json)
+    measured tc=2048 LOSING to tc=1024 by 14% at d=256, 10% at d=1024,
+    and ~2% at d=384 (which is lane-aligned and runs unpadded), so the
+    width is gated on the padded feature dim.  Tiles < 64
+    make Mosaic compile times pathological and underutilize the MXU; such
+    shapes take the jnp fallback instead.
     """
 
     def largest(candidates):
@@ -419,8 +424,14 @@ def _pick_tiles(b: int, d: int) -> tuple[int, int] | None:
                 return t
         return None
 
+    d_pad = d if d % _LANE == 0 else d + _LANE - d % _LANE
+    col_candidates = (
+        (2048, 1024, 512, 256, 128, 64)
+        if d_pad == 512
+        else (1024, 512, 256, 128, 64)
+    )
     tb = largest((512, 256, 128, 64))
-    tc = largest((2048, 1024, 512, 256, 128, 64))
+    tc = largest(col_candidates)
     if tb is None or tc is None:
         return None
     return tb, tc
