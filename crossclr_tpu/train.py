@@ -47,6 +47,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--steps", type=int, default=None, help="override total steps")
     ap.add_argument("--metrics-csv", default=None)
     ap.add_argument(
+        "--tensorboard-dir",
+        default=None,
+        help="also stream scalar metrics to TensorBoard event files here",
+    )
+    ap.add_argument(
         "--n-model",
         type=int,
         default=1,
@@ -139,7 +144,9 @@ def main(argv: list[str] | None = None) -> int:
     # metrics are replicated scalars: only rank 0 writes/echoes, or every
     # host would clobber the same CSV path on a shared filesystem
     writer = MetricsWriter(
-        args.metrics_csv if is_rank0 else None, echo=is_rank0
+        args.metrics_csv if is_rank0 else None,
+        echo=is_rank0,
+        tensorboard_dir=args.tensorboard_dir if is_rank0 else None,
     )
     sharding = data_sharding(mesh) if mesh is not None else None
 
@@ -192,11 +199,16 @@ def main(argv: list[str] | None = None) -> int:
 
                 profile_cm = contextlib.nullcontext()
             with profile_cm:
-                state, history = trainer.fit(
-                    state, it, steps=chunk, log_every=cfg.log_every,
-                    writer=writer,
-                    should_stop=lambda: stop_requested["flag"],
-                )
+                try:
+                    state, history = trainer.fit(
+                        state, it, steps=chunk, log_every=cfg.log_every,
+                        writer=writer,
+                        should_stop=lambda: stop_requested["flag"],
+                    )
+                except FloatingPointError as e:
+                    # poisoned state: do NOT checkpoint it — the last good
+                    # checkpoint on disk is the recovery point
+                    raise SystemExit(f"aborted: {e}") from e
             if args.profile_dir and first_chunk and is_rank0:
                 print(f"profiler trace written to {args.profile_dir}",
                       file=sys.stderr)

@@ -60,6 +60,13 @@ class TrainConfig:
     # parity-grade, "default" = ~2.3x faster training tier (fwd inside
     # fp32 tolerance, grads ~1e-3 rel), "bf16" = bf16 feature storage
     loss_precision: str | None = None
+    # fail fast on a poisoned run: when the loss read at a log boundary is
+    # non-finite, fit() raises FloatingPointError instead of silently
+    # burning the remaining steps (the last good checkpoint on disk is the
+    # recovery point; granularity = log_every, which already pays the
+    # host sync — per-step checking would serialize dispatch).  For
+    # root-causing use utils.profiling.nan_debug / checked instead.
+    abort_on_nonfinite: bool = True
     # train steps executed per dispatch: >1 runs a lax.scan of that many
     # steps inside ONE jitted call, so per-dispatch host/runtime latency
     # amortizes across the chunk (measured on the v5e tunnel: the bare
@@ -785,6 +792,16 @@ class Trainer:
             crossed_log = (done // log_every) > (prev_done // log_every)
             if crossed_log or done >= steps:
                 metrics = {k: float(v) for k, v in metrics.items()}
+                if getattr(self.cfg, "abort_on_nonfinite", True) and not np.isfinite(
+                    metrics["loss"]
+                ):
+                    raise FloatingPointError(
+                        f"non-finite loss {metrics['loss']} at step "
+                        f"{step_offset + done}; aborting (resume from the "
+                        "last checkpoint; set train.abort_on_nonfinite="
+                        "false to continue anyway, or use nan_debug to "
+                        "locate the source)"
+                    )
                 if first_dispatch:
                     # only the compiling dispatch has run: report its
                     # honest (compile-inclusive) rate, not 1/epsilon

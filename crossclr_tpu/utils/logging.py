@@ -15,7 +15,8 @@ __all__ = ["MetricsWriter"]
 
 
 class MetricsWriter:
-    """Echoes metrics to stderr and appends them to a CSV.
+    """Echoes metrics to stderr, appends them to a CSV, and (optionally)
+    streams scalars to TensorBoard (SURVEY.md §5: "CSV/TensorBoard").
 
     Different call sites log different key sets (train metrics vs eval
     retrieval metrics); the CSV schema is the union of all keys seen.
@@ -25,12 +26,30 @@ class MetricsWriter:
     rewrites possible (metrics are tiny scalars).
     """
 
-    def __init__(self, path: str | Path | None = None, *, echo: bool = True):
+    def __init__(
+        self,
+        path: str | Path | None = None,
+        *,
+        echo: bool = True,
+        tensorboard_dir: str | Path | None = None,
+    ):
         self.path = Path(path) if path else None
         self.echo = echo
         self._rows: list[dict] = []
         self._fieldnames: list[str] = []
         self._fh = None
+        self._tb = None
+        if tensorboard_dir is not None:
+            # optional dependency: tensorboardX ships in this image, but
+            # the writer must stay usable without it
+            try:
+                from tensorboardX import SummaryWriter
+            except ImportError as e:
+                raise RuntimeError(
+                    "tensorboard_dir was requested but tensorboardX is "
+                    "not installed"
+                ) from e
+            self._tb = SummaryWriter(str(tensorboard_dir))
         if self.path is not None and self.path.exists():
             # resume-from-checkpoint reuses the same --metrics-csv path:
             # load the existing header/rows so the log extends instead of
@@ -49,6 +68,12 @@ class MetricsWriter:
                 for k, v in metrics.items()
             )
             print(parts, file=sys.stderr)
+        if self._tb is not None:
+            step = int(metrics.get("step", len(self._rows)))
+            for k, v in metrics.items():
+                if k != "step" and isinstance(v, (int, float)):
+                    self._tb.add_scalar(k, v, step)
+            self._tb.flush()
         if self.path is None:
             return
         row = dict(metrics)
@@ -87,3 +112,6 @@ class MetricsWriter:
         if self._fh is not None:
             self._fh.close()
             self._fh = None
+        if self._tb is not None:
+            self._tb.close()
+            self._tb = None

@@ -622,3 +622,40 @@ def test_steps_per_call_with_global_negatives_mesh():
     )
     assert int(st.step) == 4
     assert np.isfinite(history[-1]["loss"])
+
+
+def test_fit_aborts_on_nonfinite_loss():
+    """A poisoned batch (NaN features) must raise FloatingPointError at
+    the next log boundary instead of silently training on."""
+    from crossclr_tpu.data import SyntheticPairs
+
+    data = SyntheticPairs(num_pairs=64, video_dim=24, text_dim=16, seed=3)
+    vc = TowerConfig(kind="mlp", input_dim=24, embed_dim=16, hidden_dim=32,
+                     dtype=jnp.float32)
+    tc = TowerConfig(kind="mlp", input_dim=16, embed_dim=16, hidden_dim=32,
+                     dtype=jnp.float32)
+    tr = Trainer(vc, tc, TrainConfig(loss="crossclr_intra", total_steps=10,
+                                     warmup_steps=2))
+    st = tr.init_state(data.video[:2], data.text[:2])
+
+    poisoned = np.array(data.video[:32])
+    poisoned[0, 0] = np.nan
+    batches = iter([
+        {"video": data.video[:32], "text": data.text[:32]},
+        {"video": poisoned, "text": data.text[:32]},
+        {"video": data.video[32:64], "text": data.text[32:64]},
+    ])
+    with pytest.raises(FloatingPointError, match="non-finite loss"):
+        tr.fit(st, batches, steps=3, log_every=1)
+
+    # opting out keeps the old keep-going behavior
+    tr2 = Trainer(vc, tc, TrainConfig(loss="crossclr_intra", total_steps=10,
+                                      warmup_steps=2,
+                                      abort_on_nonfinite=False))
+    st2 = tr2.init_state(data.video[:2], data.text[:2])
+    batches = iter([
+        {"video": poisoned, "text": data.text[:32]},
+        {"video": data.video[32:64], "text": data.text[32:64]},
+    ])
+    _, history = tr2.fit(st2, batches, steps=2, log_every=1)
+    assert len(history) == 2

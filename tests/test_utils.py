@@ -238,3 +238,22 @@ def test_process_local_rows_blocks():
     assert blocks == [(0, 16), (16, 32), (32, 48), (48, 64)]
     with pytest.raises(ValueError):
         process_local_rows(63, 0, 4)
+
+
+def test_metrics_writer_tensorboard(tmp_path):
+    """tensorboard_dir streams scalars to event files alongside the CSV."""
+    from crossclr_tpu.utils import MetricsWriter
+
+    w = MetricsWriter(
+        tmp_path / "m.csv", echo=False, tensorboard_dir=tmp_path / "tb"
+    )
+    w({"loss": 1.5, "step": 1})
+    w({"loss": 1.25, "grad_norm": 3.0, "step": 2})
+    w.close()
+
+    events = list((tmp_path / "tb").glob("events.out.tfevents.*"))
+    assert events, "no TensorBoard event file written"
+    assert events[0].stat().st_size > 0
+    # CSV side unaffected
+    rows = (tmp_path / "m.csv").read_text().strip().splitlines()
+    assert len(rows) == 3
