@@ -9,6 +9,7 @@ from .datasets import (
     epoch_batches,
     infinite_batches,
     prefetch_to_device,
+    stack_batches,
     train_eval_split,
 )
 
@@ -21,5 +22,6 @@ __all__ = [
     "epoch_batches",
     "infinite_batches",
     "prefetch_to_device",
+    "stack_batches",
     "train_eval_split",
 ]

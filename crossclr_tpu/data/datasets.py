@@ -321,6 +321,27 @@ def infinite_batches(
         epoch += 1
 
 
+def stack_batches(batches: Iterator[dict], n: int) -> Iterator[dict]:
+    """Group consecutive batches into ``[n, B, ...]`` stacked host chunks.
+
+    Feeds ``Trainer.train_steps`` (``steps_per_call``): one stacked chunk
+    is one device dispatch AND one H2D transfer.  Stacking happens on the
+    HOST (numpy), so in multi-process runs the per-process row shards
+    stack locally and ``prefetch_to_device`` stitches the stacked chunk
+    into a global ``[n, B_global, ...]`` array — the piece that makes
+    steps_per_call work multi-host.  A final partial group (iterator
+    exhausted) is yielded as-is with a shorter leading axis.
+    """
+    group: list[dict] = []
+    for b in batches:
+        group.append(b)
+        if len(group) == n:
+            yield {k: np.stack([g[k] for g in group]) for k in group[0]}
+            group = []
+    if group:
+        yield {k: np.stack([g[k] for g in group]) for k in group[0]}
+
+
 def prefetch_to_device(batches: Iterator[dict], size: int = 2, sharding=None):
     """Keep ``size`` batches in flight on the device ahead of consumption.
 

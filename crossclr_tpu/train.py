@@ -183,6 +183,33 @@ def main(argv: list[str] | None = None) -> int:
     batches = infinite_batches(
         host_data, local_batch, seed=cfg.data.seed, start_step=done
     )
+    # steps_per_call: stack chunks on the HOST before prefetch, so each
+    # dispatch gets one [n, b, ...] transfer and — multi-host — the
+    # stacked local shards stitch into one global chunk.  Alignment
+    # constraint: every fit() call below runs `eval_every` steps (or the
+    # final tail), so eval_every must be a chunk multiple or the stream
+    # would mis-align across eval boundaries (fit discards chunk tails
+    # only at the END of training, where nothing resumes mid-config).
+    spc = cfg.train.steps_per_call
+    prestacked = spc > 1
+    if prestacked and cfg.eval_every % spc != 0:
+        if is_rank0:
+            print(
+                f"train.steps_per_call={spc} does not divide "
+                f"eval_every={cfg.eval_every}; running unstacked",
+                file=sys.stderr,
+            )
+        prestacked = False
+    if prestacked:
+        from .data import stack_batches
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        batches = stack_batches(batches, spc)
+        if sharding is not None:
+            # batch axis moves to dim 1 of the stacked chunk
+            sharding = NamedSharding(
+                sharding.mesh, PartitionSpec(None, *sharding.spec)
+            )
     it = prefetch_to_device(batches, size=2, sharding=sharding)
     try:
         first_chunk = True
@@ -204,6 +231,7 @@ def main(argv: list[str] | None = None) -> int:
                         state, it, steps=chunk, log_every=cfg.log_every,
                         writer=writer,
                         should_stop=lambda: stop_requested["flag"],
+                        prestacked=prestacked,
                     )
                 except FloatingPointError as e:
                     # poisoned state: do NOT checkpoint it — the last good

@@ -616,7 +616,12 @@ class Trainer:
             self._train_step = self._build_step()
         return self._train_step(state, batch)
 
-    def train_steps(self, state: TrainState, stacked_batch: dict) -> tuple[TrainState, dict]:
+    def train_steps(
+        self,
+        state: TrainState,
+        stacked_batch: dict,
+        limit: int | None = None,
+    ) -> tuple[TrainState, dict]:
         """Run ``n`` chained train steps in ONE dispatch.
 
         ``stacked_batch``: dict of ``[n, b, ...]`` arrays (n batches
@@ -624,20 +629,32 @@ class Trainer:
         exact same step function ``train_step`` jits, so the resulting
         state matches n sequential ``train_step`` calls; per-dispatch
         host/runtime latency is paid once for the whole chunk.  Returned
-        metrics are stacked ``[n]`` device arrays per key.
+        metrics are stacked device arrays per key.
+
+        ``limit``: run only the first ``limit`` steps of the chunk (the
+        tail of a run whose remaining steps don't fill a chunk).  The
+        slice happens inside the jit, so it works on globally-sharded
+        multi-host chunks too; the trailing batches are discarded.
         """
         if self._train_multi is None:
             if self._train_step is None:
                 self._train_step = self._build_step()
             raw = self._raw_step
 
-            def multi(state, batches):
+            def multi(state, batches, limit):
+                if limit is not None:
+                    batches = jax.tree.map(lambda v: v[:limit], batches)
                 return jax.lax.scan(raw, state, batches)
 
-            # jit respecializes per stacked shape, so one callable serves
-            # any chunk length n
-            self._train_multi = jax.jit(multi, donate_argnums=(0,))
-        return self._train_multi(state, stacked_batch)
+            # jit respecializes per (stacked shape, static limit), so one
+            # callable serves any chunk length
+            self._train_multi = jax.jit(
+                multi, static_argnums=(2,), donate_argnums=(0,)
+            )
+        n = next(iter(stacked_batch.values())).shape[0]
+        if limit is not None and not (0 < limit <= n):
+            raise ValueError(f"limit {limit} outside chunk length {n}")
+        return self._train_multi(state, stacked_batch, limit)
 
     # -- eval ---------------------------------------------------------------
 
@@ -742,6 +759,7 @@ class Trainer:
         writer: Any = None,
         step_offset: int | None = None,
         should_stop: Any = None,
+        prestacked: bool = False,
     ) -> tuple[TrainState, list[dict]]:
         """Run ``steps`` train steps.  ``step_offset`` sets the global step
         reported in metrics (defaults to the state's own step counter, so
@@ -753,14 +771,20 @@ class Trainer:
         With ``cfg.steps_per_call > 1`` (single-host), that many steps run
         inside each dispatch via :meth:`train_steps`; metrics are logged
         from the chunk's final step and the stop flag is polled once per
-        chunk."""
+        chunk.  ``prestacked``: the iterator yields ``[n, b, ...]``
+        chunks already stacked upstream (``data.stack_batches``, the
+        multi-host path — host shards stack locally and prefetch stitches
+        the global chunk); fit then dispatches whole chunks, trimming the
+        final one to the remaining step count."""
         history = []
         it = iter(batches)
         if step_offset is None:
             step_offset = int(state.step)
         spc = max(1, getattr(self.cfg, "steps_per_call", 1))
-        if spc > 1 and jax.process_count() > 1:
-            spc = 1  # stacking globally-sharded per-process batches unwired
+        if spc > 1 and not prestacked and jax.process_count() > 1:
+            # in-fit jnp.stack of globally-sharded per-process batches is
+            # not possible eagerly — multi-host uses the prestacked path
+            spc = 1
         t_start = time.perf_counter()
         t_steady = t_start  # reset after the first (compiling) dispatch
         steady_base = 0  # steps finished before the steady clock started
@@ -768,19 +792,29 @@ class Trainer:
         while done < steps:
             if should_stop is not None and should_stop():
                 break
-            n = min(spc, steps - done)
-            if n == 1:
-                batch = next(it)
-                state, metrics = self.train_step(state, batch)
-                batch_rows = batch["video"].shape[0]
-            else:
-                group = [next(it) for _ in range(n)]
-                stacked = {
-                    k: jnp.stack([g[k] for g in group]) for k in group[0]
-                }
-                state, stacked_metrics = self.train_steps(state, stacked)
+            if prestacked:
+                chunk = next(it)
+                m = chunk["video"].shape[0]
+                n = min(m, steps - done)
+                state, stacked_metrics = self.train_steps(
+                    state, chunk, limit=n if n < m else None
+                )
                 metrics = {k: v[-1] for k, v in stacked_metrics.items()}
-                batch_rows = group[0]["video"].shape[0]
+                batch_rows = chunk["video"].shape[1]
+            else:
+                n = min(spc, steps - done)
+                if n == 1:
+                    batch = next(it)
+                    state, metrics = self.train_step(state, batch)
+                    batch_rows = batch["video"].shape[0]
+                else:
+                    group = [next(it) for _ in range(n)]
+                    stacked = {
+                        k: jnp.stack([g[k] for g in group]) for k in group[0]
+                    }
+                    state, stacked_metrics = self.train_steps(state, stacked)
+                    metrics = {k: v[-1] for k, v in stacked_metrics.items()}
+                    batch_rows = group[0]["video"].shape[0]
             first_dispatch = done == 0
             prev_done, done = done, done + n
             if first_dispatch:

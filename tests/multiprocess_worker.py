@@ -51,6 +51,10 @@ def main() -> int:
             "text_tower.hidden_dim=32", "text_tower.dtype=float32",
             "train.loss=crossclr_intra", "train.global_negatives=true",
             "train.warmup_steps=2",
+            # 2 steps per dispatch: exercises host-side chunk stacking +
+            # make_array_from_process_local_data stitching of the stacked
+            # global chunk + scan-over-shard_map, all cross-process
+            "train.steps_per_call=2",
             f"checkpoint_dir={workdir}/ckpt",
             "eval_every=2", "log_every=1",
             *extra,

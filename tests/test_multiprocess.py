@@ -67,7 +67,9 @@ def test_two_process_train_eval_checkpoint_resume(tmp_path):
     assert csv0.exists()
     assert not (tmp_path / "metrics_rank1.csv").exists()
     rows = csv0.read_text().strip().splitlines()
-    assert len(rows) >= 5  # header + 4 train steps (+ eval rows)
+    # header + train rows (logged per 2-step dispatch chunk:
+    # steps_per_call=2 in the worker) + eval rows
+    assert len(rows) >= 5
 
     # checkpoints land at the eval_every boundaries from the shared dir
     assert sorted(p.name for p in (tmp_path / "ckpt").iterdir()) == ["2", "4"]
@@ -76,7 +78,8 @@ def test_two_process_train_eval_checkpoint_resume(tmp_path):
     # exact batch sequence to step 6
     out0b, _ = _run_pair(_free_port(), tmp_path, steps=6)
     assert "resumed from step 4" in out0b
-    assert "step=5" in out0b and "step=6" in out0b
+    # metrics log at 2-step dispatch-chunk granularity: step 6, not 5
+    assert "step=6" in out0b
     assert "6" in {p.name for p in (tmp_path / "ckpt").iterdir()}
 
     # CSV extends across the resume: the step column reaches 6 exactly once

@@ -659,3 +659,56 @@ def test_fit_aborts_on_nonfinite_loss():
     ])
     _, history = tr2.fit(st2, batches, steps=2, log_every=1)
     assert len(history) == 2
+
+
+def test_prestacked_fit_matches_sequential():
+    """fit(prestacked=True) over data.stack_batches chunks == sequential
+    single steps, including a limit-trimmed final chunk (5 steps from
+    2-step chunks)."""
+    import itertools
+
+    from crossclr_tpu.data import SyntheticPairs, stack_batches
+
+    data = SyntheticPairs(num_pairs=128, video_dim=24, text_dim=16, seed=4)
+    vc = TowerConfig(kind="mlp", input_dim=24, embed_dim=16, hidden_dim=32,
+                     dtype=jnp.float32)
+    tc = TowerConfig(kind="mlp", input_dim=16, embed_dim=16, hidden_dim=32,
+                     dtype=jnp.float32)
+
+    def build(spc):
+        cfg = TrainConfig(loss="crossclr_intra", total_steps=20,
+                          warmup_steps=2, steps_per_call=spc)
+        tr = Trainer(vc, tc, cfg, mesh=None)
+        return tr, tr.init_state(data.video[:2], data.text[:2])
+
+    batches = list(itertools.islice(infinite_batches(data, 32, seed=0), 6))
+
+    tr1, st1 = build(1)
+    for b in batches[:5]:
+        st1, m1 = tr1.train_step(st1, b)
+
+    tr2, st2 = build(2)
+    st2, history = tr2.fit(
+        st2, stack_batches(iter(batches), 2), steps=5, log_every=2,
+        prestacked=True,
+    )
+    assert int(st2.step) == 5  # 2 + 2 + limit-trimmed 1
+    for a, b in zip(jax.tree.leaves(st1.params), jax.tree.leaves(st2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(history[-1]["loss"], float(m1["loss"]),
+                               rtol=1e-6)
+
+
+def test_stack_batches_groups_and_tail():
+    from crossclr_tpu.data import stack_batches
+
+    batches = [
+        {"video": np.full((4, 3), i, np.float32),
+         "text": np.full((4, 2), -i, np.float32)}
+        for i in range(5)
+    ]
+    chunks = list(stack_batches(iter(batches), 2))
+    assert [c["video"].shape for c in chunks] == [(2, 4, 3)] * 2 + [(1, 4, 3)]
+    np.testing.assert_array_equal(chunks[1]["video"][1], batches[3]["video"])
+    np.testing.assert_array_equal(chunks[2]["text"][0], batches[4]["text"])
