@@ -196,7 +196,10 @@ def main(argv: list[str] | None = None) -> int:
         if is_rank0:
             print(
                 f"train.steps_per_call={spc} does not divide "
-                f"eval_every={cfg.eval_every}; running unstacked",
+                f"eval_every={cfg.eval_every}; host-side chunk "
+                "pre-stacking disabled (single-host runs still scan "
+                f"{spc} steps per dispatch via fit's own stacking; "
+                "multi-host falls back to per-step dispatches)",
                 file=sys.stderr,
             )
         prestacked = False
@@ -210,7 +213,11 @@ def main(argv: list[str] | None = None) -> int:
             sharding = NamedSharding(
                 sharding.mesh, PartitionSpec(None, *sharding.spec)
             )
-    it = prefetch_to_device(batches, size=2, sharding=sharding)
+    # each resident chunk costs steps_per_call x the batch footprint, so
+    # the stacked path keeps one chunk in flight instead of two
+    it = prefetch_to_device(
+        batches, size=1 if prestacked else 2, sharding=sharding
+    )
     try:
         first_chunk = True
         while done < steps:

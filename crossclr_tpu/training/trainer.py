@@ -72,9 +72,14 @@ class TrainConfig:
     # amortizes across the chunk (measured on the v5e tunnel: the bare
     # loss chain drops from 3.2 to 1.5 ms/step between 20- and 100-step
     # dispatches).  Data for the chunk is stacked to [n, b, ...] and
-    # shipped in one transfer.  Trade-offs: metrics/should_stop
-    # granularity becomes n steps, and multi-process hosts fall back to 1
-    # (per-process stacking of globally-sharded batches is not wired).
+    # shipped in one transfer; multi-host runs stack per-process shards
+    # on the host and stitch the global chunk (data.stack_batches +
+    # fit(prestacked=True), wired by the train CLI — fit's own in-dispatch
+    # stacking is the only piece that requires a single process).
+    # Trade-offs: metrics/should_stop granularity becomes n steps, each
+    # resident data chunk costs n× the batch HBM footprint (the CLI
+    # prefetches one chunk ahead), and a final tail shorter than n pays
+    # one extra scan compile.
     steps_per_call: int = 1
     # CLIP-style learnable temperature: the criterion's logit_scale
     # parameter (vestigial in the reference, loss.py:52) becomes live —
@@ -634,7 +639,9 @@ class Trainer:
         ``limit``: run only the first ``limit`` steps of the chunk (the
         tail of a run whose remaining steps don't fill a chunk).  The
         slice happens inside the jit, so it works on globally-sharded
-        multi-host chunks too; the trailing batches are discarded.
+        multi-host chunks too; the trailing batches are discarded.  A
+        distinct ``limit`` is a new static specialization — one extra
+        scan compile, paid once at the very end of training.
         """
         if self._train_multi is None:
             if self._train_step is None:

@@ -69,10 +69,15 @@ class MetricsWriter:
             )
             print(parts, file=sys.stderr)
         if self._tb is not None:
+            import numbers
+
             step = int(metrics.get("step", len(self._rows)))
             for k, v in metrics.items():
-                if k != "step" and isinstance(v, (int, float)):
-                    self._tb.add_scalar(k, v, step)
+                # numbers.Real also admits numpy/jnp host scalars, which
+                # a bare isinstance(v, (int, float)) would silently drop
+                # (np.float32 is not a Python float subclass)
+                if k != "step" and isinstance(v, numbers.Real):
+                    self._tb.add_scalar(k, float(v), step)
             self._tb.flush()
         if self.path is None:
             return

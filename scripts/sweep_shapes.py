@@ -1,6 +1,7 @@
 """Sweep dual-kernel tile sizes across the SHIPPED (previously unswept)
-shapes: d in {256, 384(pad->512), 1024} and b in {1024, 8192} around the
-swept (4096, 512) anchor (VERDICT r2 weak #6).
+shapes: d in {256, 384, 1024} and b in {1024, 8192} around the swept
+(4096, 512) anchor (VERDICT r2 weak #6).  Note d=384 is a lane-width
+(128) multiple, so it runs UNPADDED — it does not inherit d=512 tiles.
 
 Usage: python scripts/sweep_shapes.py [out.json]
 
