@@ -60,6 +60,21 @@ class TrainConfig:
     # parity-grade, "default" = ~2.3x faster training tier (fwd inside
     # fp32 tolerance, grads ~1e-3 rel), "bf16" = bf16 feature storage
     loss_precision: str | None = None
+    # GradCache-style two-pass step (Gao et al. 2021, "Scaling Deep
+    # Contrastive Learning Batch Size under Memory Limited Setup"; public
+    # technique): compute embeddings chunk-by-chunk without storing tower
+    # activations, differentiate the loss w.r.t. the EMBEDDINGS over the
+    # FULL batch, then re-run each chunk's towers under vjp for exact
+    # parameter gradients.  Unlike gradient accumulation — which is
+    # semantically WRONG for contrastive losses (each microbatch only
+    # sees its own negatives) — this reproduces the large-batch loss and
+    # gradients exactly, while activation memory falls from O(batch) to
+    # O(chunk) at the cost of one extra tower forward.  Must divide the
+    # (per-device) batch size.  None disables.  With dropout the chunked
+    # path draws per-chunk keys (a different — equally valid — dropout
+    # realization than the unchunked step; pass 3 regenerates pass 1's
+    # exact masks, so the gradients are consistent either way).
+    embedding_chunk: int | None = None
     # fail fast on a poisoned run: when the loss read at a log boundary is
     # non-finite, fit() raises FloatingPointError instead of silently
     # burning the remaining steps (the last good checkpoint on disk is the
@@ -491,20 +506,24 @@ class Trainer:
                 f"{cfg.loss!r}; use one of {_TRACED_TEMP_LOSSES}"
             )
 
-        def loss_for_batch(params, batch, step):
-            towers = {k: v for k, v in params.items() if k != "logit_scale"}
+        def apply_towers(towers, batch, step, chunk_idx=None):
             rngs = None
             if needs_dropout:
                 # per-step dropout key, deterministic in (seed, step); inside
                 # shard_map additionally fold in the shard index, or every
-                # data shard would reuse the identical mask
+                # data shard would reuse the identical mask.  The two-pass
+                # path folds in the chunk index too — and because the key
+                # is a pure function of (seed, step, shard, chunk), the
+                # vjp recompute in pass 3 regenerates pass 1's exact masks
                 key = jax.random.fold_in(jax.random.PRNGKey(cfg.seed), step)
                 if use_global:
                     key = jax.random.fold_in(
                         key, jax.lax.axis_index(DATA_AXIS)
                     )
+                if chunk_idx is not None:
+                    key = jax.random.fold_in(key, chunk_idx)
                 rngs = {"dropout": key}
-            v_emb, t_emb = model.apply(
+            return model.apply(
                 {"params": towers},
                 batch["video"],
                 batch["text"],
@@ -513,6 +532,8 @@ class Trainer:
                 train=True,
                 rngs=rngs,
             )
+
+        def loss_from_embs(params, v_emb, t_emb, batch):
             temp = None
             if cfg.learnable_temperature:
                 # effective τ = cfg.temperature / exp(logit_scale); traced
@@ -531,29 +552,94 @@ class Trainer:
             t_raw = F.masked_mean_pool(batch["text"], batch.get("text_mask"))
             if use_global:
                 if cfg.loss in ("crossclr", "crossclr_fused"):
-                    loss = _global_cross_clr_loss(
+                    return _global_cross_clr_loss(
                         v_emb, t_emb, v_raw, t_raw,
                         cfg, DATA_AXIS, temperature=temp,
                     )
-                else:
-                    # rect Pallas kernels take τ as a traced SMEM scalar
-                    # with an exact dτ, so learnable temperature composes
-                    loss = _global_rows_loss(
-                        v_emb, t_emb, cfg, DATA_AXIS,
-                        use_fused=cfg.loss == "crossclr_intra_fused",
-                        temperature=temp,
-                    )
-            else:
-                loss = plain_loss(
-                    v_emb, t_emb, v_raw, t_raw,
+                # rect Pallas kernels take τ as a traced SMEM scalar
+                # with an exact dτ, so learnable temperature composes
+                return _global_rows_loss(
+                    v_emb, t_emb, cfg, DATA_AXIS,
+                    use_fused=cfg.loss == "crossclr_intra_fused",
                     temperature=temp,
                 )
-            return loss, (v_emb, t_emb)
+            return plain_loss(v_emb, t_emb, v_raw, t_raw, temperature=temp)
+
+        def loss_for_batch(params, batch, step):
+            towers = {k: v for k, v in params.items() if k != "logit_scale"}
+            v_emb, t_emb = apply_towers(towers, batch, step)
+            return loss_from_embs(params, v_emb, t_emb, batch), (v_emb, t_emb)
+
+        def value_and_grad_two_pass(params, batch, step):
+            """GradCache-style exact large-batch gradients (see
+            TrainConfig.embedding_chunk).  Pass 1 encodes chunk-by-chunk
+            under ``lax.scan`` (only each chunk's activations live);
+            pass 2 differentiates the batch-coupled loss w.r.t. the
+            embeddings (+ logit_scale); pass 3 re-runs each chunk's
+            towers under ``jax.vjp`` with its embedding cotangent and
+            accumulates parameter gradients."""
+            towers = {k: v for k, v in params.items() if k != "logit_scale"}
+            n = batch["video"].shape[0]
+            c = cfg.embedding_chunk
+            if n % c != 0:
+                raise ValueError(
+                    f"embedding_chunk {c} does not divide the "
+                    f"(per-device) batch {n}"
+                )
+            k = n // c
+            chunked = {
+                key_: v.reshape((k, c) + v.shape[1:])
+                for key_, v in batch.items()
+            }
+            idxs = jnp.arange(k)
+
+            def enc(_, args):
+                idx, chunk = args
+                return None, apply_towers(towers, chunk, step, chunk_idx=idx)
+
+            _, (v_emb, t_emb) = jax.lax.scan(enc, None, (idxs, chunked))
+            v_emb = v_emb.reshape((n,) + v_emb.shape[2:])
+            t_emb = t_emb.reshape((n,) + t_emb.shape[2:])
+
+            (loss, (d_v, d_t, d_params)) = jax.value_and_grad(
+                lambda v_e, t_e, p: loss_from_embs(p, v_e, t_e, batch),
+                argnums=(0, 1, 2),
+            )(v_emb, t_emb, params)
+            # d_params carries the loss's direct parameter gradients
+            # (logit_scale under learnable temperature; tower leaves are
+            # zeros) — pass 3 adds the through-the-embeddings tower part
+
+            d_v_c = d_v.reshape((k, c) + d_v.shape[1:])
+            d_t_c = d_t.reshape((k, c) + d_t.shape[1:])
+
+            def bwd(acc, args):
+                idx, chunk, dv, dt = args
+                _, vjp = jax.vjp(
+                    lambda tw: apply_towers(tw, chunk, step, chunk_idx=idx),
+                    towers,
+                )
+                (g,) = vjp((dv, dt))
+                return jax.tree.map(jnp.add, acc, g), None
+
+            g_towers, _ = jax.lax.scan(
+                bwd,
+                jax.tree.map(jnp.zeros_like, towers),
+                (idxs, chunked, d_v_c, d_t_c),
+            )
+            grads = dict(d_params)
+            for name, g in g_towers.items():
+                grads[name] = jax.tree.map(jnp.add, d_params[name], g)
+            return (loss, (v_emb, t_emb)), grads
 
         def step(state: TrainState, batch):
-            (loss, (v_emb, t_emb)), grads = jax.value_and_grad(
-                loss_for_batch, has_aux=True
-            )(state.params, batch, state.step)
+            if cfg.embedding_chunk:
+                (loss, (v_emb, t_emb)), grads = value_and_grad_two_pass(
+                    state.params, batch, state.step
+                )
+            else:
+                (loss, (v_emb, t_emb)), grads = jax.value_and_grad(
+                    loss_for_batch, has_aux=True
+                )(state.params, batch, state.step)
             if use_global:
                 # inside shard_map each device holds only its batch rows'
                 # loss/gradient contribution; the true values are their sums

@@ -712,3 +712,153 @@ def test_stack_batches_groups_and_tail():
     assert [c["video"].shape for c in chunks] == [(2, 4, 3)] * 2 + [(1, 4, 3)]
     np.testing.assert_array_equal(chunks[1]["video"][1], batches[3]["video"])
     np.testing.assert_array_equal(chunks[2]["text"][0], batches[4]["text"])
+
+
+def _grads_close(tr_a, st_a, tr_b, st_b, batch, rtol=1e-5, atol=1e-6):
+    st_a2, m_a = tr_a.train_step(st_a, batch)
+    st_b2, m_b = tr_b.train_step(st_b, batch)
+    np.testing.assert_allclose(
+        float(m_a["loss"]), float(m_b["loss"]), rtol=rtol
+    )
+    np.testing.assert_allclose(
+        float(m_a["grad_norm"]), float(m_b["grad_norm"]), rtol=1e-4
+    )
+    for a, b in zip(jax.tree.leaves(st_a2.params), jax.tree.leaves(st_b2.params)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=rtol, atol=atol
+        )
+
+
+@pytest.mark.parametrize("loss", ["crossclr_intra", "crossclr"])
+def test_embedding_chunk_matches_plain_step(loss):
+    """GradCache-style two-pass gradients == the ordinary step: the
+    contrastive coupling spans the FULL batch either way (unlike gradient
+    accumulation, which would shrink the negative pool)."""
+    from crossclr_tpu.data import SyntheticPairs
+
+    data = SyntheticPairs(num_pairs=64, video_dim=24, text_dim=16, seed=5)
+    vc = TowerConfig(kind="mlp", input_dim=24, embed_dim=16, hidden_dim=32,
+                     dtype=jnp.float32)
+    tc = TowerConfig(kind="mlp", input_dim=16, embed_dim=16, hidden_dim=32,
+                     dtype=jnp.float32)
+
+    def build(chunk):
+        cfg = TrainConfig(loss=loss, total_steps=10, warmup_steps=2,
+                          embedding_chunk=chunk)
+        tr = Trainer(vc, tc, cfg, mesh=None)
+        return tr, tr.init_state(data.video[:2], data.text[:2])
+
+    batch = {"video": data.video[:32], "text": data.text[:32]}
+    tr_p, st_p = build(None)
+    tr_c, st_c = build(8)  # 4 chunks
+    _grads_close(tr_p, st_p, tr_c, st_c, batch)
+
+
+def test_embedding_chunk_learnable_temperature():
+    """logit_scale gradients flow through pass 2 (the loss differentiates
+    w.r.t. the parameter directly, not through the towers)."""
+    from crossclr_tpu.data import SyntheticPairs
+
+    data = SyntheticPairs(num_pairs=32, video_dim=24, text_dim=16, seed=6)
+    vc = TowerConfig(kind="mlp", input_dim=24, embed_dim=16, hidden_dim=32,
+                     dtype=jnp.float32)
+    tc = TowerConfig(kind="mlp", input_dim=16, embed_dim=16, hidden_dim=32,
+                     dtype=jnp.float32)
+
+    def build(chunk):
+        cfg = TrainConfig(loss="crossclr_intra", total_steps=10,
+                          warmup_steps=2, learnable_temperature=True,
+                          embedding_chunk=chunk)
+        tr = Trainer(vc, tc, cfg, mesh=None)
+        return tr, tr.init_state(data.video[:2], data.text[:2])
+
+    batch = {"video": data.video, "text": data.text}
+    tr_p, st_p = build(None)
+    tr_c, st_c = build(16)
+    for _ in range(3):  # past the 2-step lr warmup so the param moves
+        st_p, _ = tr_p.train_step(st_p, batch)
+        st_c, _ = tr_c.train_step(st_c, batch)
+    # the scale parameter moved, and identically on both paths
+    assert float(st_c.params["logit_scale"]) != 0.0
+    np.testing.assert_allclose(
+        float(st_p.params["logit_scale"]),
+        float(st_c.params["logit_scale"]),
+        rtol=1e-6,
+    )
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_embedding_chunk_with_global_negatives():
+    """Two-pass composes with the shard_map global-negative step: chunking
+    happens per device shard, the loss still couples the GLOBAL batch."""
+    from crossclr_tpu.data import SyntheticPairs, epoch_batches
+    from crossclr_tpu.parallel import make_mesh
+
+    mesh = make_mesh()
+    data = SyntheticPairs(num_pairs=128, video_dim=24, text_dim=16, seed=7)
+    vc = TowerConfig(kind="mlp", input_dim=24, embed_dim=16, hidden_dim=32,
+                     dtype=jnp.float32)
+    tc = TowerConfig(kind="mlp", input_dim=16, embed_dim=16, hidden_dim=32,
+                     dtype=jnp.float32)
+
+    def build(chunk, use_mesh):
+        cfg = TrainConfig(loss="crossclr_intra", total_steps=10,
+                          warmup_steps=2, embedding_chunk=chunk)
+        tr = Trainer(vc, tc, cfg, mesh=use_mesh)
+        return tr, tr.init_state(data.video[:2], data.text[:2])
+
+    batch = next(epoch_batches(data, 64, shuffle=False))
+    # 64 rows / 8 devices = 8 per shard; chunk 4 -> 2 chunks per shard
+    tr_g, st_g = build(4, mesh)
+    tr_1, st_1 = build(None, None)
+    _grads_close(tr_g, st_g, tr_1, st_1, batch, rtol=2e-5, atol=1e-6)
+
+
+def test_embedding_chunk_must_divide_batch():
+    from crossclr_tpu.data import SyntheticPairs
+
+    data = SyntheticPairs(num_pairs=32, video_dim=24, text_dim=16, seed=8)
+    vc = TowerConfig(kind="mlp", input_dim=24, embed_dim=16, hidden_dim=32,
+                     dtype=jnp.float32)
+    tc = TowerConfig(kind="mlp", input_dim=16, embed_dim=16, hidden_dim=32,
+                     dtype=jnp.float32)
+    tr = Trainer(vc, tc, TrainConfig(loss="crossclr_intra", total_steps=10,
+                                     warmup_steps=2, embedding_chunk=7))
+    st = tr.init_state(data.video[:2], data.text[:2])
+    with pytest.raises(ValueError, match="does not divide"):
+        tr.train_step(st, {"video": data.video, "text": data.text})
+
+
+def test_embedding_chunk_transformer_dropout_deterministic():
+    """Two-pass with dropout: pass 3's vjp regenerates pass 1's exact
+    masks (keys are pure functions of seed/step/chunk), so repeated steps
+    from identical state produce identical updates, and training is
+    finite with sequence towers + masks."""
+    rng = np.random.default_rng(9)
+    n, s, dv = 32, 5, 16
+    video = rng.standard_normal((n, s, dv)).astype(np.float32)
+    text = rng.standard_normal((n, 12)).astype(np.float32)
+    mask = np.ones((n, s), np.float32)
+    mask[:, 4:] = 0.0
+
+    vc = TowerConfig(kind="transformer", input_dim=dv, embed_dim=16,
+                     hidden_dim=32, num_layers=1, num_heads=2,
+                     max_seq_len=s, dropout=0.3, dtype=jnp.float32)
+    tc = TowerConfig(kind="mlp", input_dim=12, embed_dim=16, hidden_dim=32,
+                     dtype=jnp.float32)
+    cfg = TrainConfig(loss="crossclr_intra", total_steps=10, warmup_steps=1,
+                      embedding_chunk=8)
+    batch = {"video": video, "text": text, "video_mask": mask}
+
+    def run():
+        tr = Trainer(vc, tc, cfg, mesh=None)
+        st = tr.init_state(video[:2], text[:2])
+        st, m = tr.train_step(st, batch)
+        return st, float(m["loss"])
+
+    st_a, loss_a = run()
+    st_b, loss_b = run()
+    assert np.isfinite(loss_a)
+    assert loss_a == loss_b
+    for a, b in zip(jax.tree.leaves(st_a.params), jax.tree.leaves(st_b.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
