@@ -36,10 +36,20 @@ def test_config_roundtrip(tmp_path):
 
 
 def test_shipped_configs_parse():
-    for name in ("configs/youcook2_mlp.json", "configs/lsmdc_transformer.json"):
+    import glob
+
+    names = sorted(glob.glob("configs/*.json"))
+    assert len(names) >= 4  # youcook2, lsmdc, fullcrossclr, podslice
+    for name in names:
         cfg = load_config(name)
         assert cfg.train.temperature == 0.03  # loss.py:50 default preserved
         assert cfg.train.negative_weight == 0.8
+        # structural constraints the runtime enforces later must already
+        # hold in every shipped file (fail here, not mid-training)
+        if cfg.train.steps_per_call > 1:
+            assert cfg.eval_every % cfg.train.steps_per_call == 0, name
+        if cfg.train.embedding_chunk:
+            assert cfg.data.batch_size % cfg.train.embedding_chunk == 0, name
 
 
 def test_overrides():
