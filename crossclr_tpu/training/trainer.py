@@ -809,6 +809,24 @@ class Trainer:
                 self._encode = plain
         return self._encode(state.params, batch)
 
+    def encode_modality_raw(self, side: str):
+        """Un-jitted single-tower encode body ``(params, features, mask) ->
+        emb``.  The ONE source of the tower-apply contract (logit_scale
+        filtering, eval-mode apply) shared by :meth:`encode_modality`'s
+        jit and the serving fused search — keep them from drifting."""
+        if side not in ("video", "text"):
+            raise ValueError(f"side must be 'video' or 'text', got {side!r}")
+        model = self.model
+        method = f"encode_{side}"
+
+        def fn(params, features, mask):
+            towers = {k: v for k, v in params.items() if k != "logit_scale"}
+            return model.apply(
+                {"params": towers}, features, mask, train=False, method=method
+            )
+
+        return fn
+
     def encode_modality(
         self,
         state: TrainState,
@@ -823,20 +841,9 @@ class Trainer:
         ``encode_text`` directly instead of the paired ``__call__``.
         Matches ``encode``'s embeddings exactly — same params, same tower.
         """
-        if side not in ("video", "text"):
-            raise ValueError(f"side must be 'video' or 'text', got {side!r}")
         fn = self._encode_one.get(side)
         if fn is None:
-            model = self.model
-            method = f"encode_{side}"
-
-            @jax.jit
-            def fn(params, features, mask):
-                towers = {k: v for k, v in params.items() if k != "logit_scale"}
-                return model.apply(
-                    {"params": towers}, features, mask, train=False, method=method
-                )
-
+            fn = jax.jit(self.encode_modality_raw(side))
             self._encode_one[side] = fn
         return fn(state.params, features, mask)
 

@@ -120,23 +120,23 @@ def test_encode_query_matches_dual_path_embeddings(server):
         service.trainer.encode_modality(service.state, "audio", batch["video"])
 
 
-def test_encode_query_never_touches_corpus_tower(server):
-    """The corpus (video) tower must NOT execute on the request hot path:
-    in the traced single-modality encode, every video-tower parameter is an
-    unused input — no equation consumes it."""
+def test_search_request_never_touches_corpus_tower(server):
+    """The corpus (video) tower must NOT execute on the request hot path.
+    Traces the PRODUCTION fused search function itself (the exact callable
+    ``search()`` dispatches — encode + top-k + packing) with jit disabled,
+    and asserts every video-tower parameter is an unused input."""
     import jax
 
     service, _ = server
-    trainer, state = service.trainer, service.state
+    state = service.state
+    fn = service._search_fn()
     feats = jnp.zeros((2, 16), jnp.float32)  # text input_dim = 16
+    corpus = service.corpus_emb
 
-    def f(params, x):
-        towers = {k: v for k, v in params.items() if k != "logit_scale"}
-        return trainer.model.apply(
-            {"params": towers}, x, None, train=False, method="encode_text"
-        )
-
-    closed = jax.make_jaxpr(f)(state.params, feats)
+    with jax.disable_jit():  # flat jaxpr of the jitted production fn
+        closed = jax.make_jaxpr(
+            lambda p, f: fn(p, corpus, f, None, k=4)
+        )(state.params, feats)
     leaves_with_paths = jax.tree_util.tree_flatten_with_path(
         (state.params, feats)
     )[0]
@@ -158,6 +158,19 @@ def test_encode_query_never_touches_corpus_tower(server):
             text_used += 1
     assert video_used == 0, f"{video_used} video-tower params consumed"
     assert text_used > 0  # sanity: the query tower really is in the trace
+
+
+def test_search_k_larger_than_corpus_clamps(server):
+    """k beyond the corpus size clamps to the corpus (and the packed
+    scores/indices readback splits at the clamped k, not the requested)."""
+    _, url = server
+    status, out = _post(url, {"features": [0.1] * 16, "k": 500})
+    assert status == 200
+    idx = np.asarray(out["indices"])
+    assert idx.shape == (1, 48)  # corpus has 48 rows
+    assert sorted(idx[0].tolist()) == list(range(48))  # a full ranking
+    scores = out["scores"][0]
+    assert scores == sorted(scores, reverse=True)
 
 
 def test_search_single_query_and_errors(server):
