@@ -56,13 +56,14 @@ PEAK_BF16_FLOPS = 197e12  # v5e TensorCore peak
 # jnp fwd = 3 sims, bwd = 2 per sim = 6 -> 9 units, all HIGHEST (3-pass,
 # and autodiff reuses the saved [B,2B] softmax instead of recomputing
 # logits — the memory/FLOPs trade the fused kernels refuse);
-# highest tier = symmetric static-max kernels: fwd 2.125 + bwd 6.125
-# units (lower-triangle intra tiles at ts=512);
-# default tier = online-max dual kernels: fwd 3 + bwd 7 units.
+# highest AND default tiers = symmetric static-max kernels: fwd 2.125 +
+# bwd 6.125 units (lower-triangle intra tiles at ts=512; since r3 the
+# default tier routes here too, with bf16 operand fetch — fewer
+# scheduled FLOPs, so its est_mfu reads lower even though it is faster).
 _IMPL_COST = {
     "jnp_xla": (9, 3),
     "pallas_fused_highest": (8.25, 3),
-    "pallas_fused_default": (10, 1),
+    "pallas_fused_default": (8.25, 1),
 }
 
 

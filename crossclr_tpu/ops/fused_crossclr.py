@@ -553,7 +553,13 @@ def fused_lse_pair(
                 pad = _LANE - d % _LANE
                 v_norm = jnp.pad(v_norm, ((0, 0), (0, pad)))
                 t_norm = jnp.pad(t_norm, ((0, 0), (0, pad)))
-            feat_dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
+            # DEFAULT dots round operands to bf16 in the MXU anyway —
+            # bf16 fetch is value-identical and halves operand traffic
+            # (see dual_lse_pair); HIGHEST needs fp32 operands
+            feat_dtype = (
+                jnp.bfloat16 if precision in ("bf16", "default")
+                else jnp.float32
+            )
             return _fused_lse_pair(
                 v_norm.astype(feat_dtype),
                 t_norm.astype(feat_dtype),

@@ -688,16 +688,19 @@ def dual_lse_pair(
             tiles = (min(tiles[0], 256), tiles[1])
     tb, tc = tiles
     # symmetric static-max kernels win at HIGHEST (the 15% dot cut is
-    # the bottleneck there: measured 8.6 vs 10.1 ms interleaved); at
-    # DEFAULT the online-max kernels' wider column tiles win instead
-    # (4.49 vs 4.78 ms) — route by precision tier.  The pruned variant's
-    # role-asymmetric masks break the static-max triangle sharing: it
-    # always runs the online-max kernels.
+    # the bottleneck there: measured 8.6 vs 10.1 ms interleaved) AND —
+    # with bf16 operand fetch — at DEFAULT: the r3 chained-scan sweep
+    # measured sym beating the online-max kernels at every shipped shape
+    # (4096×512: 1.279 vs 1.406 ms; 1024×512: 0.366 vs 0.495;
+    # 8192×512: 4.159 vs 4.830; 4096×256/384/1024: −14/−10/−12%), so
+    # every static-temperature unpruned tier routes here.  The pruned
+    # variant's role-asymmetric masks break the static-max triangle
+    # sharing: it always runs the online-max kernels.
     use_sym = (
         static_temp
         and not pruned
         and not explicit_tiles  # sweeps pin the online-max kernels
-        and precision in (None, "highest")
+        and precision in (None, "highest", "default")
         and sym_supported(b, d, scale, negative_weight)
     )
     if b % tb or b % tc:
@@ -709,7 +712,15 @@ def dual_lse_pair(
         pad = _LANE - d % _LANE
         v_norm = jnp.pad(v_norm, ((0, 0), (0, pad)))
         t_norm = jnp.pad(t_norm, ((0, 0), (0, pad)))
-    feat_dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
+    # DEFAULT-tier dots round each operand to bf16 inside the MXU anyway
+    # (one bf16 pass, fp32 accumulate), so pre-casting the feature fetch
+    # to bf16 is value-identical on TPU while halving operand HBM
+    # traffic — measured +7% (dual) / +13% (sym) at 4096×512.  HIGHEST
+    # keeps fp32 operands: its 3-pass decomposition needs the full
+    # mantissa.
+    feat_dtype = (
+        jnp.bfloat16 if precision in ("bf16", "default") else jnp.float32
+    )
     if use_sym:
         return _sym_lse_pair(
             v_norm.astype(feat_dtype),
