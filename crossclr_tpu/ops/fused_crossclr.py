@@ -95,6 +95,22 @@ def _resolve_precision(precision):
     return precision
 
 
+def _fetch_cast(precision, *arrays):
+    """bf16 operand fetch for the single-pass dot tiers.
+
+    DEFAULT-precision dots round each operand to bf16 inside the MXU, so
+    fetching features as bf16 is value-identical on TPU while halving the
+    kernels' operand HBM traffic (measured +7-13% at 4096x512).  Must be
+    applied INSIDE the custom_vjp boundary: casting the primals at the
+    call site would make the vjp return its cotangents in the primal
+    dtype, silently quantizing the feature GRADIENTS to bf16.  HIGHEST
+    keeps fp32 operands — its 3-pass decomposition needs the mantissa.
+    """
+    if precision in ("bf16", "default"):
+        return tuple(a.astype(jnp.bfloat16) for a in arrays)
+    return arrays
+
+
 def _dot_nt(a: jax.Array, b: jax.Array, precision) -> jax.Array:
     """a @ b.T contracting the feature dim without an explicit transpose."""
     return jax.lax.dot_general(
@@ -456,6 +472,7 @@ def _fused_lse_pair(
     interpret: bool,
     precision: str | None,
 ) -> tuple[jax.Array, jax.Array]:
+    v_norm, t_norm = _fetch_cast(precision, v_norm, t_norm)
     lse_v = _lse_fwd_direction(
         v_norm, t_norm, scale, neg_weight, tb, tc, interpret, precision
     )
@@ -481,14 +498,17 @@ def _fused_lse_pair_bwd(
     g_v, g_t = cotangents
     g_v = jnp.asarray(g_v, jnp.float32).reshape(-1, 1)
     g_t = jnp.asarray(g_t, jnp.float32).reshape(-1, 1)
+    vk, tk = _fetch_cast(precision, v_norm, t_norm)
     dv = _lse_bwd_direction(
-        v_norm, t_norm, lse_v, lse_t, g_v, g_t,
+        vk, tk, lse_v, lse_t, g_v, g_t,
         scale, neg_weight, tb, tc, interpret, precision,
     )
     dt = _lse_bwd_direction(
-        t_norm, v_norm, lse_t, lse_v, g_t, g_v,
+        tk, vk, lse_t, lse_v, g_t, g_v,
         scale, neg_weight, tb, tc, interpret, precision,
     )
+    # cotangents leave in the PRIMAL dtype (fp32 for fp32 features): the
+    # kernels accumulate them in fp32 — only the operand FETCH is bf16
     return dv.astype(v_norm.dtype), dt.astype(t_norm.dtype)
 
 
@@ -553,16 +573,11 @@ def fused_lse_pair(
                 pad = _LANE - d % _LANE
                 v_norm = jnp.pad(v_norm, ((0, 0), (0, pad)))
                 t_norm = jnp.pad(t_norm, ((0, 0), (0, pad)))
-            # DEFAULT dots round operands to bf16 in the MXU anyway —
-            # bf16 fetch is value-identical and halves operand traffic
-            # (see dual_lse_pair); HIGHEST needs fp32 operands
-            feat_dtype = (
-                jnp.bfloat16 if precision in ("bf16", "default")
-                else jnp.float32
-            )
+            # bf16 operand fetch happens INSIDE the vjp (_fetch_cast) so
+            # feature gradients come back fp32
             return _fused_lse_pair(
-                v_norm.astype(feat_dtype),
-                t_norm.astype(feat_dtype),
+                v_norm,
+                t_norm,
                 1.0 / float(temperature),
                 negative_weight,
                 tb,

@@ -54,6 +54,7 @@ from .fused_crossclr import (
     _NEG_INF,
     _dot,
     _dot_nt,
+    _fetch_cast,
     _lane_block_ok,
     _pick_tiles,
     _resolve_precision,
@@ -203,6 +204,7 @@ def _dual_fwd(
     v_norm, t_norm, scale_arr, kv, kt, neg_weight, tb, tc, interpret,
     precision, pruned
 ):
+    v_norm, t_norm = _fetch_cast(precision, v_norm, t_norm)
     b, d = v_norm.shape
     ni, nj = b // tb, b // tc
     kernel = functools.partial(
@@ -467,6 +469,7 @@ def _dual_bwd(
     factored,
     pruned,
 ):
+    v_norm, t_norm = _fetch_cast(precision, v_norm, t_norm)
     b, d = v_norm.shape
     ni, nj = b // tb, b // tc
     kernel = functools.partial(
@@ -700,7 +703,7 @@ def dual_lse_pair(
         static_temp
         and not pruned
         and not explicit_tiles  # sweeps pin the online-max kernels
-        and precision in (None, "highest", "default")
+        and precision in (None, "highest", "default", "bf16")
         and sym_supported(b, d, scale, negative_weight)
     )
     if b % tb or b % tc:
@@ -712,19 +715,15 @@ def dual_lse_pair(
         pad = _LANE - d % _LANE
         v_norm = jnp.pad(v_norm, ((0, 0), (0, pad)))
         t_norm = jnp.pad(t_norm, ((0, 0), (0, pad)))
-    # DEFAULT-tier dots round each operand to bf16 inside the MXU anyway
-    # (one bf16 pass, fp32 accumulate), so pre-casting the feature fetch
-    # to bf16 is value-identical on TPU while halving operand HBM
-    # traffic — measured +7% (dual) / +13% (sym) at 4096×512.  HIGHEST
-    # keeps fp32 operands: its 3-pass decomposition needs the full
-    # mantissa.
-    feat_dtype = (
-        jnp.bfloat16 if precision in ("bf16", "default") else jnp.float32
-    )
+    # bf16 operand fetch for the one-pass tiers happens INSIDE the vjp
+    # boundary (_fetch_cast in the fwd/bwd wrappers): it is value-identical
+    # on TPU (DEFAULT dots round operands to bf16 in the MXU anyway) and
+    # halves operand HBM traffic — measured +7% (dual) / +13% (sym) at
+    # 4096×512 — while the feature GRADIENTS still leave in fp32.
     if use_sym:
         return _sym_lse_pair(
-            v_norm.astype(feat_dtype),
-            t_norm.astype(feat_dtype),
+            v_norm,
+            t_norm,
             float(scale),
             negative_weight,
             _pick_square_tile(b, d),
@@ -739,8 +738,8 @@ def dual_lse_pair(
         kv = kt = jnp.zeros((1,), jnp.float32)
     scale_arr = jnp.asarray(scale, jnp.float32).reshape(1, 1)
     return _dual_lse_pair(
-        v_norm.astype(feat_dtype),
-        t_norm.astype(feat_dtype),
+        v_norm,
+        t_norm,
         scale_arr,
         kv,
         kt,
@@ -862,6 +861,7 @@ def _sym_fwd_kernel(
 
 
 def _sym_fwd(v_norm, t_norm, scale, neg_weight, ts, interpret, precision):
+    v_norm, t_norm = _fetch_cast(precision, v_norm, t_norm)
     b, d = v_norm.shape
     n = b // ts
     kernel = functools.partial(
@@ -1026,6 +1026,7 @@ def _sym_bwd(
     v_norm, t_norm, lse_v, lse_t, g_v, g_t,
     scale, neg_weight, ts, interpret, precision,
 ):
+    v_norm, t_norm = _fetch_cast(precision, v_norm, t_norm)
     b, d = v_norm.shape
     n = b // ts
     kernel = functools.partial(

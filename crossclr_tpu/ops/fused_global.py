@@ -39,6 +39,7 @@ from .fused_crossclr import (
     _NEG_INF,
     _dot,
     _dot_nt,
+    _fetch_cast,
     _pick_tiles,
     _resolve_precision,
 )
@@ -433,6 +434,9 @@ def _rows_bwd(anchor_rows, anchor_all, other_all, off, s_arr, ki, ka, lse, g,
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12))
 def _fused_lse_rows(anchor_rows, anchor_all, other_all, off, s_arr, ki, ka,
                     neg_weight, tb, tc, interpret, precision, pruned):
+    anchor_rows, anchor_all, other_all = _fetch_cast(
+        precision, anchor_rows, anchor_all, other_all
+    )
     return _rows_lse_fwd(
         anchor_rows, anchor_all, other_all, off, s_arr, ki, ka,
         neg_weight, tb, tc, interpret, precision, pruned,
@@ -453,8 +457,9 @@ def _fused_lse_rows_bwd(neg_weight, tb, tc, interpret, precision, pruned,
                         residuals, g):
     anchor_rows, anchor_all, other_all, off, s_arr, ki, ka, lse = residuals
     g = jnp.asarray(g, jnp.float32).reshape(-1, 1)
+    rk, ak, ok = _fetch_cast(precision, anchor_rows, anchor_all, other_all)
     d_rows, d_anchor_all, d_other, ds_rows = _rows_bwd(
-        anchor_rows, anchor_all, other_all, off, s_arr, ki, ka, lse, g,
+        rk, ak, ok, off, s_arr, ki, ka, lse, g,
         neg_weight, tb, tc, interpret, precision, pruned,
     )
     # kernel rows accumulate Σ g·(p⊙z) = s · dL/ds per row
@@ -561,11 +566,14 @@ def fused_lse_rows(
     # fp32 scalar in SMEM: exactly represents offsets < 2^24
     off = jnp.asarray(row_offset, jnp.float32).reshape(1, 1)
     s_arr = jnp.asarray(scale, jnp.float32).reshape(1, 1)
-    feat_dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
+    # bf16 operand fetch for the one-pass tiers happens INSIDE the vjp
+    # (_fetch_cast) so feature gradients stay fp32; measured neutral on
+    # the rect shapes (default 23.06 vs bf16 23.12 ms at 4096x32768) but
+    # kept for the unified rule across all fused kernels
     return _fused_lse_rows(
-        anchor_rows.astype(feat_dtype),
-        anchor_all.astype(feat_dtype),
-        other_all.astype(feat_dtype),
+        anchor_rows,
+        anchor_all,
+        other_all,
         off,
         s_arr,
         ki,

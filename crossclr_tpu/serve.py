@@ -52,13 +52,6 @@ class RetrievalService:
         self._lock = threading.Lock()
         self._search_jit = None
 
-    def _encode_query(self, features: np.ndarray, mask: np.ndarray | None):
-        # single-tower path: only the query modality's tower runs — the
-        # corpus tower never executes on the request hot path
-        return self.trainer.encode_modality(
-            self.state, self.query_side, features, mask
-        )
-
     def _search_fn(self):
         """ONE jitted dispatch and ONE host readback per request.
 
@@ -96,15 +89,24 @@ class RetrievalService:
             mask = np.asarray(mask, np.float32)
             if mask.ndim == 1:
                 mask = mask[None]
-        k = int(min(k, self.corpus_emb.shape[0]))  # retrieve_topk clamps too
+        n_rows = int(self.corpus_emb.shape[0])
+        k = max(1, int(min(k, n_rows)))  # retrieve_topk clamps too
+        # k is STATIC in the fused program and clients control it: one
+        # executable per distinct k would let a k-sweep pile arbitrarily
+        # many multi-second compiles behind the service lock.  Compile at
+        # the next power of two (≤ log2(corpus)+1 programs, ever) and
+        # slice to the requested k on the host — lax.top_k is sorted
+        # descending, so the first k of top-k_pad ARE the top-k.
+        k_pad = min(1 << (k - 1).bit_length(), n_rows)
         with self._lock:
             packed = np.asarray(
                 self._search_fn()(
-                    self.state.params, self.corpus_emb, features, mask, k=k
+                    self.state.params, self.corpus_emb, features, mask,
+                    k=k_pad,
                 )
             )
         scores = packed[:, :k]
-        idx = np.ascontiguousarray(packed[:, k:]).view(np.int32)
+        idx = np.ascontiguousarray(packed[:, k_pad:k_pad + k]).view(np.int32)
         out = {"indices": idx.tolist(), "scores": scores.tolist()}
         if self.ids is not None:
             out["ids"] = [[self.ids[j] for j in row] for row in idx.tolist()]

@@ -69,8 +69,14 @@ class TrainConfig:
     # semantically WRONG for contrastive losses (each microbatch only
     # sees its own negatives) — this reproduces the large-batch loss and
     # gradients exactly, while activation memory falls from O(batch) to
-    # O(chunk) at the cost of one extra tower forward.  Must divide the
-    # (per-device) batch size.  None disables.  With dropout the chunked
+    # O(chunk) at the cost of one extra tower forward.  The value is an
+    # UPPER BOUND on rows encoded at once: when the per-device batch
+    # (global batch / data-axis size under global_negatives) is <= chunk,
+    # the plain single-pass step runs instead — the memory cap already
+    # holds, and a k=1 two-pass would only pay the extra forward.  So one
+    # config stays valid across slice sizes; a chunk that is smaller than
+    # but does not divide the per-device batch still raises.  None
+    # disables.  With dropout the chunked
     # path draws per-chunk keys (a different — equally valid — dropout
     # realization than the unchunked step; pass 3 regenerates pass 1's
     # exact masks, so the gradients are consistent either way).
@@ -632,7 +638,14 @@ class Trainer:
             return (loss, (v_emb, t_emb)), grads
 
         def step(state: TrainState, batch):
-            if cfg.embedding_chunk:
+            # embedding_chunk is an upper bound on rows encoded at once:
+            # when the per-device batch already fits (chunk >= batch, the
+            # k=1 degenerate), the two-pass would recompute the towers
+            # for zero memory benefit — run the plain step.  Shapes are
+            # static under jit, so this is a trace-time decision.
+            if cfg.embedding_chunk and cfg.embedding_chunk < batch[
+                "video"
+            ].shape[0]:
                 (loss, (v_emb, t_emb)), grads = value_and_grad_two_pass(
                     state.params, batch, state.step
                 )

@@ -49,7 +49,24 @@ def test_shipped_configs_parse():
         if cfg.train.steps_per_call > 1:
             assert cfg.eval_every % cfg.train.steps_per_call == 0, name
         if cfg.train.embedding_chunk:
-            assert cfg.data.batch_size % cfg.train.embedding_chunk == 0, name
+            # embedding_chunk bounds the PER-DEVICE rows encoded at once;
+            # under global_negatives the per-device batch is the global
+            # batch over the data-axis size.  A shipped config must not
+            # crash on any plausible slice: for every power-of-two device
+            # count, either the per-device batch already fits under the
+            # bound (plain step runs) or the chunk divides it.
+            for ndev in (1, 2, 4, 8, 16, 32, 64, 128):
+                n = (
+                    cfg.data.batch_size // ndev
+                    if cfg.train.global_negatives
+                    else cfg.data.batch_size
+                )
+                if n <= 0:
+                    continue
+                assert (
+                    n <= cfg.train.embedding_chunk
+                    or n % cfg.train.embedding_chunk == 0
+                ), (name, ndev, n)
 
 
 def test_overrides():

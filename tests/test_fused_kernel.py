@@ -258,8 +258,10 @@ def test_default_tier_routes_to_sym_with_bf16_fetch(rng, monkeypatch):
     fetch: DEFAULT-precision dots round each operand to bf16 inside the
     MXU anyway, so the cast is value-identical on TPU while halving
     operand HBM traffic — measured 10-26% faster than the online-max
-    kernels at every shipped shape (BASELINE.md).  Pin the routing, the
-    fetch dtype, and bf16-operand-grade agreement with the jnp path."""
+    kernels at every shipped shape (BASELINE.md).  The cast lives INSIDE
+    the custom_vjp (_fetch_cast): the primals — and therefore the
+    returned cotangents — stay fp32.  Pin the routing, both dtypes, and
+    bf16-operand-grade agreement with the jnp path."""
     import crossclr_tpu.ops.fused_dual as fd
 
     seen = {}
@@ -280,7 +282,13 @@ def test_default_tier_routes_to_sym_with_bf16_fetch(rng, monkeypatch):
 
     want = float(cross_clr_intra(v, t))
     got = float(fused(v, t))
-    assert seen["dtype"] == jnp.bfloat16  # sym kernels, bf16 fetch
+    # primals reach the vjp in fp32 — a bf16 primal here would force the
+    # cotangents (returned in primal dtype) down to bf16
+    assert seen["dtype"] == jnp.float32
+    from crossclr_tpu.ops.fused_crossclr import _fetch_cast
+
+    assert _fetch_cast("default", v)[0].dtype == jnp.bfloat16
+    assert _fetch_cast("highest", v)[0].dtype == jnp.float32
     np.testing.assert_allclose(got, want, rtol=0, atol=0.05)
 
     gf = jax.grad(fused, argnums=(0, 1))(v, t)
@@ -289,6 +297,51 @@ def test_default_tier_routes_to_sym_with_bf16_fetch(rng, monkeypatch):
         err = float(jnp.max(jnp.abs(jnp.asarray(g) - jnp.asarray(wnt))))
         scale_ = float(jnp.max(jnp.abs(jnp.asarray(wnt)))) + 1e-12
         assert err / scale_ < 5e-2, (err, scale_)
+
+
+@pytest.mark.parametrize("precision", ["default", "bf16"])
+def test_one_pass_tier_gradients_leave_in_full_fp32(rng, precision):
+    """Regression for the r3 operand-fetch change: casting primals to
+    bf16 at the CALL SITE made every one-pass-tier feature gradient leave
+    the vjp quantized to bf16 (custom_vjp returns cotangents in the
+    primal dtype).  The fetch now happens inside the vjp, so gradients
+    must come back fp32 with live mantissa bits beyond bf16's 8."""
+    # compiled kernels need >=64-wide tiles; interpret mode accepts less
+    b, d = (32, 64) if INTERPRET else (256, 128)
+    v, t = _pair(rng, b, d)
+    gv, gt = jax.grad(
+        lambda a, b_: cross_clr_intra_fused(
+            a, b_, use_pallas=True, interpret=INTERPRET, precision=precision
+        ),
+        argnums=(0, 1),
+    )(v, t)
+    for g in (gv, gt):
+        g = np.asarray(g)
+        assert g.dtype == np.float32
+        # bf16-quantized cotangents round-trip exactly; true fp32
+        # gradients of random inputs essentially never do
+        roundtrip = g.astype(jnp.bfloat16).astype(np.float32)
+        assert np.any(g != roundtrip)
+
+    # the global-negative rect kernels share the rule
+    from crossclr_tpu.losses.functional import l2_normalize
+    from crossclr_tpu.ops.fused_global import fused_lse_rows
+
+    bg, dg = (32, 64) if INTERPRET else (256, 32)
+    va = l2_normalize(jnp.asarray(rng.standard_normal((bg, dg)), jnp.float32), 1)
+    ta = l2_normalize(jnp.asarray(rng.standard_normal((bg, dg)), jnp.float32), 1)
+
+    def rows_loss(rows):
+        return jnp.sum(
+            fused_lse_rows(
+                rows, va, ta, jnp.zeros((), jnp.float32),
+                precision=precision, interpret=INTERPRET,
+            )
+        )
+
+    g = np.asarray(jax.grad(rows_loss)(va[: bg // 2]))
+    assert g.dtype == np.float32
+    assert np.any(g != g.astype(jnp.bfloat16).astype(np.float32))
 
 
 def test_lane_incompatible_batches_fall_back():

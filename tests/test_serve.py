@@ -80,7 +80,9 @@ def test_search_returns_true_nearest_neighbors(server):
     assert np.asarray(out["scores"]).shape == (3, 4)
     assert "ids" not in out  # synthetic corpus has no manifest
 
-    q_emb = service._encode_query(data.text[:3], None)
+    q_emb = service.trainer.encode_modality(
+        service.state, service.query_side, data.text[:3]
+    )
     sim = similarity_matrix(q_emb, service.corpus_emb)
     expected = np.asarray(jnp.argmax(sim, axis=1))
     np.testing.assert_array_equal(
@@ -104,7 +106,9 @@ def test_encode_query_matches_dual_path_embeddings(server):
     # path on one device — same math, but XLA fuses differently, so the
     # comparison is tight-tolerance rather than bitwise
     v_dual, t_dual = service.trainer.encode(service.state, batch)
-    t_single = service._encode_query(data.text[:8], None)
+    t_single = service.trainer.encode_modality(
+        service.state, service.query_side, data.text[:8]
+    )
     np.testing.assert_allclose(
         np.asarray(t_single), np.asarray(t_dual), rtol=1e-5, atol=1e-6
     )
@@ -171,6 +175,31 @@ def test_search_k_larger_than_corpus_clamps(server):
     assert sorted(idx[0].tolist()) == list(range(48))  # a full ranking
     scores = out["scores"][0]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_search_k_specializations_are_bounded(server):
+    """k is static in the fused program and client-controlled: the service
+    compiles at the next power of two and slices on host, so a k-sweep
+    cannot pile up one multi-second compile per distinct k behind the
+    service lock.  Non-pow2 k must still return exactly k sorted rows."""
+    service, url = server
+    before = service._search_fn()._cache_size()
+    ranking = None
+    for k in (3, 4, 5, 6, 7, 8):
+        status, out = _post(url, {"features": [0.1] * 16, "k": k})
+        assert status == 200
+        idx, scores = np.asarray(out["indices"]), out["scores"][0]
+        assert idx.shape == (1, k)
+        assert scores == sorted(scores, reverse=True)
+        # every k is a prefix of the same true ranking
+        ranking = idx[0].tolist() if ranking is None else ranking
+        assert idx[0].tolist()[: min(k, len(ranking))] == ranking[
+            : min(k, len(ranking))
+        ]
+        if k > len(ranking):
+            ranking = idx[0].tolist()
+    # six distinct ks, only two padded programs (4 and 8)
+    assert service._search_fn()._cache_size() - before <= 2
 
 
 def test_search_single_query_and_errors(server):

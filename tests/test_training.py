@@ -829,6 +829,38 @@ def test_embedding_chunk_must_divide_batch():
         tr.train_step(st, {"video": data.video, "text": data.text})
 
 
+def test_embedding_chunk_is_an_upper_bound():
+    """chunk >= per-device batch (the k=1 degenerate) runs the PLAIN step:
+    the memory cap already holds and a two-pass would only re-run the
+    towers.  One config therefore stays valid across slice sizes — e.g.
+    podslice_32k's chunk=1024 on a 64-chip slice (512 rows/device) must
+    not raise, and must match the unchunked step bitwise (it IS the
+    unchunked step)."""
+    from crossclr_tpu.data import SyntheticPairs
+
+    data = SyntheticPairs(num_pairs=32, video_dim=24, text_dim=16, seed=8)
+    vc = TowerConfig(kind="mlp", input_dim=24, embed_dim=16, hidden_dim=32,
+                     dtype=jnp.float32)
+    tc = TowerConfig(kind="mlp", input_dim=16, embed_dim=16, hidden_dim=32,
+                     dtype=jnp.float32)
+    batch = {"video": data.video[:16], "text": data.text[:16]}
+
+    def run(chunk):
+        tr = Trainer(vc, tc, TrainConfig(loss="crossclr_intra",
+                                         total_steps=10, warmup_steps=2,
+                                         embedding_chunk=chunk))
+        st = tr.init_state(data.video[:2], data.text[:2])
+        st, m = tr.train_step(st, batch)
+        return st, m
+
+    # 24 > 16 rows and 24 does NOT divide 16 — the old semantics raised
+    st_c, m_c = run(24)
+    st_p, m_p = run(None)
+    assert float(m_c["loss"]) == float(m_p["loss"])
+    for a, b in zip(jax.tree.leaves(st_c.params), jax.tree.leaves(st_p.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_embedding_chunk_transformer_dropout_deterministic():
     """Two-pass with dropout: pass 3's vjp regenerates pass 1's exact
     masks (keys are pure functions of seed/step/chunk), so repeated steps
