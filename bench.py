@@ -232,9 +232,10 @@ def _bench_train_step(rng, on_tpu):
     # The batch repeats within the chunk but the carried state differs
     # every scan iteration, so no dispatch/result can be memoized.
     # Chunk sweep (r3): 32 -> 2.64 ms/step, 64 -> 2.06, 96 -> 1.97
-    # against a 1.63 ms/step device-busy floor (XProf: towers 0.74 at
-    # ~49% MFU — XLA's ceiling on these matmuls — loss kernels 0.50,
-    # optimizer/metrics ~0.4); 64 keeps the stacked chunk at 0.7 GB.
+    # against a 1.63 ms/step device-busy floor that is itself at
+    # roofline (XProf: tower matmuls 0.74 ms at 91% of bf16 peak, loss
+    # kernels 0.50 at 73%, HBM-bound optimizer/norm/metrics ~0.4);
+    # 64 keeps the stacked chunk at 0.7 GB.
     n = 64 if on_tpu else 4
     stacked = {k_: jnp.stack([v_] * n) for k_, v_ in batch.items()}
     state, ms = trainer.train_steps(state, stacked)
