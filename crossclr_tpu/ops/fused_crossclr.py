@@ -80,11 +80,28 @@ TILE_OVERRIDE: tuple[int, int] | None = None
 _PRECISIONS = {
     "highest": jax.lax.Precision.HIGHEST,
     "default": jax.lax.Precision.DEFAULT,
-    # "bf16": features are cast to bf16 before the kernels (the wrapper
-    # handles the cast); dots run single-pass on the MXU with fp32
-    # accumulation.  Halves VMEM/HBM traffic on top of "default" speed.
+    # "bf16": alias of "default" since the fetch moved inside the vjp —
+    # same kernel route, same bf16 operand fetch, same fp32-accumulated
+    # dots.  Kept so existing configs keep parsing.
     "bf16": jax.lax.Precision.DEFAULT,
 }
+
+# jax.lax.Precision enums are accepted wherever tier strings are: the
+# entry points normalize them so enum callers get the same routing and
+# operand fetch as the equivalent string (HIGH has no Mosaic lowering
+# here — resolve it conservatively to the 3-pass "highest" tier).
+_ENUM_TIERS = {
+    jax.lax.Precision.DEFAULT: "default",
+    jax.lax.Precision.HIGH: "highest",
+    jax.lax.Precision.HIGHEST: "highest",
+}
+
+
+def _tier_name(precision):
+    """Canonical tier string (or None) for routing/fetch decisions."""
+    if isinstance(precision, jax.lax.Precision):
+        return _ENUM_TIERS[precision]
+    return precision
 
 
 def _resolve_precision(precision):
@@ -92,6 +109,8 @@ def _resolve_precision(precision):
         return KERNEL_PRECISION
     if isinstance(precision, str):
         return _PRECISIONS[precision]
+    if isinstance(precision, jax.lax.Precision):
+        return _PRECISIONS[_ENUM_TIERS[precision]]
     return precision
 
 
@@ -540,6 +559,7 @@ def fused_lse_pair(
     shapes outside the dual kernel's budget fall back to the jnp path,
     which is traced-temperature-safe too.
     """
+    precision = _tier_name(precision)  # enum callers get string routing
     b, d = v_norm.shape
     static_temp = isinstance(temperature, (int, float))
     if use_pallas is None:

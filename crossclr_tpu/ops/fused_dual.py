@@ -58,6 +58,7 @@ from .fused_crossclr import (
     _lane_block_ok,
     _pick_tiles,
     _resolve_precision,
+    _tier_name,
 )
 
 # the PRUNED (full-CrossCLR) variant's "excluded candidate" logit —
@@ -664,6 +665,7 @@ def dual_lse_pair(
     the positive diagonal is always kept.  Matches
     functional._pruned_direction_rows on both directions.
     """
+    precision = _tier_name(precision)  # enum callers get string routing
     b, d = v_norm.shape
     if (keep_video is None) != (keep_text is None):
         raise ValueError("pass both keep masks or neither")

@@ -42,6 +42,7 @@ from .fused_crossclr import (
     _fetch_cast,
     _pick_tiles,
     _resolve_precision,
+    _tier_name,
 )
 
 __all__ = ["cross_clr_fused", "fused_lse_rows", "rows_supported"]
@@ -515,6 +516,7 @@ def fused_lse_rows(
     positive diagonal is always kept).  Without masks, the released-loss
     semantics apply (self column's intra logit zeroed, not dropped).
     """
+    precision = _tier_name(precision)  # enum callers get string routing
     bl, d = anchor_rows.shape
     bg = anchor_all.shape[0]
     scale = 1.0 / temperature  # jnp division if temperature is traced

@@ -90,7 +90,15 @@ class RetrievalService:
             if mask.ndim == 1:
                 mask = mask[None]
         n_rows = int(self.corpus_emb.shape[0])
-        k = max(1, int(min(k, n_rows)))  # retrieve_topk clamps too
+        k = int(min(k, n_rows))  # retrieve_topk clamps too
+        if k <= 0:
+            # preserve the k=0 contract (empty per-query result lists)
+            # without dispatching anything
+            empty = [[] for _ in range(features.shape[0])]
+            out = {"indices": empty, "scores": [[] for _ in empty]}
+            if self.ids is not None:
+                out["ids"] = [[] for _ in empty]
+            return out
         # k is STATIC in the fused program and clients control it: one
         # executable per distinct k would let a k-sweep pile arbitrarily
         # many multi-second compiles behind the service lock.  Compile at

@@ -57,8 +57,11 @@ class TrainConfig:
     # e.g. 4096 for 32k global batches
     global_candidate_chunk: int | None = None
     # kernel precision for the fused loss paths: None/"highest" =
-    # parity-grade, "default" = ~2.3x faster training tier (fwd inside
-    # fp32 tolerance, grads ~1e-3 rel), "bf16" = bf16 feature storage
+    # parity-grade, "default" = the fast training tier (fwd inside fp32
+    # tolerance, grads ~1e-3 rel; bf16 operand fetch inside the kernels,
+    # fp32 accumulation and gradients).  "bf16" is an accepted alias of
+    # "default" (the historical storage-cast distinction moved inside
+    # the kernels' vjp).
     loss_precision: str | None = None
     # GradCache-style two-pass step (Gao et al. 2021, "Scaling Deep
     # Contrastive Learning Batch Size under Memory Limited Setup"; public

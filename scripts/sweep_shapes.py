@@ -31,7 +31,8 @@ COL_TILES = (512, 1024, 2048)
 
 
 def legal(t, b):
-    return b % t == 0 and (t % 128 == 0 or t == b)
+    # single source for the Mosaic lane-vector rule
+    return b % t == 0 and fk._lane_block_ok(t, b)
 
 
 def chained(loss_fn):
@@ -75,7 +76,7 @@ def main():
     results = {}
     for b, d in SHAPES:
         rows = {}
-        heur = fk._pick_tiles(b, d if d % 128 == 0 else d + 128 - d % 128)
+        heur = fk._pick_tiles(b, d)  # pads d to the lane width internally
         for tb in ROW_TILES:
             for tc in COL_TILES:
                 if not (legal(tb, b) and legal(tc, b)):
@@ -94,11 +95,19 @@ def main():
                     )
         # heuristic pick for reference (explicit tiles pin the online-max
         # kernels, so compare against the same family)
-        dt, err = time_config(b, d, heur)
-        rows[f"heuristic={heur[0]}x{heur[1]}"] = (
-            f"ERR {err}" if err else round(dt * 1e3, 3)
-        )
-        print(f"[{b},{d}] heuristic {heur}: {rows[f'heuristic={heur[0]}x{heur[1]}']}", flush=True)
+        if heur is None:
+            rows["heuristic"] = "unsupported shape (_pick_tiles -> None)"
+            print(f"[{b},{d}] heuristic: unsupported shape", flush=True)
+        else:
+            dt, err = time_config(b, d, heur)
+            rows[f"heuristic={heur[0]}x{heur[1]}"] = (
+                f"ERR {err}" if err else round(dt * 1e3, 3)
+            )
+            print(
+                f"[{b},{d}] heuristic {heur}: "
+                f"{rows[f'heuristic={heur[0]}x{heur[1]}']}",
+                flush=True,
+            )
         results[f"{b}x{d}"] = rows
     with open(out_path, "w") as fh:
         json.dump(results, fh, indent=1)

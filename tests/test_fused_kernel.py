@@ -299,6 +299,33 @@ def test_default_tier_routes_to_sym_with_bf16_fetch(rng, monkeypatch):
         assert err / scale_ < 5e-2, (err, scale_)
 
 
+def test_precision_enum_routes_like_the_equivalent_string(rng):
+    """jax.lax.Precision enums are accepted wherever tier strings are
+    (_resolve_precision takes them) — they must get the SAME routing and
+    operand fetch as the string, not silently fall onto the slower
+    fp32-fetch online-max path."""
+    from crossclr_tpu.ops.fused_crossclr import _tier_name
+
+    assert _tier_name(jax.lax.Precision.DEFAULT) == "default"
+    assert _tier_name(jax.lax.Precision.HIGHEST) == "highest"
+    assert _tier_name(jax.lax.Precision.HIGH) == "highest"
+    assert _tier_name("bf16") == "bf16"
+    assert _tier_name(None) is None
+
+    v, t = _pair(rng, 32, 64)
+    for enum, s in (
+        (jax.lax.Precision.DEFAULT, "default"),
+        (jax.lax.Precision.HIGHEST, "highest"),
+    ):
+        got = float(cross_clr_intra_fused(
+            v, t, use_pallas=True, interpret=INTERPRET, precision=enum
+        ))
+        want = float(cross_clr_intra_fused(
+            v, t, use_pallas=True, interpret=INTERPRET, precision=s
+        ))
+        assert got == want  # identical route -> identical bits
+
+
 @pytest.mark.parametrize("precision", ["default", "bf16"])
 def test_one_pass_tier_gradients_leave_in_full_fp32(rng, precision):
     """Regression for the r3 operand-fetch change: casting primals to

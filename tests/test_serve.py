@@ -207,6 +207,11 @@ def test_search_single_query_and_errors(server):
     status, out = _post(url, {"features": [0.0] * 16, "k": 2})
     assert status == 200 and np.asarray(out["indices"]).shape == (1, 2)
 
+    # k=0 keeps its empty-result contract (no top-1 fallback, no dispatch)
+    status, out = _post(url, {"features": [[0.0] * 16, [0.1] * 16], "k": 0})
+    assert status == 200
+    assert out["indices"] == [[], []] and out["scores"] == [[], []]
+
     with pytest.raises(urllib.error.HTTPError) as e:
         _post(url, {"k": 2})  # missing features
     assert e.value.code == 400
