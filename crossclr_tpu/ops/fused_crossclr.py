@@ -68,10 +68,11 @@ _NEG_INF = float("-inf")
 # Default MXU precision for fp32 inputs inside the kernels.  "highest"
 # keeps loss AND gradients inside the strict parity tolerances vs the torch
 # reference (loss err ~2e-6, grad err ~1e-8 measured at bsz 4096); "default"
-# is ~2.3x faster on v5e (measured 4.1 ms vs 9.4 ms fwd+bwd at bsz 4096)
-# with loss err ~6e-6 — still inside fp32 forward tolerance — but grad rel
-# err ~1e-3, which is fine for (bf16-style) training and too loose for the
-# parity tests.  Training configs opt into "default" via the ``precision``
+# is ~4.3x faster on v5e (1.25 vs 5.45 ms fwd+bwd at bsz 4096 through the
+# symmetric kernels + bf16 operand fetch, BASELINE.md r3) with loss err
+# ~6e-6 — still inside fp32 forward tolerance — but grad rel err ~1e-3,
+# which is fine for (bf16-style) training and too loose for the parity
+# tests.  Training configs opt into "default" via the ``precision``
 # argument.  Module globals remain as sweep/benchmark overrides.
 KERNEL_PRECISION = jax.lax.Precision.HIGHEST
 # tile-size override for benchmarking; None = _pick_tiles heuristic
@@ -553,7 +554,7 @@ def fused_lse_pair(
 
     Inputs must already be L2-normalized.  Returns ``(lse_v, lse_t)`` each
     shaped ``[B, 1]`` in fp32.  ``precision``: None/"highest" for
-    parity-grade fp32 dots, "default" for the ~2.3x-faster training path.
+    parity-grade fp32 dots, "default" for the ~4x-faster training path.
     ``temperature`` may be a traced scalar (learnable temperature): the
     dual kernel takes it as an SMEM operand and returns an exact gradient;
     shapes outside the dual kernel's budget fall back to the jnp path,
