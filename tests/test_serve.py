@@ -223,6 +223,30 @@ def test_search_single_query_and_errors(server):
     assert e.value.code == 404
 
 
+def test_search_concurrent_requests_are_consistent(server):
+    """ThreadingHTTPServer handles requests on parallel threads; the
+    service lock must serialize device work so concurrent searches
+    neither crash nor cross results.  Every concurrent response must
+    equal the single-threaded response for the same payload."""
+    import concurrent.futures
+
+    from crossclr_tpu.data import SyntheticPairs
+
+    _, url = server
+    data = SyntheticPairs(num_pairs=48, video_dim=24, text_dim=16, seed=0)
+    payloads = [
+        {"features": data.text[i : i + 2].tolist(), "k": 3 + (i % 4)}
+        for i in range(12)
+    ]
+    want = [_post(url, p)[1] for p in payloads]
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=8) as ex:
+        got = list(ex.map(lambda p: _post(url, p), payloads))
+    for (status, out), expected in zip(got, want):
+        assert status == 200
+        assert out == expected
+
+
 def test_serve_cli_sigterm_graceful(tmp_path):
     """SIGTERM to the serve CLI: stop accepting, exit 0 ('server stopped'),
     not a traceback — the pod-eviction path."""
