@@ -99,20 +99,29 @@ class RetrievalService:
             if self.ids is not None:
                 out["ids"] = [[] for _ in empty]
             return out
-        # k is STATIC in the fused program and clients control it: one
-        # executable per distinct k would let a k-sweep pile arbitrarily
-        # many multi-second compiles behind the service lock.  Compile at
-        # the next power of two (≤ log2(corpus)+1 programs, ever) and
-        # slice to the requested k on the host — lax.top_k is sorted
+        # k AND the query-row count are STATIC in the fused program, and
+        # clients control both: one executable per distinct (B, k) would
+        # let request-shape variety pile arbitrarily many multi-second
+        # compiles behind the service lock.  Compile at the next power of
+        # two on each axis (≤ log2 distinct values per axis, ever) and
+        # slice to the requested shape on the host — padded query rows
+        # are zeros whose results are discarded, and lax.top_k is sorted
         # descending, so the first k of top-k_pad ARE the top-k.
         k_pad = min(1 << (k - 1).bit_length(), n_rows)
+        b = features.shape[0]
+        b_pad = 1 << max(b - 1, 0).bit_length()
+        if b_pad != b:
+            pad_width = [(0, b_pad - b)] + [(0, 0)] * (features.ndim - 1)
+            features = np.pad(features, pad_width)
+            if mask is not None:
+                mask = np.pad(mask, [(0, b_pad - b), (0, 0)])
         with self._lock:
             packed = np.asarray(
                 self._search_fn()(
                     self.state.params, self.corpus_emb, features, mask,
                     k=k_pad,
                 )
-            )
+            )[:b]
         scores = packed[:, :k]
         idx = np.ascontiguousarray(packed[:, k_pad:k_pad + k]).view(np.int32)
         out = {"indices": idx.tolist(), "scores": scores.tolist()}

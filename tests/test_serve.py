@@ -201,6 +201,25 @@ def test_search_k_specializations_are_bounded(server):
     # six distinct ks, only two padded programs (4 and 8)
     assert service._search_fn()._cache_size() - before <= 2
 
+    # the query-row count is padded the same way: distinct batch sizes
+    # 3 and 4 share one program (pad to 4), and each response still has
+    # exactly the requested number of rows with the same per-query
+    # results as a solo request
+    from crossclr_tpu.data import SyntheticPairs
+
+    data = SyntheticPairs(num_pairs=48, video_dim=24, text_dim=16, seed=0)
+    before = service._search_fn()._cache_size()
+    solo = _post(url, {"features": data.text[:1].tolist(), "k": 4})[1]
+    for b in (3, 4):
+        status, out = _post(
+            url, {"features": data.text[:b].tolist(), "k": 4}
+        )
+        assert status == 200
+        assert np.asarray(out["indices"]).shape == (b, 4)
+        assert out["indices"][0] == solo["indices"][0]
+        assert out["scores"][0] == pytest.approx(solo["scores"][0], abs=1e-5)
+    assert service._search_fn()._cache_size() - before <= 1
+
 
 def test_search_single_query_and_errors(server):
     _, url = server
