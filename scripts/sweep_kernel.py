@@ -1,5 +1,11 @@
 """Sweep fused-kernel tile sizes / precisions at the bench shape.
 
+NOTE (r3): this script's timing loop re-dispatches identical inputs,
+which the remote executor can memoize — numbers can under-report by
+>10x on the tunnel runtime.  Prefer scripts/sweep_shapes.py (chained
+``lax.scan`` + host-read fencing, the bench.py methodology); this file
+is kept for quick relative A/B on runtimes without dispatch memoization.
+
 Usage: python scripts/sweep_kernel.py [fwd|fwdbwd]
 Prints one line per config; incremental (flushes as it goes).
 """
