@@ -115,6 +115,26 @@ def _resolve_precision(precision):
     return precision
 
 
+def _lane_pad(d: int) -> int:
+    """Feature dim after zero-padding to the lane width — what the kernels
+    actually allocate.  VMEM budgets must use THIS, not the raw d: a d=129
+    input runs as d=256, doubling every [*, d] accumulator."""
+    return d if d % _LANE == 0 else d + _LANE - d % _LANE
+
+
+def _pad_lanes(*arrays):
+    """Zero-pad the feature (last) dim of each array to the lane width.
+
+    Padding columns contribute nothing to any dot product, so results are
+    bit-identical.  Single source for the padding policy shared by all
+    three kernel entry points."""
+    d = arrays[0].shape[-1]
+    pad = _lane_pad(d) - d
+    if pad == 0:
+        return arrays
+    return tuple(jnp.pad(a, ((0, 0), (0, pad))) for a in arrays)
+
+
 def _fetch_cast(precision, *arrays):
     """bf16 operand fetch for the single-pass dot tiers.
 
@@ -456,11 +476,11 @@ def _pick_tiles(b: int, d: int) -> tuple[int, int] | None:
         for t in candidates:
             if not _lane_block_ok(t, b):
                 continue
-            if b % t == 0 and t * max(d, 128) * 4 * 6 < 64 * 1024 * 1024:
+            if b % t == 0 and t * d_pad * 4 * 6 < 64 * 1024 * 1024:
                 return t
         return None
 
-    d_pad = d if d % _LANE == 0 else d + _LANE - d % _LANE
+    d_pad = _lane_pad(max(d, 1))
     col_candidates = (
         (2048, 1024, 512, 256, 128, 64)
         if d_pad == 512
@@ -588,12 +608,7 @@ def fused_lse_pair(
             # so they cover batch sizes beyond the dual kernel's VMEM
             # budget (static temperature only — τ is baked into them)
             tb, tc = tiles
-            # zero-pad the feature dim to the lane width: padding columns
-            # contribute nothing to any dot, results are bit-identical
-            if d % _LANE != 0:
-                pad = _LANE - d % _LANE
-                v_norm = jnp.pad(v_norm, ((0, 0), (0, pad)))
-                t_norm = jnp.pad(t_norm, ((0, 0), (0, pad)))
+            v_norm, t_norm = _pad_lanes(v_norm, t_norm)
             # bf16 operand fetch happens INSIDE the vjp (_fetch_cast) so
             # feature gradients come back fp32
             return _fused_lse_pair(

@@ -43,6 +43,7 @@ form — one extra exp per block, still fewer than two kernel launches.
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -56,6 +57,8 @@ from .fused_crossclr import (
     _dot_nt,
     _fetch_cast,
     _lane_block_ok,
+    _lane_pad,
+    _pad_lanes,
     _pick_tiles,
     _resolve_precision,
     _tier_name,
@@ -69,15 +72,31 @@ from .fused_global import _MASKED
 __all__ = ["dual_lse_pair", "dual_supported", "sym_supported"]
 
 # the backward keeps a [B, D] fp32 accumulator for the column-indexed text
-# gradient in VMEM; cap it so tiles + accumulator stay within the budget
+# gradient in VMEM; cap it so tiles + accumulator stay within the budget.
+# Budgets use the LANE-PADDED feature dim — what the kernels allocate.
 _MAX_COL_ACC_BYTES = 48 * 1024 * 1024
 
 
 def dual_supported(b: int, d: int) -> bool:
     return (
         _pick_tiles(b, d) is not None
-        and b * max(d, _LANE) * 4 <= _MAX_COL_ACC_BYTES
+        and b * _lane_pad(max(d, 1)) * 4 <= _MAX_COL_ACC_BYTES
     )
+
+
+def _coeff_safe(b: int, scale: float, neg_weight: float) -> bool:
+    """Gate for the factored backward forms (sym kernels and the dual
+    kernels' ``factored`` fast path), which compute ``exp(z)`` and
+    ``exp(-lse)`` as separate factors.  ``exp(z)`` stays finite for
+    scale <= 80, but ``lse`` can reach ``m0 + log(2B+1)`` (every
+    candidate at the bound plus the zeroed-diagonal +1), and TPU flushes
+    subnormals: ``exp(-x)`` for x beyond ~87 becomes exactly 0, silently
+    zeroing that row's entire gradient.  Require the worst-case exponent
+    to stay in normal fp32 range with margin; callers fall back to the
+    subtract-first online-max kernels (which compute exp(z - lse) >=
+    1/(2B+1) directly) when this fails."""
+    m0 = max(scale, neg_weight * scale, 0.0)
+    return m0 + math.log(2 * b + 1) <= 85.0
 
 
 # ---------------------------------------------------------------------------
@@ -675,7 +694,10 @@ def dual_lse_pair(
         scale = 1.0 / float(temperature)
         w_scale = negative_weight * scale
         factored = (
-            not pruned and 0.0 < scale < 80.0 and 0.0 <= w_scale < 80.0
+            not pruned
+            and 0.0 < scale < 80.0
+            and 0.0 <= w_scale < 80.0
+            and _coeff_safe(b, scale, negative_weight)  # exp(-lse) FTZ
         )
     else:
         scale = 1.0 / temperature
@@ -713,10 +735,20 @@ def dual_lse_pair(
             f"tiles {tiles} do not divide batch {b}: the grid would "
             "silently drop rows/columns"
         )
-    if d % _LANE != 0:
-        pad = _LANE - d % _LANE
-        v_norm = jnp.pad(v_norm, ((0, 0), (0, pad)))
-        t_norm = jnp.pad(t_norm, ((0, 0), (0, pad)))
+    if (
+        explicit_tiles
+        and not interpret  # the interpreter has no lane-layout constraint
+        and not (_lane_block_ok(tb, b) and _lane_block_ok(tc, b))
+    ):
+        # auto-picked tiles already satisfy this; explicit (sweep) tiles
+        # must too, or Mosaic fails deep in compilation with an opaque
+        # layout error on the (1, t) lane-vector blocks
+        raise ValueError(
+            f"tiles {tiles} violate the Mosaic lane-vector rule for "
+            f"batch {b}: each tile must be a multiple of {_LANE} or "
+            "cover the whole batch"
+        )
+    v_norm, t_norm = _pad_lanes(v_norm, t_norm)
     # bf16 operand fetch for the one-pass tiers happens INSIDE the vjp
     # boundary (_fetch_cast in the fwd/bwd wrappers): it is value-identical
     # on TPU (DEFAULT dots round operands to bf16 in the MXU anyway) and
@@ -875,6 +907,11 @@ def _sym_fwd(v_norm, t_norm, scale, neg_weight, ts, interpret, precision):
     )
     row = lambda i, j: (i, 0)  # noqa: E731
     col = lambda i, j: (j, 0)  # noqa: E731
+    # v_col feeds ONLY the lower-triangle intra tiles (the inter tile uses
+    # v_row x t_col): clamping its index past the diagonal freezes the
+    # window so the upper-triangle fetches — never read by the kernel
+    # body — are not DMA'd at all (~half that operand's HBM traffic)
+    tri = lambda i, j: (jnp.minimum(i, j), 0)  # noqa: E731
     lv_row, lt_row, lv_col, lt_col = pl.pallas_call(
         kernel,
         grid=(n, n),
@@ -882,7 +919,7 @@ def _sym_fwd(v_norm, t_norm, scale, neg_weight, ts, interpret, precision):
             pl.BlockSpec((ts, d), row, memory_space=pltpu.VMEM),
             pl.BlockSpec((ts, d), row, memory_space=pltpu.VMEM),
             pl.BlockSpec((ts, d), col, memory_space=pltpu.VMEM),
-            pl.BlockSpec((ts, d), col, memory_space=pltpu.VMEM),
+            pl.BlockSpec((ts, d), tri, memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((ts, 1), row, memory_space=pltpu.VMEM),
@@ -1041,6 +1078,9 @@ def _sym_bwd(
     row = lambda i, j: (i, 0)  # noqa: E731
     col = lambda i, j: (j, 0)  # noqa: E731
     colT = lambda i, j: (0, j)  # noqa: E731
+    # v_col is triangle-only here too (dv_col accumulates only from the
+    # intra V.V^T tiles) — clamp its window past the diagonal, see _sym_fwd
+    tri = lambda i, j: (jnp.minimum(i, j), 0)  # noqa: E731
     dv_row, dt_row, dv_col, dt_col = pl.pallas_call(
         kernel,
         grid=(n, n),
@@ -1052,7 +1092,7 @@ def _sym_bwd(
             pl.BlockSpec((ts, 1), row, memory_space=pltpu.VMEM),
             pl.BlockSpec((ts, 1), row, memory_space=pltpu.VMEM),
             pl.BlockSpec((ts, d), col, memory_space=pltpu.VMEM),
-            pl.BlockSpec((ts, d), col, memory_space=pltpu.VMEM),
+            pl.BlockSpec((ts, d), tri, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, ts), colT, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, ts), colT, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, ts), colT, memory_space=pltpu.VMEM),
@@ -1129,15 +1169,27 @@ def _pick_square_tile(b: int, d: int) -> int | None:
     for t in (512, 256, 128, 64):
         if not _lane_block_ok(t, b):
             continue
-        if b % t == 0 and t * max(d, _LANE) * 4 * 10 < 64 * 1024 * 1024:
+        if b % t == 0 and t * _lane_pad(max(d, 1)) * 4 * 10 < 64 * 1024 * 1024:
             return t
     return None
 
 
+# the sym BACKWARD holds TWO [B, d_pad] fp32 column accumulators (dv_col
+# + dt_col scratch); cap their combined size leaving ~28MB of the 100MB
+# scoped-VMEM limit for the double-buffered tile windows and row scratch
+# (~26MB at ts=512, d=512) — b=16384 x d=512 (67MB) fits, b=24576 (101MB)
+# must not compile
+_MAX_SYM_ACC_BYTES = 72 * 1024 * 1024
+
+
 def sym_supported(b: int, d: int, scale: float, neg_weight: float) -> bool:
+    # two accumulators, padded d; the coefficient math is the factored
+    # exp(z)*exp(-lse) form, hence the _coeff_safe underflow gate on top
+    # of the exp(z) bounds
     return (
         _pick_square_tile(b, d) is not None
-        and b * max(d, _LANE) * 4 <= _MAX_COL_ACC_BYTES
+        and 2 * b * _lane_pad(max(d, 1)) * 4 <= _MAX_SYM_ACC_BYTES
         and 0.0 < scale <= 80.0
         and 0.0 <= neg_weight * scale <= 80.0
+        and _coeff_safe(b, scale, neg_weight)
     )

@@ -40,6 +40,7 @@ from .fused_crossclr import (
     _dot,
     _dot_nt,
     _fetch_cast,
+    _pad_lanes,
     _pick_tiles,
     _resolve_precision,
     _tier_name,
@@ -535,6 +536,21 @@ def fused_lse_rows(
             raise ValueError(
                 f"tiles {tiles} do not divide [{bl}] rows x [{bg}] candidates"
             )
+        from .fused_crossclr import _lane_block_ok
+
+        if not interpret and not (
+            _lane_block_ok(tb, bl) and _lane_block_ok(tc, bg)
+        ):
+            # auto-picked tiles already satisfy this; explicit (sweep)
+            # tiles must too, or the (1, t) lane-vector blocks fail deep
+            # in Mosaic compilation with an opaque layout error (the
+            # interpreter has no lane-layout constraint, so tiny test
+            # tiles stay allowed there)
+            raise ValueError(
+                f"tiles {tiles} violate the Mosaic lane-vector rule for "
+                f"[{bl}] rows x [{bg}] candidates: each tile must be a "
+                f"multiple of {_LANE} or cover its whole axis"
+            )
     else:
         if tiles_r is None or tiles_c is None:
             raise ValueError(
@@ -551,11 +567,9 @@ def fused_lse_rows(
                 d, _LANE
             ) * 4 * 6 < 64 * 1024 * 1024:
                 tb, tc = 256, 1024
-    if d % _LANE != 0:
-        pad = _LANE - d % _LANE
-        anchor_rows = jnp.pad(anchor_rows, ((0, 0), (0, pad)))
-        anchor_all = jnp.pad(anchor_all, ((0, 0), (0, pad)))
-        other_all = jnp.pad(other_all, ((0, 0), (0, pad)))
+    anchor_rows, anchor_all, other_all = _pad_lanes(
+        anchor_rows, anchor_all, other_all
+    )
     if (keep_inter is None) != (keep_intra is None):
         raise ValueError("pass both keep masks or neither")
     pruned = keep_inter is not None

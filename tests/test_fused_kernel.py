@@ -207,7 +207,14 @@ def test_symmetric_static_max_kernel_matches_jnp(rng, tau, w):
     v, t = _pair(rng, b, d)
     v, t = l2_normalize(v, 1), l2_normalize(t, 1)
     s = 1.0 / tau
-    assert sym_supported(b, d, s, w)
+    # routing admits the sym kernels only when the factored backward's
+    # exp(-lse) stays in normal fp32 range (the s=80 boundary case now
+    # falls back to the online-max kernels); the kernel MATH is still
+    # exercised directly below — these inputs keep lse far from the
+    # bound, and the interpreter has no FTZ anyway
+    from crossclr_tpu.ops.fused_dual import _coeff_safe
+
+    assert sym_supported(b, d, s, w) == _coeff_safe(b, s, w)
     wv = jnp.asarray(np.random.default_rng(7).standard_normal((b, 1)),
                      jnp.float32)
 
@@ -297,6 +304,60 @@ def test_default_tier_routes_to_sym_with_bf16_fetch(rng, monkeypatch):
         err = float(jnp.max(jnp.abs(jnp.asarray(g) - jnp.asarray(wnt))))
         scale_ = float(jnp.max(jnp.abs(jnp.asarray(wnt)))) + 1e-12
         assert err / scale_ < 5e-2, (err, scale_)
+
+
+def test_vmem_budgets_use_padded_dim_and_bwd_accumulator_count(rng):
+    """Support predicates must model what the kernels ALLOCATE: the
+    lane-padded feature dim, and the sym backward's TWO [B, d_pad] fp32
+    column accumulators.  Shapes that pass the predicate but blow the
+    100MB scoped-VMEM limit fail at Mosaic compile time on the first
+    training step — the predicate exists to route them to a working
+    path instead."""
+    from crossclr_tpu.ops.fused_dual import dual_supported, sym_supported
+
+    s, w = 1.0 / 0.03, 0.8
+    # b=24576 x d=512: dual's single 48MB accumulator fits, but sym's two
+    # (101MB) exceed the whole scoped-VMEM limit — must refuse; b=16384
+    # (67MB + ~26MB windows) fits and stays on the faster sym route
+    assert dual_supported(24576, 512)
+    assert not sym_supported(24576, 512, s, w)
+    assert sym_supported(16384, 512, s, w)
+    # d=129 pads to 256: the real accumulator is ~2x the raw-d estimate
+    assert not dual_supported(92160, 129)
+    assert dual_supported(92160, 128)
+
+
+def test_factored_backward_underflow_gate(rng):
+    """The factored backward forms (sym kernels, dual `factored` path)
+    compute exp(-lse) directly; lse can reach m0 + log(2B+1), and TPU
+    flushes subnormals, so exp(-x) for x beyond ~87 silently zeroes a
+    row's gradient.  The gates must keep the worst case in normal fp32
+    range and fall back to the subtract-first online-max kernels."""
+    from crossclr_tpu.ops.fused_dual import _coeff_safe, sym_supported
+
+    assert _coeff_safe(4096, 1.0 / 0.03, 0.8)  # default hparams: fine
+    # s=79 passes the old exp(z) bound but 79 + log(8193) > 85
+    assert not _coeff_safe(4096, 79.0, 0.8)
+    assert not sym_supported(4096, 512, 79.0, 0.8)
+    # small batches keep the margin at the same scale
+    assert _coeff_safe(8, 79.0, 0.0)
+
+
+def test_explicit_tiles_must_satisfy_lane_rule_when_compiled(rng):
+    """Sweep-pinned tiles that violate the Mosaic lane-vector rule must
+    fail with a clear ValueError before compilation, not an opaque
+    Mosaic layout error (interpret mode stays permissive — the
+    interpreter has no lane-layout constraint)."""
+    from crossclr_tpu.losses.functional import l2_normalize
+    from crossclr_tpu.ops.fused_dual import dual_lse_pair
+
+    v = l2_normalize(jnp.asarray(rng.standard_normal((768, 128)), jnp.float32), 1)
+    t = l2_normalize(jnp.asarray(rng.standard_normal((768, 128)), jnp.float32), 1)
+    # 768 % 192 == 0, but 192 is neither a lane multiple nor the batch
+    with pytest.raises(ValueError, match="lane-vector"):
+        dual_lse_pair(
+            v, t, temperature=0.03, tiles=(256, 192), interpret=False
+        )
 
 
 def test_precision_enum_routes_like_the_equivalent_string(rng):
