@@ -18,10 +18,16 @@ with the block computation.
 ``ring_attention`` is the shard_map-side primitive (call it INSIDE a
 shard_map whose in_specs shard q/k/v on the sequence dim);
 ``sequence_parallel_attention`` is the standalone wrapper that builds the
-shard_map.  Differentiable: the scan body is ``jax.checkpoint``-ed (the
-backward re-forms each block's scores instead of storing them) and
-``ppermute``'s transpose is the reverse permutation, so gradients flow
-back around the ring exactly.
+shard_map.  Differentiable via a HAND-WRITTEN ring backward (custom_vjp):
+autodiff-through-the-scan would stack every step's K/V carry as a saved
+residual — O(n_dev · block) ≈ 3× the full global K/V per device, defeating
+the module's purpose exactly at the scale it targets.  Instead the
+backward runs a SECOND ring pass: per-block softmax probabilities are
+re-formed from the saved (row-max, denominator) pair, and the dK/dV
+accumulators rotate around the ring alongside their K/V blocks, arriving
+home after the full circle.  Peak memory stays O(local block) in both
+passes; communication is ``n_devices − 1`` neighbor ppermutes forward and
+``n_devices`` backward (the last one carries only dK/dV home).
 
 Per-block scores are plain jnp (XLA-fused): a ring shard's ``[s_loc,
 s_loc]`` block is small by construction — the Pallas blockwise kernel
@@ -55,6 +61,140 @@ def _block_scores(q, k, scale, mask):
     return s
 
 
+def _rotate(arrs, axis, perm):
+    return tuple(
+        a if a is None else jax.lax.ppermute(a, axis, perm) for a in arrs
+    )
+
+
+def _online_block(qf, k_blk, v_blk, mask_blk, scale, m, l, acc):
+    """Fold one K/V block into the online-softmax accumulators."""
+    s = _block_scores(qf, k_blk, scale, mask_blk)  # [B,H,sq,sk]
+    m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+    m_new = jnp.maximum(m_new, _MAX_FLOOR)
+    alpha = jnp.exp(m - m_new)
+    p = jnp.exp(s - m_new)
+    l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    acc_new = acc * alpha + jnp.einsum(
+        "bhqk,bhkd->bhqd", p, v_blk.astype(jnp.float32)
+    )
+    return m_new, l_new, acc_new
+
+
+def _grad_block(qf, do, delta, lse, k_blk, v_blk, mask_blk, scale,
+                dq_acc, dk_blk, dv_blk):
+    """Accumulate one block's contribution to dq (local) and dk/dv (the
+    block's travelling accumulators).  ``p = exp(s − lse)`` re-forms the
+    exact normalized probabilities from the saved forward statistics."""
+    s = _block_scores(qf, k_blk, scale, mask_blk)
+    p = jnp.exp(s - lse)  # masked → exp(−inf)=0; normalized rows
+    dv_blk = dv_blk + jnp.einsum("bhqk,bhqd->bhkd", p, do)
+    dp = jnp.einsum("bhqd,bhkd->bhqk", do, v_blk.astype(jnp.float32))
+    ds = p * (dp - delta) * scale
+    dq_acc = dq_acc + jnp.einsum("bhqk,bhkd->bhqd", ds, k_blk.astype(jnp.float32))
+    dk_blk = dk_blk + jnp.einsum("bhqk,bhqd->bhkd", ds, qf)
+    return dq_acc, dk_blk, dv_blk
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _ring_core(q, k, v, mask, axis, scale):
+    out, _, _ = _ring_fwd(q, k, v, mask, axis, scale)
+    return out
+
+
+def _ring_fwd(q, k, v, mask, axis, scale):
+    n_dev = jax.lax.psum(1, axis)
+    perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+    qf = q.astype(jnp.float32)
+
+    # own block first, then n_dev − 1 (rotate → attend) steps: the K/V
+    # blocks do NOT need to complete the circle in the forward, so the
+    # final rotation of the old formulation is gone
+    zeros_row = jnp.zeros_like(qf[..., :1])
+    m, l, acc = _online_block(
+        qf, k, v, mask, scale,
+        zeros_row + _MAX_FLOOR, zeros_row, jnp.zeros_like(qf),
+    )
+    if n_dev > 1:
+
+        def body(carry, _):
+            m, l, acc, k_blk, v_blk, mask_blk = carry
+            k_blk, v_blk, mask_blk = _rotate(
+                (k_blk, v_blk, mask_blk), axis, perm
+            )
+            m, l, acc = _online_block(
+                qf, k_blk, v_blk, mask_blk, scale, m, l, acc
+            )
+            return (m, l, acc, k_blk, v_blk, mask_blk), None
+
+        (m, l, acc, _, _, _), _ = jax.lax.scan(
+            body, (m, l, acc, k, v, mask), None, length=n_dev - 1
+        )
+    safe_l = jnp.where(l > 0, l, 1.0)
+    out = acc / safe_l
+    if mask is not None:
+        # rows whose ENTIRE global key set is masked emit zeros; l is the
+        # exact full-sequence softmax denominator, so l == 0 detects them
+        out = jnp.where(l > 0, out, 0.0)
+    return out, m, l
+
+
+def _ring_core_fwd(q, k, v, mask, axis, scale):
+    out, m, l = _ring_fwd(q, k, v, mask, axis, scale)
+    return out, (q, k, v, mask, out, m, l)
+
+
+def _ring_core_bwd(axis, scale, residuals, dout):
+    q, k, v, mask, out, m, l = residuals
+    n_dev = jax.lax.psum(1, axis)
+    perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+    qf = q.astype(jnp.float32)
+    do = dout.astype(jnp.float32)
+    safe_l = jnp.where(l > 0, l, 1.0)
+    lse = m + jnp.log(safe_l)  # fully-masked rows: m = _MAX_FLOOR → p = 0
+    delta = jnp.sum(do * out, axis=-1, keepdims=True)
+
+    # derive the accumulators from the inputs so their varying-mesh-axes
+    # type matches the scan body outputs under shard_map (fresh constants
+    # are unvarying)
+    dq = jnp.zeros_like(qf)
+    dk0 = jnp.zeros_like(k, dtype=jnp.float32)
+    dv0 = jnp.zeros_like(v, dtype=jnp.float32)
+    dq, dk_blk, dv_blk = _grad_block(
+        qf, do, delta, lse, k, v, mask, scale, dq, dk0, dv0
+    )
+    if n_dev > 1:
+
+        def body(carry, _):
+            dq_acc, k_blk, v_blk, mask_blk, dk_blk, dv_blk = carry
+            # dK/dV accumulators travel WITH their K/V blocks
+            k_blk, v_blk, mask_blk, dk_blk, dv_blk = _rotate(
+                (k_blk, v_blk, mask_blk, dk_blk, dv_blk), axis, perm
+            )
+            dq_acc, dk_blk, dv_blk = _grad_block(
+                qf, do, delta, lse, k_blk, v_blk, mask_blk, scale,
+                dq_acc, dk_blk, dv_blk,
+            )
+            return (dq_acc, k_blk, v_blk, mask_blk, dk_blk, dv_blk), None
+
+        (dq, _, _, _, dk_blk, dv_blk), _ = jax.lax.scan(
+            body, (dq, k, v, mask, dk_blk, dv_blk), None, length=n_dev - 1
+        )
+    # the blocks have visited all n_dev devices and sit one hop short of
+    # home: one final rotation carries ONLY the gradients back
+    dk_blk, dv_blk = _rotate((dk_blk, dv_blk), axis, perm)
+    d_mask = None if mask is None else jnp.zeros_like(mask)
+    return (
+        dq.astype(q.dtype),
+        dk_blk.astype(k.dtype),
+        dv_blk.astype(v.dtype),
+        d_mask,
+    )
+
+
+_ring_core.defvjp(_ring_core_fwd, _ring_core_bwd)
+
+
 def ring_attention(
     q: jax.Array,
     k: jax.Array,
@@ -69,56 +209,12 @@ def ring_attention(
     ``q/k/v``: ``[B, H, s_local, Dh]`` local sequence shards; ``mask``:
     optional ``[B, s_local]`` local key-padding mask.  Returns the local
     ``[B, H, s_local, Dh]`` output slice of exact full-sequence attention.
+    Differentiable with O(local block) memory in both passes (see module
+    docstring for the hand-written ring backward).
     """
     if scale is None:
         scale = q.shape[-1] ** -0.5
-    n_dev = jax.lax.psum(1, axis)
-    perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
-
-    b, h, s_loc, dh = q.shape
-    qf = q.astype(jnp.float32)
-
-    @jax.checkpoint
-    def body(carry, _):
-        m, l, acc, k_blk, v_blk, mask_blk = carry
-        s = _block_scores(qf, k_blk, scale, mask_blk)  # [B,H,sq,sk]
-        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
-        m_new = jnp.maximum(m_new, _MAX_FLOOR)
-        alpha = jnp.exp(m - m_new)
-        p = jnp.exp(s - m_new)
-        l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        acc_new = acc * alpha + jnp.einsum(
-            "bhqk,bhkd->bhqd", p, v_blk.astype(jnp.float32)
-        )
-        # rotate K/V (and their mask) to the next device on the ring
-        k_nxt = jax.lax.ppermute(k_blk, axis, perm)
-        v_nxt = jax.lax.ppermute(v_blk, axis, perm)
-        mask_nxt = (
-            mask_blk
-            if mask_blk is None
-            else jax.lax.ppermute(mask_blk, axis, perm)
-        )
-        return (m_new, l_new, acc_new, k_nxt, v_nxt, mask_nxt), None
-
-    # derive carries from qf so their varying-mesh-axes type matches the
-    # body outputs under shard_map (fresh constants are unvarying)
-    zeros_row = jnp.zeros_like(qf[..., :1])
-    init = (
-        zeros_row + _MAX_FLOOR,  # m
-        zeros_row,  # l
-        jnp.zeros_like(qf),  # acc
-        k,
-        v,
-        mask,
-    )
-    (m, l, acc, _, _, _), _ = jax.lax.scan(body, init, None, length=n_dev)
-    safe_l = jnp.where(l > 0, l, 1.0)
-    out = acc / safe_l
-    if mask is not None:
-        # rows whose ENTIRE global key set is masked emit zeros; l is the
-        # exact full-sequence softmax denominator, so l == 0 detects them
-        out = jnp.where(l > 0, out, 0.0)
-    return out.astype(q.dtype)
+    return _ring_core(q, k, v, mask, axis, float(scale))
 
 
 def sequence_parallel_attention(

@@ -96,12 +96,15 @@ def test_ring_attention_matches_full(rng, masked):
 
 
 @needs_multidevice
-def test_ring_attention_gradients_match_full(rng):
+@pytest.mark.parametrize("masked", [False, True])
+def test_ring_attention_gradients_match_full(rng, masked):
     from crossclr_tpu.parallel import make_mesh, sequence_parallel_attention
 
     mesh = make_mesh(n_data=1, n_model=8)
     q, k, v = _qkv(rng, s=32)
-    mask = jnp.asarray(rng.random((2, 32)) > 0.2, jnp.float32)
+    mask = (
+        jnp.asarray(rng.random((2, 32)) > 0.2, jnp.float32) if masked else None
+    )
 
     want = jax.grad(
         lambda *a: jnp.sum(jnp.sin(mha_reference(*a, mask))), argnums=(0, 1, 2)
@@ -117,6 +120,37 @@ def test_ring_attention_gradients_match_full(rng):
     for g_w, g_g in zip(want, got):
         np.testing.assert_allclose(np.asarray(g_g), np.asarray(g_w),
                                    rtol=1e-4, atol=1e-5)
+
+
+@needs_multidevice
+def test_ring_attention_fully_masked_rows(rng):
+    """A batch row whose ENTIRE global key set is masked must emit zeros
+    forward and finite zero gradients backward — the hand-written ring
+    backward re-forms probabilities from lse = m + log(l), which hits the
+    _MAX_FLOOR guard exactly here."""
+    from crossclr_tpu.parallel import make_mesh, sequence_parallel_attention
+
+    mesh = make_mesh(n_data=1, n_model=8)
+    q, k, v = _qkv(rng, s=32)
+    mask = jnp.asarray(rng.random((2, 32)) > 0.2, jnp.float32)
+    mask = mask.at[1].set(0.0)  # row 1: every key on every device masked
+
+    out, grads = jax.value_and_grad(
+        lambda *a: jnp.sum(
+            sequence_parallel_attention(*a, mask, mesh=mesh, axis="model")
+        ),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    fwd = sequence_parallel_attention(q, k, v, mask, mesh=mesh, axis="model")
+    assert np.all(np.asarray(fwd)[1] == 0.0)
+    for g in grads:
+        g = np.asarray(g)
+        assert np.all(np.isfinite(g))
+        assert np.all(g[1] == 0.0)  # no key visible -> no gradient flows
+    # unmasked row still matches the dense reference
+    want = mha_reference(q, k, v, mask)
+    np.testing.assert_allclose(np.asarray(fwd)[0], np.asarray(want)[0],
+                               rtol=1e-5, atol=1e-5)
 
 
 @needs_multidevice
