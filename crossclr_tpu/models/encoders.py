@@ -57,9 +57,16 @@ class TowerConfig:
     #   "ring"  — sequence-parallel ring attention over the mesh `model`
     #             axis (parallel.ring_attention): sequences longer than
     #             one chip; requires a mesh on the owning DualEncoder.
+    #             Long LOCAL shards automatically run the flash kernels
+    #             per ring block (ring-of-flash) where supported.
     # flash/ring apply dropout to the attention OUTPUT (probability
     # dropout cannot be fused into an online softmax).
     attention: str = "xla"
+    # ring attention per-block math: "auto" (flash kernels when the local
+    # shape supports them, else jnp), "jnp", or "flash"; ring_interpret
+    # runs those kernels under the Pallas interpreter (CPU tests).
+    ring_block_impl: str = "auto"
+    ring_interpret: bool = False
 
 
 class MLPTower(nn.Module):
@@ -137,7 +144,8 @@ class _MHA(nn.Module):
                     "DualEncoder/TransformerTower with mesh=..."
                 )
             out = sequence_parallel_attention(
-                q, k, v, mask, mesh=self.mesh, axis=self.seq_axis or "model"
+                q, k, v, mask, mesh=self.mesh, axis=self.seq_axis or "model",
+                block_impl=cfg.ring_block_impl, interpret=cfg.ring_interpret,
             )
         else:
             raise ValueError(f"unknown attention impl {cfg.attention!r}")

@@ -86,6 +86,17 @@ def flash_supported(s: int, backend: str | None = None) -> bool:
     return backend == "tpu"
 
 
+def _out_struct(shape, dtype, *like):
+    """ShapeDtypeStruct whose varying-mesh-axes set is the union of the
+    operands' — required for pallas_call under ``shard_map(check_vma=True)``
+    (the ring-of-flash path); outside shard_map the union is empty and
+    equivalent to the default."""
+    vma = frozenset().union(
+        *(jax.typeof(a).vma for a in like if a is not None)
+    )
+    return jax.ShapeDtypeStruct(shape, dtype, vma=vma)
+
+
 def _adapt_nomask(kernel, mask_pos: int):
     """Wrap a kernel so refs skip the (absent) mask argument slot."""
 
@@ -172,8 +183,8 @@ def _flash_fwd(q, k, v, mask_row, scale, bq, bk, interpret, precision):
             pl.BlockSpec((1, bq, 1), row3, memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((bh, s, dh), q.dtype),
-            jax.ShapeDtypeStruct((bh, s, 1), jnp.float32),
+            _out_struct((bh, s, dh), q.dtype, q, k, v, mask_row),
+            _out_struct((bh, s, 1), jnp.float32, q, k, v, mask_row),
         ),
         scratch_shapes=[
             pltpu.VMEM((bq, 1), jnp.float32),
@@ -307,7 +318,7 @@ def _flash_bwd(q, k, v, mask_row, out, lse, do, scale, bq, bk, interpret,
         grid=(bh, s // bq, s // bk),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, bq, dh), row3, memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bh, s, dh), q.dtype),
+        out_shape=_out_struct((bh, s, dh), q.dtype, q, k, v, do, mask_row),
         scratch_shapes=[pltpu.VMEM((bq, dh), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
@@ -350,8 +361,8 @@ def _flash_bwd(q, k, v, mask_row, out, lse, do, scale, bq, bk, interpret,
             pl.BlockSpec((1, bk, dh), key3, memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((bh, s, dh), k.dtype),
-            jax.ShapeDtypeStruct((bh, s, dh), v.dtype),
+            _out_struct((bh, s, dh), k.dtype, q, k, v, do, mask_row),
+            _out_struct((bh, s, dh), v.dtype, q, k, v, do, mask_row),
         ),
         scratch_shapes=[
             pltpu.VMEM((bk, dh), jnp.float32),

@@ -29,11 +29,22 @@ home after the full circle.  Peak memory stays O(local block) in both
 passes; communication is ``n_devices − 1`` neighbor ppermutes forward and
 ``n_devices`` backward (the last one carries only dK/dV home).
 
-Per-block scores are plain jnp (XLA-fused): a ring shard's ``[s_loc,
-s_loc]`` block is small by construction — the Pallas blockwise kernel
-(``ops.flash_attention``) is the single-chip answer for LONG local
-sequences, this module is the cross-chip one; a tower picks whichever
-matches its layout (``TowerConfig.attention``).
+Per-block work has two implementations (``block_impl``):
+
+* ``"jnp"`` — plain XLA-fused scores; right when a ring shard's
+  ``[s_loc, s_loc]`` block is small, but it materializes that block.
+* ``"flash"`` — each ring step runs the Pallas blockwise kernels from
+  ``ops.flash_attention`` on the visiting K/V block, so scores never
+  materialize beyond ``[bq, bk]`` VMEM tiles even when the LOCAL shard is
+  itself long (ring-of-flash).  The flash forward's logsumexp output is
+  exactly the statistic needed to merge partial results across ring steps
+  — ``merge((o₁,lse₁),(o₂,lse₂))`` over disjoint key sets — and, saved as
+  the residual, to drive the flash backward with globally-normalized
+  probabilities (``p = exp(s − lse_global)``), making each block's
+  dK/dV/dq contribution exact without any cross-block correction.
+
+``"auto"`` (the default) picks flash when the kernels support the local
+shape on this backend, else jnp.
 """
 
 from __future__ import annotations
@@ -96,9 +107,131 @@ def _grad_block(qf, do, delta, lse, k_blk, v_blk, mask_blk, scale,
     return dq_acc, dk_blk, dv_blk
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def _ring_core(q, k, v, mask, axis, scale):
-    out, _, _ = _ring_fwd(q, k, v, mask, axis, scale)
+# ---------------------------------------------------------------------------
+# flash-block implementation (ring-of-flash)
+# ---------------------------------------------------------------------------
+
+
+def _flash_fold(q, k, v, mask):
+    """Fold ``[B,H,s,Dh]`` → the flash kernel layout ``[BH,s,Dh_pad]``
+    (head dim zero-padded to the 128 lane width) and the key mask →
+    ``[BH,1,s]`` fp32 rows (head-repeated, b-major like the fold)."""
+    b, h, s, dh = q.shape
+    pad = (-dh) % 128
+
+    def f(x):
+        x = x.reshape(b * h, s, dh)
+        return jnp.pad(x, ((0, 0), (0, 0), (0, pad))) if pad else x
+
+    mask_row = (
+        None
+        if mask is None
+        else jnp.repeat(mask.astype(jnp.float32), h, axis=0).reshape(
+            b * h, 1, s
+        )
+    )
+    return f(q), f(k), f(v), mask_row
+
+
+def _merge_partials(o, lse, o_blk, lse_blk):
+    """Merge two partial attention results over DISJOINT key sets.
+
+    Each partial is (normalized output, logsumexp) for its keys; the
+    merged pair is the exact result over the union.  One of the two
+    weights is always exactly 1, so the denominator is ≥ 1 — no guards
+    needed, including rows masked everywhere (both lse at the floor →
+    both outputs 0 → merged 0)."""
+    m = jnp.maximum(lse, lse_blk)
+    a = jnp.exp(lse - m)
+    b = jnp.exp(lse_blk - m)
+    o = (a * o + b * o_blk.astype(jnp.float32)) / (a + b)
+    return o, m + jnp.log(a + b)
+
+
+def _ring_fwd_flash(q, k, v, mask, axis, scale, interpret, precision):
+    from ..ops.flash_attention import _flash_fwd, _pick_blocks
+
+    bq, bk = _pick_blocks(q.shape[2])
+    n_dev = jax.lax.psum(1, axis)
+    perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+    qf, kf, vf, mrow = _flash_fold(q, k, v, mask)
+
+    o_blk, lse = _flash_fwd(qf, kf, vf, mrow, scale, bq, bk, interpret,
+                            precision)
+    o = o_blk.astype(jnp.float32)
+    if n_dev > 1:
+
+        def body(carry, _):
+            o, lse, k_b, v_b, m_b = carry
+            k_b, v_b, m_b = _rotate((k_b, v_b, m_b), axis, perm)
+            o_b, lse_b = _flash_fwd(qf, k_b, v_b, m_b, scale, bq, bk,
+                                    interpret, precision)
+            o, lse = _merge_partials(o, lse, o_b, lse_b)
+            return (o, lse, k_b, v_b, m_b), None
+
+        (o, lse, _, _, _), _ = jax.lax.scan(
+            body, (o, lse, kf, vf, mrow), None, length=n_dev - 1
+        )
+    # o and lse stay in the folded/padded layout for the backward
+    return o, lse
+
+
+def _ring_bwd_flash(q, k, v, mask, o_fold, lse, dout, axis, scale,
+                    interpret, precision):
+    from ..ops.flash_attention import _flash_bwd, _pick_blocks
+
+    b, h, s, dh = q.shape
+    bq, bk = _pick_blocks(s)
+    n_dev = jax.lax.psum(1, axis)
+    perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+    qf, kf, vf, mrow = _flash_fold(q, k, v, mask)
+    do = _flash_fold(dout, dout, dout, None)[0]  # fold+pad dout alone
+
+    # with the GLOBAL (out, lse) the flash backward's p = exp(s − lse) is
+    # the globally-normalized probability restricted to this block, so
+    # every block call yields its exact dq/dK/dV contribution
+    dq_b, dk_t, dv_t = _flash_bwd(qf, kf, vf, mrow, o_fold, lse, do,
+                                  scale, bq, bk, interpret, precision)
+    dq = dq_b.astype(jnp.float32)
+    dk_t = dk_t.astype(jnp.float32)
+    dv_t = dv_t.astype(jnp.float32)
+    if n_dev > 1:
+
+        def body(carry, _):
+            dq, k_b, v_b, m_b, dk_t, dv_t = carry
+            k_b, v_b, m_b, dk_t, dv_t = _rotate(
+                (k_b, v_b, m_b, dk_t, dv_t), axis, perm
+            )
+            dq_b, dk_b, dv_b = _flash_bwd(
+                qf, k_b, v_b, m_b, o_fold, lse, do, scale, bq, bk,
+                interpret, precision,
+            )
+            dq = dq + dq_b.astype(jnp.float32)
+            dk_t = dk_t + dk_b.astype(jnp.float32)
+            dv_t = dv_t + dv_b.astype(jnp.float32)
+            return (dq, k_b, v_b, m_b, dk_t, dv_t), None
+
+        (dq, _, _, _, dk_t, dv_t), _ = jax.lax.scan(
+            body, (dq, kf, vf, mrow, dk_t, dv_t), None, length=n_dev - 1
+        )
+    # carry the travelling dK/dV accumulators the last hop home
+    dk_t, dv_t = _rotate((dk_t, dv_t), axis, perm)
+
+    def unfold(x, like):
+        return x[:, :, :dh].reshape(b, h, s, dh).astype(like.dtype)
+
+    return unfold(dq, q), unfold(dk_t, k), unfold(dv_t, v)
+
+
+# ---------------------------------------------------------------------------
+# custom VJP over both block implementations
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def _ring_core(q, k, v, mask, axis, scale, impl, interpret, precision):
+    out, _ = _ring_core_fwd(q, k, v, mask, axis, scale, impl, interpret,
+                            precision)
     return out
 
 
@@ -139,12 +272,27 @@ def _ring_fwd(q, k, v, mask, axis, scale):
     return out, m, l
 
 
-def _ring_core_fwd(q, k, v, mask, axis, scale):
+def _ring_core_fwd(q, k, v, mask, axis, scale, impl, interpret, precision):
+    if impl == "flash":
+        b, h, s, dh = q.shape
+        o_fold, lse = _ring_fwd_flash(q, k, v, mask, axis, scale,
+                                      interpret, precision)
+        out = o_fold[:, :, :dh].reshape(b, h, s, dh)
+        return out, (q, k, v, mask, o_fold, lse)
     out, m, l = _ring_fwd(q, k, v, mask, axis, scale)
     return out, (q, k, v, mask, out, m, l)
 
 
-def _ring_core_bwd(axis, scale, residuals, dout):
+def _ring_core_bwd(axis, scale, impl, interpret, precision, residuals,
+                   dout):
+    if impl == "flash":
+        q, k, v, mask, o_fold, lse = residuals
+        dq, dk, dv = _ring_bwd_flash(
+            q, k, v, mask, o_fold, lse, dout, axis, scale, interpret,
+            precision,
+        )
+        d_mask = None if mask is None else jnp.zeros_like(mask)
+        return dq, dk, dv, d_mask
     q, k, v, mask, out, m, l = residuals
     n_dev = jax.lax.psum(1, axis)
     perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
@@ -195,6 +343,16 @@ def _ring_core_bwd(axis, scale, residuals, dout):
 _ring_core.defvjp(_ring_core_fwd, _ring_core_bwd)
 
 
+def _resolve_block_impl(block_impl, s_loc, interpret):
+    if block_impl != "auto":
+        return block_impl
+    from ..ops.flash_attention import _pick_blocks, flash_supported
+
+    if flash_supported(s_loc) or (interpret and _pick_blocks(s_loc)):
+        return "flash"
+    return "jnp"
+
+
 def ring_attention(
     q: jax.Array,
     k: jax.Array,
@@ -203,6 +361,9 @@ def ring_attention(
     *,
     axis: str,
     scale: float | None = None,
+    block_impl: str = "auto",
+    interpret: bool = False,
+    precision: str | None = None,
 ) -> jax.Array:
     """Attention with sequence sharded over ``axis`` — call inside shard_map.
 
@@ -211,10 +372,28 @@ def ring_attention(
     ``[B, H, s_local, Dh]`` output slice of exact full-sequence attention.
     Differentiable with O(local block) memory in both passes (see module
     docstring for the hand-written ring backward).
+
+    ``block_impl``: per-block math — ``"flash"`` streams Pallas VMEM
+    tiles (long local shards), ``"jnp"`` materializes the local score
+    block (small shards), ``"auto"`` picks flash whenever the kernels
+    support the local shape on this backend.  ``interpret``/``precision``
+    apply to the flash kernels only.
     """
     if scale is None:
         scale = q.shape[-1] ** -0.5
-    return _ring_core(q, k, v, mask, axis, float(scale))
+    impl = _resolve_block_impl(block_impl, q.shape[2], interpret)
+    if impl == "flash":
+        from ..ops.flash_attention import _pick_blocks
+
+        if _pick_blocks(q.shape[2]) is None:
+            raise ValueError(
+                f"block_impl='flash' needs a local sequence the kernels can "
+                f"tile (multiples of 8); got s_local={q.shape[2]}. Use "
+                f"block_impl='jnp' or 'auto'."
+            )
+    out = _ring_core(q, k, v, mask, axis, float(scale), impl, interpret,
+                     precision)
+    return out.astype(q.dtype)
 
 
 def sequence_parallel_attention(
@@ -226,6 +405,9 @@ def sequence_parallel_attention(
     mesh: Mesh,
     axis: str = MODEL_AXIS,
     scale: float | None = None,
+    block_impl: str = "auto",
+    interpret: bool = False,
+    precision: str | None = None,
 ) -> jax.Array:
     """Standalone wrapper: exact attention over globally-shaped
     ``[B, H, S, Dh]`` inputs with the SEQUENCE dim sharded over ``axis``.
@@ -240,8 +422,18 @@ def sequence_parallel_attention(
     ``data`` and run the full-batch ring on every data-parallel device —
     redundant compute that defeats the dp×sp layout.  Odd batches (e.g.
     remainder eval batches) fall back to the replicated spec.
+
+    ``block_impl``/``interpret``/``precision``: per-block math, see
+    ``ring_attention``.  The flash path runs the shard_map with
+    ``check_vma=False``: JAX's varying-axes checker cannot yet see
+    through ``pallas_call`` (its interpreter rejects varying operands
+    outright, the error message itself prescribing this flag).
     """
     from .mesh import DATA_AXIS
+
+    impl = _resolve_block_impl(
+        block_impl, q.shape[2] // mesh.shape[axis], interpret
+    )
 
     bspec = None
     if (
@@ -267,11 +459,13 @@ def sequence_parallel_attention(
         mesh=mesh,
         in_specs=tuple(in_specs),
         out_specs=P(bspec, None, axis, None),
+        check_vma=(impl != "flash"),
     )
     def _sharded(*local):
         m = local[3] if len(local) > 3 else None
         return ring_attention(
-            local[0], local[1], local[2], m, axis=axis, scale=scale
+            local[0], local[1], local[2], m, axis=axis, scale=scale,
+            block_impl=impl, interpret=interpret, precision=precision,
         )
 
     return _sharded(*args)

@@ -123,6 +123,62 @@ def test_ring_attention_gradients_match_full(rng, masked):
 
 
 @needs_multidevice
+@pytest.mark.parametrize("masked", [False, True])
+def test_ring_flash_blocks_match_full(rng, masked):
+    """Ring-of-flash: every ring step runs the Pallas blockwise kernels
+    (interpreted on CPU) on the visiting K/V block; partials merge via
+    (out, logsumexp).  Must equal dense attention exactly like the jnp
+    block path does."""
+    from crossclr_tpu.parallel import make_mesh, sequence_parallel_attention
+
+    mesh = make_mesh(n_data=1, n_model=8)
+    q, k, v = _qkv(rng)  # s=64 -> s_loc=8 per device
+    mask = (
+        jnp.asarray(rng.random((2, 64)) > 0.3, jnp.float32) if masked else None
+    )
+    want = mha_reference(q, k, v, mask)
+    got = sequence_parallel_attention(
+        q, k, v, mask, mesh=mesh, axis="model",
+        block_impl="flash", interpret=INTERPRET,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+@needs_multidevice
+@pytest.mark.parametrize("masked", [False, True])
+def test_ring_flash_blocks_gradients_match_full(rng, masked):
+    """The flash-block ring backward feeds each block the GLOBAL
+    (out, lse) so per-block probabilities are globally normalized; the
+    summed block contributions must equal dense-attention gradients."""
+    from crossclr_tpu.parallel import make_mesh, sequence_parallel_attention
+
+    mesh = make_mesh(n_data=1, n_model=8)
+    q, k, v = _qkv(rng)  # s=64 -> s_loc=8, the kernels' minimum tile
+    mask = (
+        jnp.asarray(rng.random((2, 64)) > 0.2, jnp.float32) if masked else None
+    )
+
+    want = jax.grad(
+        lambda *a: jnp.sum(jnp.sin(mha_reference(*a, mask))), argnums=(0, 1, 2)
+    )(q, k, v)
+    got = jax.grad(
+        lambda *a: jnp.sum(
+            jnp.sin(
+                sequence_parallel_attention(
+                    *a, mask, mesh=mesh, axis="model",
+                    block_impl="flash", interpret=INTERPRET,
+                )
+            )
+        ),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    for g_w, g_g in zip(want, got):
+        np.testing.assert_allclose(np.asarray(g_g), np.asarray(g_w),
+                                   rtol=1e-4, atol=1e-5)
+
+
+@needs_multidevice
 def test_ring_attention_fully_masked_rows(rng):
     """A batch row whose ENTIRE global key set is masked must emit zeros
     forward and finite zero gradients backward — the hand-written ring
@@ -185,17 +241,23 @@ def test_tower_flash_and_ring_share_params_and_agree(rng):
 
 
 @needs_multidevice
-def test_trainer_sequence_parallel_matches_single_device(rng):
+@pytest.mark.parametrize("block_impl", ["auto", "flash"])
+def test_trainer_sequence_parallel_matches_single_device(rng, block_impl):
     """Full train step with ring-attention transformer towers on a
-    dp=4 x sp=2 mesh reproduces the single-device step."""
+    dp=4 x sp=2 mesh reproduces the single-device step — with jnp block
+    math ("auto" resolves to it on CPU) and with the Pallas flash kernels
+    per ring block (interpreted)."""
     from crossclr_tpu.data import epoch_batches
     from crossclr_tpu.models import TowerConfig
     from crossclr_tpu.parallel import data_sharding, make_mesh
     from crossclr_tpu.training import TrainConfig, Trainer
 
-    n, s_v, s_t = 64, 8, 8
-    video = rng.standard_normal((n, s_v, 20)).astype(np.float32)
-    text = rng.standard_normal((n, s_t, 12)).astype(np.float32)
+    # flash blocks need s_loc = S/sp >= 8, so S=16 for that variant
+    s = 8 if block_impl == "auto" else 16
+    interp = block_impl == "flash"
+    n = 64
+    video = rng.standard_normal((n, s, 20)).astype(np.float32)
+    text = rng.standard_normal((n, s, 12)).astype(np.float32)
 
     class SeqData:
         pass
@@ -205,11 +267,13 @@ def test_trainer_sequence_parallel_matches_single_device(rng):
     data = SeqData()
 
     vc = TowerConfig(kind="transformer", input_dim=20, embed_dim=16,
-                     hidden_dim=32, num_heads=2, max_seq_len=8,
-                     dtype=jnp.float32, attention="ring")
+                     hidden_dim=32, num_heads=2, max_seq_len=s,
+                     dtype=jnp.float32, attention="ring",
+                     ring_block_impl=block_impl, ring_interpret=interp)
     tc = TowerConfig(kind="transformer", input_dim=12, embed_dim=16,
-                     hidden_dim=32, num_heads=2, max_seq_len=8,
-                     dtype=jnp.float32, attention="ring")
+                     hidden_dim=32, num_heads=2, max_seq_len=s,
+                     dtype=jnp.float32, attention="ring",
+                     ring_block_impl=block_impl, ring_interpret=interp)
     cfg = TrainConfig(loss="crossclr_intra", total_steps=10)
 
     mesh_sp = make_mesh(n_data=4, n_model=2)
