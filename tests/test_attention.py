@@ -179,6 +179,39 @@ def test_ring_flash_blocks_gradients_match_full(rng, masked):
 
 
 @needs_multidevice
+def test_ring_flash_blocks_other_shapes(rng):
+    """Shape sweep for the flash-block ring: s_loc=16 (different kernel
+    tiling than the s_loc=8 tests) and a lane-aligned head dim (no
+    padding path), plus bf16 inputs (per-block outputs round to bf16 at
+    the merge boundary — looser tolerance)."""
+    from crossclr_tpu.parallel import make_mesh, sequence_parallel_attention
+
+    mesh = make_mesh(n_data=1, n_model=8)
+    for dh, s in ((128, 128), (24, 128)):
+        q, k, v = _qkv(rng, s=s, dh=dh)
+        mask = jnp.asarray(rng.random((2, s)) > 0.3, jnp.float32)
+        want = mha_reference(q, k, v, mask)
+        got = sequence_parallel_attention(
+            q, k, v, mask, mesh=mesh, axis="model",
+            block_impl="flash", interpret=INTERPRET,
+        )
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+
+    q, k, v = (x.astype(jnp.bfloat16) for x in _qkv(rng))
+    want = mha_reference(q, k, v, None)
+    got = sequence_parallel_attention(
+        q, k, v, None, mesh=mesh, axis="model",
+        block_impl="flash", interpret=INTERPRET,
+    )
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        rtol=0.05, atol=0.02,
+    )
+
+
+@needs_multidevice
 def test_ring_attention_fully_masked_rows(rng):
     """A batch row whose ENTIRE global key set is masked must emit zeros
     forward and finite zero gradients backward — the hand-written ring
