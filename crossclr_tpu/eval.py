@@ -90,6 +90,13 @@ def main(argv: list[str] | None = None) -> int:
         help="query modality for --topk (text = t2v retrieval)",
     )
     ap.add_argument("--topk-output", default=None, help=".npz path for --topk")
+    ap.add_argument(
+        "--embeddings-output",
+        default=None,
+        help=".npz path for the encoded split's embeddings (keys: video, "
+        "text, ids, step, split) — feed it to `serve --corpus-emb` to "
+        "start the service without re-encoding the corpus",
+    )
     ap.add_argument("--output", default=None, help="write metrics JSON here too")
     ap.add_argument(
         "--random-params",
@@ -105,7 +112,7 @@ def main(argv: list[str] | None = None) -> int:
 
     initialize_multihost()
 
-    dataset, _ = dataset_from_config(cfg.data)
+    dataset, ids = dataset_from_config(cfg.data)
 
     if args.split == "eval" and cfg.data.eval_fraction > 0:
         # identical split arithmetic to train.py so these are exactly the
@@ -118,6 +125,8 @@ def main(argv: list[str] | None = None) -> int:
                 f"train rows (dataset has {len(dataset)})"
             )
         _, data = train_eval_split(dataset, n_eval)
+        if ids is not None:
+            ids = ids[:n_eval]  # eval = the FIRST n_eval rows (RowSubset)
     else:
         data = dataset
 
@@ -153,6 +162,21 @@ def main(argv: list[str] | None = None) -> int:
         if args.output:
             with open(args.output, "w") as f:
                 f.write(line + "\n")
+
+    if args.embeddings_output and is_rank0:
+        np.savez(
+            args.embeddings_output,
+            video=v_emb,
+            text=t_emb,
+            ids=np.asarray(ids if ids is not None else [], dtype=str),
+            step=int(state.step),
+            split=args.split,
+        )
+        print(
+            f"wrote {v_emb.shape[0]} x {v_emb.shape[1]} embeddings "
+            f"(both modalities) to {args.embeddings_output}",
+            file=sys.stderr,
+        )
 
     if args.topk is not None:
         q, c = (

@@ -177,8 +177,16 @@ def _make_handler(service: RetrievalService):
 
 def build_service(cfg, checkpoint_dir: str | None, corpus_side: str,
                   batch_size: int | None = None,
-                  random_params: bool = False) -> RetrievalService:
-    """Construct the service: dataset → trainer → restore → encode corpus."""
+                  random_params: bool = False,
+                  corpus_emb_path: str | None = None) -> RetrievalService:
+    """Construct the service: dataset → trainer → restore → encode corpus.
+
+    ``corpus_emb_path``: an ``.npz`` written by
+    ``eval --embeddings-output`` — the corpus index is loaded from it
+    instead of re-encoding every row through the tower at startup (the
+    dominant startup cost on large corpora; the query tower still comes
+    from the checkpoint).
+    """
     from .data import dataset_from_config, epoch_batches
     from .eval import _encode_split
     from .parallel import make_mesh
@@ -201,8 +209,41 @@ def build_service(cfg, checkpoint_dir: str | None, corpus_side: str,
             )
         state = CheckpointManager(checkpoint_dir).restore(state)
 
-    v_emb, t_emb = _encode_split(trainer, state, dataset, batch_size)
-    corpus_emb = v_emb if corpus_side == "video" else t_emb
+    if corpus_emb_path is not None:
+        with np.load(corpus_emb_path, allow_pickle=False) as npz:
+            corpus_emb = np.asarray(npz[corpus_side], np.float32)
+            npz_ids = [str(i) for i in npz["ids"]] if "ids" in npz else []
+            npz_step = int(npz["step"]) if "step" in npz else None
+        embed_dim = getattr(
+            cfg.video_tower if corpus_side == "video" else cfg.text_tower,
+            "embed_dim",
+        )
+        if corpus_emb.ndim != 2 or corpus_emb.shape[1] != embed_dim:
+            raise SystemExit(
+                f"--corpus-emb {corpus_emb_path}: '{corpus_side}' has shape "
+                f"{corpus_emb.shape}, expected [rows, {embed_dim}] for this "
+                "config's towers"
+            )
+        if npz_step is not None and npz_step != int(state.step):
+            print(
+                f"warning: --corpus-emb was encoded at step {npz_step} but "
+                f"the restored checkpoint is step {int(state.step)} — the "
+                "index and the query tower may disagree",
+                file=sys.stderr,
+            )
+        if npz_ids:
+            ids = npz_ids  # row-aligned with the precomputed index
+        elif ids is not None and len(ids) != corpus_emb.shape[0]:
+            print(
+                f"warning: dropping the ids manifest ({len(ids)} entries) — "
+                f"--corpus-emb indexes {corpus_emb.shape[0]} rows (a "
+                "different split?) and carries no ids of its own",
+                file=sys.stderr,
+            )
+            ids = None
+    else:
+        v_emb, t_emb = _encode_split(trainer, state, dataset, batch_size)
+        corpus_emb = v_emb if corpus_side == "video" else t_emb
 
     service = RetrievalService(trainer, state, corpus_emb, corpus_side, ids)
     query_feats = getattr(
@@ -228,6 +269,12 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8777)
     ap.add_argument("--batch-size", type=int, default=None)
+    ap.add_argument(
+        "--corpus-emb",
+        default=None,
+        help=".npz from `eval --embeddings-output`: serve this precomputed "
+        "index instead of encoding the corpus at startup",
+    )
     ap.add_argument("--random-params", action="store_true")
     ap.add_argument("overrides", nargs="*")
     args = ap.parse_args(argv)
@@ -243,6 +290,7 @@ def main(argv: list[str] | None = None) -> int:
         args.corpus,
         batch_size=args.batch_size,
         random_params=args.random_params,
+        corpus_emb_path=args.corpus_emb,
     )
     httpd = ThreadingHTTPServer(
         (args.host, args.port), _make_handler(service)

@@ -320,3 +320,55 @@ def test_serve_cli_sigterm_graceful(tmp_path):
         watchdog.cancel()
         if proc.poll() is None:
             proc.kill()
+
+
+def test_eval_embeddings_export_and_precomputed_corpus(tmp_path):
+    """`eval --embeddings-output` → `serve --corpus-emb`: the precomputed
+    index serves results identical to the encode-at-startup service (the
+    startup encode is the dominant cost on large corpora — loading the
+    eval CLI's dump must not change a single retrieval)."""
+    from crossclr_tpu import eval as eval_cli
+    from crossclr_tpu.data import SyntheticPairs
+    from crossclr_tpu.utils.config import save_config
+
+    cfg = _tiny_cfg()
+    cfg_path = tmp_path / "cfg.json"
+    save_config(cfg, cfg_path)
+    emb_path = tmp_path / "emb.npz"
+    rc = eval_cli.main([
+        "--config", str(cfg_path), "--split", "all", "--random-params",
+        "--embeddings-output", str(emb_path),
+    ])
+    assert rc == 0
+
+    with np.load(emb_path) as npz:
+        assert npz["video"].shape == (48, 16)
+        assert npz["text"].shape == (48, 16)
+        assert int(npz["step"]) == 0
+        assert str(npz["split"]) == "all"
+
+    pre = build_service(
+        cfg, None, "video", random_params=True,
+        corpus_emb_path=str(emb_path),
+    )
+    ref = build_service(cfg, None, "video", random_params=True)
+    np.testing.assert_array_equal(
+        np.asarray(pre.corpus_emb), np.asarray(ref.corpus_emb)
+    )
+
+    queries = SyntheticPairs(
+        num_pairs=48, video_dim=24, text_dim=16, seed=0
+    ).text[:3]
+    assert pre.search(queries, k=4) == ref.search(queries, k=4)
+
+
+def test_precomputed_corpus_rejects_wrong_embed_dim(tmp_path):
+    """A dump whose embedding width does not match the config's towers is
+    a startup error, not a garbage index."""
+    bad = tmp_path / "bad.npz"
+    np.savez(bad, video=np.zeros((48, 8), np.float32), text=np.zeros((48, 8), np.float32))
+    with pytest.raises(SystemExit, match=r"expected \[rows, 16\]"):
+        build_service(
+            _tiny_cfg(), None, "video", random_params=True,
+            corpus_emb_path=str(bad),
+        )
