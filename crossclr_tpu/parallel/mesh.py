@@ -20,11 +20,28 @@ DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
 
+def _count_granules(devices, attr: str) -> int:
+    """Distinct DCN granules (TPU slices / processes) among ``devices``.
+
+    Off multi-slice hardware (CPU, single slice) the attribute is absent
+    or constant and this returns 1 — the hybrid layout degenerates away.
+    """
+    ids = set()
+    for d in devices:
+        try:
+            ids.add(getattr(d, attr))
+        except AttributeError:
+            return 1
+    return len(ids)
+
+
 def make_mesh(
     n_data: int | None = None,
     n_model: int = 1,
     *,
     devices: list | None = None,
+    dcn: int | str | None = "auto",
+    granule: str = "slice",
 ) -> Mesh:
     """Build a ``(data, model)`` mesh over the available devices.
 
@@ -32,6 +49,18 @@ def make_mesh(
     On a single chip this degenerates to a 1×1 mesh, so every code path
     (sharded train step, global-negative loss) runs unchanged from 1 chip
     to a pod slice.
+
+    Multi-slice pods (slices joined by DCN, not ICI): ``dcn="auto"``
+    detects the slice count from ``device.slice_index`` and lays the
+    devices out HIERARCHICALLY — the ``model`` axis (TP matmul
+    collectives, ring-attention ppermute: per-layer, latency-bound)
+    never leaves a slice's ICI; the ``data`` axis is slice-major, so
+    only its outer segments — the once-per-step gradient psum and the
+    global-negative all-gather — cross DCN.  The mesh still has the same
+    two axes, so every PartitionSpec in the trainer/loss is unchanged.
+    ``dcn=<int>`` forces a granule count; ``granule="process"`` uses
+    process boundaries instead of slice indices (CPU testing, or
+    platforms that don't set ``slice_index``).
     """
     if devices is None:
         devices = jax.devices()
@@ -42,7 +71,33 @@ def make_mesh(
         n_data = n_dev // n_model
     if n_data * n_model != n_dev:
         devices = devices[: n_data * n_model]
-    grid = np.asarray(devices).reshape(n_data, n_model)
+
+    attr = "slice_index" if granule == "slice" else "process_index"
+    n_granules = (
+        _count_granules(devices, attr) if dcn == "auto" else int(dcn or 1)
+    )
+    if n_granules > 1:
+        from jax.experimental import mesh_utils
+
+        if n_data % n_granules:
+            raise ValueError(
+                f"data axis {n_data} not divisible by {n_granules} DCN "
+                f"granules — global batch must split evenly across "
+                f"{attr} groups"
+            )
+        if n_data * n_model != len(devices):
+            raise ValueError(
+                "hybrid layout needs n_data * n_model == len(devices); "
+                f"got {n_data}x{n_model} over {len(devices)}"
+            )
+        grid = mesh_utils.create_hybrid_device_mesh(
+            (n_data // n_granules, n_model),
+            (n_granules, 1),
+            devices=devices,
+            process_is_granule=(granule == "process"),
+        )
+    else:
+        grid = np.asarray(devices).reshape(n_data, n_model)
     return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
 
 

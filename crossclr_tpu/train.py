@@ -57,6 +57,20 @@ def main(argv: list[str] | None = None) -> int:
         default=1,
         help="mesh model-axis size (tensor parallelism); data axis gets the rest",
     )
+    ap.add_argument(
+        "--mesh-dcn",
+        default="auto",
+        help="DCN granule count for multi-slice pods: 'auto' detects "
+        "slices from the devices, an integer forces it (model axis stays "
+        "inside a slice's ICI; only the data axis crosses DCN)",
+    )
+    ap.add_argument(
+        "--mesh-granule",
+        choices=("slice", "process"),
+        default="slice",
+        help="what counts as a DCN granule ('process' for platforms "
+        "without slice_index, and CPU multi-process tests)",
+    )
     ap.add_argument("--save-config", default=None, help="dump resolved config and exit")
     ap.add_argument(
         "--profile-dir",
@@ -109,7 +123,11 @@ def main(argv: list[str] | None = None) -> int:
 
     # -- mesh / trainer -----------------------------------------------------
     mesh = (
-        make_mesh(n_model=args.n_model)
+        make_mesh(
+            n_model=args.n_model,
+            dcn=args.mesh_dcn if args.mesh_dcn == "auto" else int(args.mesh_dcn),
+            granule=args.mesh_granule,
+        )
         if len(jax.devices()) > 1
         else None
     )

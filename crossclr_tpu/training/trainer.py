@@ -301,16 +301,36 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
     )
 
 
+def stitch_host_replicated(sharding, full: np.ndarray, global_shape):
+    """Globally-sharded array from a HOST-REPLICATED numpy batch.
+
+    Each addressable device receives exactly the global rows the sharding
+    assigns to it (``addressable_devices_indices_map``), so placement is
+    correct under ANY mesh device order — including hybrid multi-slice
+    layouts (``make_mesh(dcn=...)``) where a process's rows are neither
+    contiguous nor process-sorted.  Row identity matters here (eval
+    embeddings must line up with host-side ids), unlike the train stream,
+    where each host feeds its own shard and the global batch is an
+    unordered union (data/datasets.py prefetch path).
+    """
+    arrs = [
+        jax.device_put(full[idx], d)
+        for d, idx in sharding.addressable_devices_indices_map(
+            tuple(global_shape)
+        ).items()
+    ]
+    return jax.make_array_from_single_device_arrays(
+        tuple(global_shape), sharding, arrs
+    )
+
+
 def process_local_rows(
     n_rows: int, process_index: int, process_count: int
 ) -> tuple[int, int]:
     """Row block ``[start, stop)`` of a host-replicated batch owned by one
-    process under a leading-axis data sharding.
-
-    With ``make_mesh``'s device order (jax.devices() is sorted by process),
-    a ``P(DATA_AXIS)`` sharding assigns contiguous row blocks to processes
-    in process order; each host slices its block out of the (identical)
-    full batch it holds before stitching the global array.  Requires
+    process under a leading-axis data sharding over PROCESS-SORTED device
+    order (plain ``make_mesh``; hybrid meshes need
+    :func:`stitch_host_replicated` instead).  Requires
     ``n_rows % process_count == 0`` so blocks are equal-sized.
     """
     if n_rows % process_count:
@@ -798,22 +818,16 @@ class Trainer:
                     n = batch["video"].shape[0]
                     if n % n_data != 0:
                         return plain(params, batch)
-                    n_proc = jax.process_count()
-                    if n_proc > 1:
+                    if jax.process_count() > 1:
                         # host-local numpy cannot be consumed by a jit whose
-                        # in_sharding spans non-addressable devices: slice
-                        # this process's row block out of the (replicated)
-                        # host batch and stitch the global sharded array,
-                        # mirroring prefetch_to_device's train path
-                        if n % n_proc != 0:
-                            return plain(params, batch)
-                        start, stop = process_local_rows(
-                            n, jax.process_index(), n_proc
-                        )
+                        # in_sharding spans non-addressable devices: place
+                        # on each local device exactly the global rows the
+                        # sharding assigns it (correct under any device
+                        # order, incl. hybrid multi-slice meshes)
                         batch = {
-                            k: jax.make_array_from_process_local_data(
+                            k: stitch_host_replicated(
                                 batch_sharding,
-                                np.asarray(v)[start:stop],
+                                np.asarray(v),
                                 (n,) + tuple(v.shape[1:]),
                             )
                             for k, v in batch.items()

@@ -313,3 +313,104 @@ def test_global_cross_clr_fused_matches_single_device(rng):
             np.asarray(g_got), np.asarray(g_want), rtol=1e-4, atol=1e-6,
             err_msg=name,
         )
+
+
+# ---------------------------------------------------------------------------
+# hybrid (multi-slice / DCN) mesh layout + order-independent stitching
+
+
+def test_hybrid_mesh_layout_keeps_model_axis_inside_a_slice():
+    """`make_mesh(dcn=...)` must lay devices out so the model axis (TP /
+    ring collectives, per-layer latency-bound) never crosses a DCN
+    granule, and the data axis is granule-major (only its OUTER segments
+    cross DCN).  Verified on stub devices carrying `slice_index` — real
+    multi-slice hardware is not reachable here, but the layout logic is
+    the same `create_hybrid_device_mesh` call either way."""
+    from dataclasses import dataclass
+
+    from crossclr_tpu.parallel.mesh import make_mesh
+
+    @dataclass(frozen=True)
+    class Stub:
+        id: int
+        slice_index: int
+        process_index: int = 0
+        platform: str = "cpu"
+        device_kind: str = "cpu"
+
+    devs = [Stub(id=i, slice_index=i // 4) for i in range(8)]
+    mesh = make_mesh(n_model=2, devices=devs)  # dcn="auto" → 2 slices
+    assert mesh.devices.shape == (4, 2)
+    # every model-axis row lives inside one slice
+    for row in mesh.devices:
+        assert len({d.slice_index for d in row}) == 1
+    # data axis is slice-major: slice 0's rows first, then slice 1's
+    assert [row[0].slice_index for row in mesh.devices] == [0, 0, 1, 1]
+
+    # n_data not divisible by granules is a config error, not silent skew
+    with pytest.raises(ValueError, match="DCN granules"):
+        make_mesh(n_model=2, devices=devs, dcn=3)  # n_data=4, granules=3
+
+    # single slice (all slice_index equal) degenerates to the plain grid
+    flat = [Stub(id=i, slice_index=0) for i in range(8)]
+    plain = make_mesh(n_model=2, devices=flat)
+    assert [d.id for d in plain.devices[:, 0]] == [0, 2, 4, 6]
+
+
+@needs_multidevice
+def test_stitched_encode_is_correct_under_permuted_device_order(rng):
+    """Eval-encode stitching must place each global row on whatever device
+    the sharding says owns it — even when the mesh's device order is NOT
+    process/id-sorted (the situation hybrid multi-slice layouts create).
+    Build a deliberately shuffled mesh and check both the stitch helper's
+    round trip and that sharded Trainer.encode output matches the
+    unsharded tower output row for row."""
+    from crossclr_tpu.parallel.mesh import DATA_AXIS
+    from crossclr_tpu.training.trainer import stitch_host_replicated
+
+    perm = np.random.default_rng(3).permutation(8)
+    devices = [jax.devices()[i] for i in perm]
+    mesh = make_mesh(devices=devices)
+
+    full = np.asarray(rng.standard_normal((16, 6)), np.float32)
+    sharding = jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec(DATA_AXIS)
+    )
+    stitched = stitch_host_replicated(sharding, full, full.shape)
+    np.testing.assert_array_equal(np.asarray(stitched), full)
+
+    from crossclr_tpu.models import TowerConfig
+    from crossclr_tpu.training import TrainConfig, Trainer
+
+    cfgs = dict(
+        video_cfg=TowerConfig(
+            kind="mlp", input_dim=12, embed_dim=8, hidden_dim=16,
+            dtype=jnp.float32,
+        ),
+        text_cfg=TowerConfig(
+            kind="mlp", input_dim=10, embed_dim=8, hidden_dim=16,
+            dtype=jnp.float32,
+        ),
+    )
+    batch = {
+        "video": np.asarray(rng.standard_normal((16, 12)), np.float32),
+        "text": np.asarray(rng.standard_normal((16, 10)), np.float32),
+    }
+    sharded_tr = Trainer(
+        cfgs["video_cfg"], cfgs["text_cfg"], TrainConfig(), mesh=mesh
+    )
+    state = sharded_tr.init_state(batch["video"][:2], batch["text"][:2])
+    v_sharded, t_sharded = sharded_tr.encode(state, batch)
+
+    plain_tr = Trainer(
+        cfgs["video_cfg"], cfgs["text_cfg"], TrainConfig(), mesh=None
+    )
+    state_p = plain_tr.init_state(batch["video"][:2], batch["text"][:2])
+    v_plain, t_plain = plain_tr.encode(state_p, batch)
+
+    np.testing.assert_allclose(
+        np.asarray(v_sharded), np.asarray(v_plain), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(t_sharded), np.asarray(t_plain), rtol=1e-5, atol=1e-6
+    )

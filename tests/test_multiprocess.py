@@ -26,13 +26,13 @@ def _free_port() -> int:
     return port
 
 
-def _run_pair(port, workdir, steps, timeout=240):
+def _run_pair(port, workdir, steps, timeout=240, extra=()):
     env = dict(os.environ)
     env.pop("CROSSCLR_TESTS_BACKEND", None)  # worker forces CPU itself
     procs = [
         subprocess.Popen(
             [sys.executable, WORKER, str(rank), str(port), str(workdir),
-             "--steps", str(steps)],
+             "--steps", str(steps), *extra],
             cwd=REPO,
             stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT,
@@ -75,8 +75,15 @@ def test_two_process_train_eval_checkpoint_resume(tmp_path):
     assert sorted(p.name for p in (tmp_path / "ckpt").iterdir()) == ["2", "4"]
 
     # second 2-process run restores the step-4 state and continues the
-    # exact batch sequence to step 6
-    out0b, _ = _run_pair(_free_port(), tmp_path, steps=6)
+    # exact batch sequence to step 6 — on a HYBRID mesh (2 process
+    # granules): with process-sorted CPU devices the grid is identical to
+    # the plain one, so the restore stays valid while the hybrid
+    # construction + sharding-derived stitching run in a genuine
+    # multi-process runtime
+    out0b, _ = _run_pair(
+        _free_port(), tmp_path, steps=6,
+        extra=("--mesh-dcn", "2", "--mesh-granule", "process"),
+    )
     assert "resumed from step 4" in out0b
     # metrics log at 2-step dispatch-chunk granularity: step 6, not 5
     assert "step=6" in out0b

@@ -341,10 +341,13 @@ def test_logit_scale_clamped_without_gradient_latch():
 
 
 def test_encode_multiprocess_dispatch(monkeypatch):
-    """Under a mocked multi-process count the sharded eval encode must slice
-    this process's row block and stitch via make_array_from_process_local_data
-    (never feed host-local numpy to a global-sharding jit), and fall back to
-    the replicated path when rows don't divide (VERDICT r1 weak #4)."""
+    """Under a mocked multi-process count the sharded eval encode must
+    route every batch key through the sharding-derived stitch
+    (`stitch_host_replicated` — never feed host-local numpy to a
+    global-sharding jit), and fall back to the replicated path when rows
+    don't divide the data axis (VERDICT r1 weak #4).  The stitch itself
+    is verified for real — including permuted device orders — in
+    tests/test_distributed.py and the 2-process run."""
     from crossclr_tpu.parallel import make_mesh
     from crossclr_tpu.training import trainer as trainer_mod
 
@@ -363,22 +366,21 @@ def test_encode_multiprocess_dispatch(monkeypatch):
 
     captured = {}
 
-    def fake_stitch(sharding, local, global_shape):
-        captured[global_shape[1]] = (local.shape, tuple(global_shape))
-        raise _Stitched  # short-circuit: the real stitch needs real hosts
+    def fake_stitch(sharding, full, global_shape):
+        captured[global_shape[1]] = (full.shape, tuple(global_shape))
+        raise _Stitched  # short-circuit: placement needs only this probe
 
     monkeypatch.setattr(jax, "process_count", lambda: 4)
     monkeypatch.setattr(jax, "process_index", lambda: 1)
-    monkeypatch.setattr(
-        jax, "make_array_from_process_local_data", fake_stitch
-    )
+    monkeypatch.setattr(trainer_mod, "stitch_host_replicated", fake_stitch)
 
     with pytest.raises(_Stitched):
         tr.encode(state, {"video": data.video[:64], "text": data.text[:64]})
-    # process 1 of 4 owns rows [16, 32) of the 64-row batch
-    assert captured[16] == ((16, 16), (64, 16))
+    # the stitch receives the host-replicated FULL batch plus the global
+    # shape; the sharding's own device→rows map decides placement
+    assert captured[16] == ((64, 16), (64, 16))
 
-    # 60 rows: divisible by 4 processes but not by 8 mesh devices ->
+    # 60 rows: not divisible by the 8-device data axis ->
     # replicated plain path, no stitch attempted
     captured.clear()
     v, t = tr.encode(state, {"video": data.video[:60], "text": data.text[:60]})
