@@ -896,3 +896,64 @@ def test_embedding_chunk_transformer_dropout_deterministic():
     assert loss_a == loss_b
     for a, b in zip(jax.tree.leaves(st_a.params), jax.tree.leaves(st_b.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_checkpoint_restores_across_mesh_topologies(tmp_path):
+    """A checkpoint written under one mesh restores into a DIFFERENT
+    topology — dp=8 → dp=4×tp=2 (Megatron-sharded params/moments) and
+    dp=8 → single device.  Orbax reshards on load from the template's
+    shardings, so changing pod topology between runs is a restore, not a
+    retrain; the resumed step is numerically identical either way."""
+    from crossclr_tpu.data import SyntheticPairs, epoch_batches
+    from crossclr_tpu.parallel import data_sharding, make_mesh
+
+    data = SyntheticPairs(num_pairs=128, video_dim=48, text_dim=32, seed=0)
+    vc = TowerConfig(kind="mlp", input_dim=48, embed_dim=32, hidden_dim=64,
+                     dtype=jnp.float32)
+    tc = TowerConfig(kind="mlp", input_dim=32, embed_dim=32, hidden_dim=64,
+                     dtype=jnp.float32)
+    cfg = TrainConfig(total_steps=10, warmup_steps=2)
+    batches = list(epoch_batches(data, 32, shuffle=False))[:3]
+
+    def put(mesh, b):
+        if mesh is None:
+            return b
+        sh = data_sharding(mesh)
+        return {k: jax.device_put(jnp.asarray(v), sh) for k, v in b.items()}
+
+    mesh_a = make_mesh(n_data=8, n_model=1)
+    tr_a = Trainer(vc, tc, cfg, mesh=mesh_a)
+    st = tr_a.init_state(batches[0]["video"], batches[0]["text"])
+    for b in batches[:2]:
+        st, _ = tr_a.train_step(st, put(mesh_a, b))
+    mngr = CheckpointManager(tmp_path / "ckpt")
+    mngr.save(2, st, wait=True)
+    # the step after the checkpoint, still on topology A (train_step
+    # donates its input state, so this must come after the save)
+    _, m_a = tr_a.train_step(st, put(mesh_a, batches[2]))
+    mngr.close()
+
+    for n_data, n_model in ((4, 2), (1, 1)):
+        mesh_b = (
+            make_mesh(n_data=n_data, n_model=n_model)
+            if n_data * n_model > 1
+            else None
+        )
+        tr_b = Trainer(vc, tc, cfg, mesh=mesh_b)
+        template = tr_b.init_state(batches[0]["video"], batches[0]["text"])
+        if n_model > 1:  # template really is Megatron-sharded
+            assert "model" in str(
+                template.params["video_tower"]["fc1"]["kernel"].sharding.spec
+            )
+        st_b = CheckpointManager(tmp_path / "ckpt").restore(template)
+        assert int(st_b.step) == 2
+        if n_model > 1:  # restore kept the template's TP sharding
+            assert "model" in str(
+                st_b.params["video_tower"]["fc1"]["kernel"].sharding.spec
+            )
+        _, m_b = tr_b.train_step(st_b, put(mesh_b, batches[2]))
+        np.testing.assert_allclose(
+            float(m_b["loss"]), float(m_a["loss"]), rtol=1e-5,
+            err_msg=f"resume on dp={n_data},tp={n_model}",
+        )
