@@ -72,6 +72,8 @@ def make_mesh(
     if n_data * n_model != n_dev:
         devices = devices[: n_data * n_model]
 
+    if granule not in ("slice", "process"):
+        raise ValueError(f"granule must be 'slice' or 'process', got {granule!r}")
     attr = "slice_index" if granule == "slice" else "process_index"
     n_granules = (
         _count_granules(devices, attr) if dcn == "auto" else int(dcn or 1)

@@ -7,11 +7,14 @@ top-k dumps.  The reference ships no serving path (SURVEY.md §1: only
 the loss exists).
 
 Endpoints:
-  GET  /healthz   → {"status": "ok", "corpus_rows": N, ...}
+  GET  /healthz   → {"status": "ok", "corpus_rows": N, "step": S, ...}
   POST /search    → body {"features": [[...], ...], "k": 10}
                     raw QUERY-modality features ([B, D] pooled or
                     [B, S, D] sequences, optional "mask": [B, S]);
                     returns {"indices", "scores", "ids"?}
+  POST /reload    → body {"step": N?} — restore the latest (or given)
+                    checkpoint from the serving directory and re-derive
+                    the corpus index, without restarting the process
 
 Example:
   python -m crossclr_tpu.serve --config cfg.json --corpus video \\
@@ -49,8 +52,33 @@ class RetrievalService:
         self.corpus_side = corpus_side
         self.query_side = "text" if corpus_side == "video" else "video"
         self.ids = ids
+        self.step = int(state.step)
         self._lock = threading.Lock()
         self._search_jit = None
+
+    def reload(self, step: int | None = None) -> int:
+        """Swap in a newer (or specific) checkpoint without restarting.
+
+        Restores the state and re-derives the corpus index (re-encoded,
+        or kept as-is when the service was built on a precomputed
+        ``--corpus-emb`` dump), all under the device lock so in-flight
+        searches never see a half-swapped pair.  The jitted search path
+        is parameter-agnostic (params are a traced argument), so no
+        recompile happens.  Returns the restored step.
+        """
+        if self._reloader is None:
+            raise RuntimeError(
+                "service has no checkpoint directory to reload from "
+                "(started with --random-params?)"
+            )
+        with self._lock:
+            self.state, self.corpus_emb = self._reloader(self.state, step)
+            self.step = int(self.state.step)
+        return self.step
+
+    # set by build_service when a checkpoint directory exists:
+    # (current_state, step|None) -> (restored_state, corpus_emb)
+    _reloader = None
 
     def _search_fn(self):
         """ONE jitted dispatch and ONE host readback per request.
@@ -156,19 +184,30 @@ def _make_handler(service: RetrievalService):
                     "corpus_rows": int(service.corpus_emb.shape[0]),
                     "corpus_side": service.corpus_side,
                     "query_side": service.query_side,
+                    "step": service.step,
                 },
             )
 
         def do_POST(self):
-            if self.path != "/search":
-                return self._reply(404, {"error": "unknown path"})
             try:
                 length = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(length) or b"{}")
-                out = service.search(
-                    req["features"], req.get("mask"), req.get("k", 10)
-                )
-            except (KeyError, ValueError, TypeError) as e:
+                if self.path == "/search":
+                    out = service.search(
+                        req["features"], req.get("mask"), req.get("k", 10)
+                    )
+                elif self.path == "/reload":
+                    step = req.get("step")
+                    out = {
+                        "status": "ok",
+                        "step": service.reload(
+                            None if step is None else int(step)
+                        ),
+                    }
+                else:
+                    return self._reply(404, {"error": "unknown path"})
+            except (KeyError, ValueError, TypeError, RuntimeError,
+                    FileNotFoundError) as e:
                 return self._reply(400, {"error": f"{type(e).__name__}: {e}"})
             self._reply(200, out)
 
@@ -201,13 +240,15 @@ def build_service(cfg, checkpoint_dir: str | None, corpus_side: str,
     batch_size = min(batch_size or cfg.data.batch_size, len(dataset))
     first = next(epoch_batches(dataset, batch_size, shuffle=False))
     state = trainer.init_state(first["video"], first["text"])
+    mngr = None
     if not random_params:
         if not checkpoint_dir:
             raise SystemExit(
                 "no checkpoint: pass --checkpoint-dir / set it in the "
                 "config, or use --random-params"
             )
-        state = CheckpointManager(checkpoint_dir).restore(state)
+        mngr = CheckpointManager(checkpoint_dir)
+        state = mngr.restore(state)
 
     if corpus_emb_path is not None:
         with np.load(corpus_emb_path, allow_pickle=False) as npz:
@@ -250,6 +291,28 @@ def build_service(cfg, checkpoint_dir: str | None, corpus_side: str,
         dataset, "text" if corpus_side == "video" else "video"
     )
     service._query_ndim = np.asarray(query_feats).ndim
+
+    if mngr is not None:
+        def _reloader(cur_state, step):
+            # a FRESH manager per reload: the point of /reload is picking
+            # up checkpoints a separate training job wrote after startup,
+            # which the build-time manager's step cache never saw.  The
+            # current state doubles as the restore template (structure
+            # and shardings are by construction correct).
+            fresh = CheckpointManager(checkpoint_dir)
+            try:
+                new_state = fresh.restore(cur_state, step=step)
+            finally:
+                fresh.close()
+            if corpus_emb_path is not None:
+                # precomputed index: keep it; only the query tower moves
+                return new_state, service.corpus_emb
+            v, t = _encode_split(trainer, new_state, dataset, batch_size)
+            return new_state, jnp.asarray(
+                v if corpus_side == "video" else t
+            )
+
+        service._reloader = _reloader
     return service
 
 

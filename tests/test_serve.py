@@ -61,7 +61,7 @@ def test_healthz(server):
     assert resp.status == 200
     assert body == {
         "status": "ok", "corpus_rows": 48,
-        "corpus_side": "video", "query_side": "text",
+        "corpus_side": "video", "query_side": "text", "step": 0,
     }
 
 
@@ -372,3 +372,74 @@ def test_precomputed_corpus_rejects_wrong_embed_dim(tmp_path):
             _tiny_cfg(), None, "video", random_params=True,
             corpus_emb_path=str(bad),
         )
+
+
+def test_reload_picks_up_checkpoints_written_after_startup(tmp_path):
+    """POST /reload restores a checkpoint a separate training job wrote
+    AFTER the service started — queries reflect the new tower, the
+    corpus index is re-encoded, and healthz reports the new step.  A
+    service without a checkpoint directory refuses (400)."""
+    from crossclr_tpu.data import SyntheticPairs, dataset_from_config, epoch_batches
+    from crossclr_tpu.training import CheckpointManager, Trainer
+
+    cfg = _tiny_cfg()
+    dataset, _ = dataset_from_config(cfg.data)
+    trainer = Trainer(cfg.video_tower, cfg.text_tower, cfg.train, mesh=None)
+    first = next(epoch_batches(dataset, 16, shuffle=False))
+    state = trainer.init_state(first["video"], first["text"])
+
+    ckpt = tmp_path / "ckpt"
+    mngr = CheckpointManager(ckpt)
+    mngr.save(0, state, wait=True)
+    mngr.close()
+
+    service = build_service(cfg, str(ckpt), "video")
+    assert service.step == 0
+    queries = SyntheticPairs(
+        num_pairs=48, video_dim=24, text_dim=16, seed=0
+    ).text[:2]
+    before = service.search(queries, k=3)
+
+    # a "training job" advances the checkpoint after the service is up
+    for _ in range(3):
+        state, _ = trainer.train_step(state, first)
+    mngr = CheckpointManager(ckpt)
+    mngr.save(3, state, wait=True)
+    mngr.close()
+
+    assert service.reload() == 3
+    assert service.step == 3
+    after = service.search(queries, k=3)
+    assert before["scores"] != after["scores"]  # new tower, new index
+
+    # the reloaded service == a service built fresh at step 3
+    fresh = build_service(cfg, str(ckpt), "video")
+    np.testing.assert_array_equal(
+        np.asarray(service.corpus_emb), np.asarray(fresh.corpus_emb)
+    )
+    assert fresh.search(queries, k=3) == after
+
+    # explicit step goes backward too
+    assert service.reload(step=0) == 0
+    assert service.search(queries, k=3) == before
+
+    # no checkpoint dir -> no reload
+    none_svc = build_service(cfg, None, "video", random_params=True)
+    with pytest.raises(RuntimeError, match="no checkpoint directory"):
+        none_svc.reload()
+
+
+def test_reload_endpoint_over_http(server):
+    """The HTTP surface: /reload on a --random-params service is a clean
+    400, and healthz carries the step field."""
+    _, url = server
+    req = urllib.request.Request(
+        url + "/reload", data=b"{}",
+        headers={"Content-Type": "application/json"}, method="POST",
+    )
+    try:
+        urllib.request.urlopen(req)
+        raise AssertionError("expected HTTP 400")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+        assert "no checkpoint directory" in json.loads(e.read())["error"]
