@@ -5,6 +5,8 @@ from .retrieval import (
     rank_of_ground_truth,
     retrieval_metrics,
     retrieve_topk,
+    shard_corpus,
+    sharded_retrieve_topk,
     similarity_matrix,
 )
 
@@ -13,5 +15,7 @@ __all__ = [
     "rank_of_ground_truth",
     "retrieval_metrics",
     "retrieve_topk",
+    "shard_corpus",
+    "sharded_retrieve_topk",
     "similarity_matrix",
 ]

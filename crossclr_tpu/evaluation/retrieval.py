@@ -21,6 +21,8 @@ __all__ = [
     "similarity_matrix",
     "rank_of_ground_truth",
     "retrieve_topk",
+    "shard_corpus",
+    "sharded_retrieve_topk",
     "encode_corpus",
 ]
 
@@ -169,6 +171,116 @@ def retrieve_topk(
     scores = scores.reshape(-1, k)[:nq]
     idx = idx.reshape(-1, k)[:nq]
     return scores, idx
+
+
+def shard_corpus(corpus_emb: jax.Array, mesh) -> jax.Array:
+    """Place a corpus row-sharded over the mesh's data axis.
+
+    Rows are zero-padded to a multiple of the axis size so every device
+    holds the same block shape (a jit/shard_map requirement); the padded
+    rows are provably inert in :func:`sharded_retrieve_topk` (their
+    global index ≥ the real row count masks their scores to −inf before
+    any top-k sees them).  Per-device HBM holds ``rows/n_dev`` of the
+    index — the point when one chip cannot hold the corpus.
+    """
+    from jax.sharding import NamedSharding
+
+    from ..parallel.mesh import DATA_AXIS
+
+    n_dev = mesh.shape[DATA_AXIS]
+    pad = (-corpus_emb.shape[0]) % n_dev
+    if pad:
+        corpus_emb = jnp.pad(corpus_emb, ((0, pad), (0, 0)))
+    return jax.device_put(
+        corpus_emb, NamedSharding(mesh, jax.sharding.PartitionSpec(DATA_AXIS))
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_topk_fn(mesh, k: int, n_real: int):
+    """Build (and cache) the jitted sharded top-k for one (mesh, k, N)."""
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.mesh import DATA_AXIS
+
+    n_dev = mesh.shape[DATA_AXIS]
+
+    def local(q, c_loc):
+        rows_per = c_loc.shape[0]
+        # exactness: the true global top-k can contain at most
+        # min(k, rows_per) entries from any one shard, which is exactly
+        # the local cut — merging per-shard top-k_loc loses nothing
+        k_loc = min(k, rows_per)
+        i = jax.lax.axis_index(DATA_AXIS)
+        qn = l2_normalize(q.astype(jnp.float32), axis=1)
+        cn = l2_normalize(c_loc.astype(jnp.float32), axis=1)
+        sim = jnp.matmul(qn, cn.T, precision=jax.lax.Precision.HIGHEST)
+        gidx = i * rows_per + jnp.arange(rows_per)
+        sim = jnp.where(gidx[None, :] < n_real, sim, -jnp.inf)
+        s_loc, i_loc = jax.lax.top_k(sim, k_loc)
+        g_loc = jnp.take(gidx, i_loc)
+        # comm is O(k) per device, not O(rows_per): gather only the
+        # local winners, then re-rank the n_dev*k_loc candidates
+        s_all = jax.lax.all_gather(s_loc, DATA_AXIS)  # [n_dev, Nq, k_loc]
+        g_all = jax.lax.all_gather(g_loc, DATA_AXIS)
+        nq = q.shape[0]
+        s_all = jnp.moveaxis(s_all, 0, 1).reshape(nq, n_dev * k_loc)
+        g_all = jnp.moveaxis(g_all, 0, 1).reshape(nq, n_dev * k_loc)
+        # merged order is (device, local rank): exact ties resolve to
+        # the lowest global index, same as the dense lax.top_k
+        s, j = jax.lax.top_k(s_all, k)
+        return s, jnp.take_along_axis(g_all, j, axis=1).astype(jnp.int32)
+
+    # check_vma=False: the outputs ARE replicated (they come off an
+    # all_gather over the only varying axis) but the vma inference can't
+    # prove it through axis_index arithmetic — same situation as the
+    # fused global-loss shard_map (parallel/global_loss.py)
+    return jax.jit(
+        jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(), P(DATA_AXIS)),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+    )
+
+
+def sharded_retrieve_topk(
+    query_emb: jax.Array,
+    corpus_emb: jax.Array,
+    *,
+    k: int = 10,
+    mesh=None,
+    n_real: int | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """:func:`retrieve_topk` over a corpus row-sharded across the mesh.
+
+    ``n_real``: the true row count when ``corpus_emb`` carries
+    :func:`shard_corpus` padding (defaults to the array's row count).
+
+    ``corpus_emb``: ideally already placed by :func:`shard_corpus` (it is
+    re-placed here if not — pass it pre-sharded to avoid a reshard each
+    call).  Each device scores queries against only ITS corpus rows and
+    keeps a local top-k; the merge all-gathers O(k) winners per device —
+    never the [Nq, Nc] scores — and re-ranks.  Equivalent to
+    :func:`retrieve_topk` on the unsharded corpus up to matmul
+    reduction-order noise in the scores (exact ties resolve to the
+    lowest global index in both).  Queries are replicated (the serving
+    case: small Nq, huge Nc).
+    """
+    if mesh is None:
+        return retrieve_topk(query_emb, corpus_emb, k=k)
+    from ..parallel.mesh import DATA_AXIS
+
+    n_dev = mesh.shape[DATA_AXIS]
+    if n_real is None:
+        n_real = int(corpus_emb.shape[0])
+    if corpus_emb.shape[0] % n_dev:
+        # not yet padded/sharded (shard_corpus pads): do it now
+        corpus_emb = shard_corpus(corpus_emb, mesh)
+    k = min(k, n_real)
+    return _sharded_topk_fn(mesh, k, n_real)(query_emb, corpus_emb)
 
 
 def encode_corpus(encode_fn, batches, *, side: str = "video") -> jax.Array:

@@ -434,6 +434,31 @@ def mha_reference(q, k, v, mask=None, *, scale=None):
     return out.astype(q.dtype)
 
 
+def fold_heads(q, k, v, mask):
+    """Fold ``[B,H,S,Dh]`` → the flash-kernel layout ``[BH,S,Dh_pad]``
+    (head dim zero-padded to the 128 lane width — zero columns are inert
+    in both the scores and the value aggregation) and the optional
+    ``[B,S]`` key mask → ``[BH,1,S]`` fp32 rows (head-repeated, b-major
+    like the fold).  The single source of the kernel layout contract,
+    shared by :func:`flash_attention` and the ring-of-flash path in
+    ``parallel.ring_attention``."""
+    b, h, s, dh = q.shape
+    pad = (-dh) % 128
+
+    def f(x):
+        x = x.reshape(b * h, s, dh)
+        return jnp.pad(x, ((0, 0), (0, 0), (0, pad))) if pad else x
+
+    mask_row = (
+        None
+        if mask is None
+        else jnp.repeat(mask.astype(jnp.float32), h, axis=0).reshape(
+            b * h, 1, s
+        )
+    )
+    return f(q), f(k), f(v), mask_row
+
+
 def flash_attention(
     q: jax.Array,
     k: jax.Array,
@@ -461,26 +486,10 @@ def flash_attention(
     if not use_pallas or blocks is None:
         return mha_reference(q, k, v, mask, scale=scale)
     bq, bk = blocks
-    fold = lambda x: x.reshape(b * h, s, x.shape[-1])  # noqa: E731
-    # [BH, 1, S] fp32 key mask; b-major fold order matches jnp.repeat
-    mask_row = (
-        None
-        if mask is None
-        else jnp.repeat(mask.astype(jnp.float32), h, axis=0).reshape(
-            b * h, 1, s
-        )
-    )
-    # pad head dim to the 128 lane width (zero columns are inert in both
-    # the scores and the value aggregation)
-    pad = (-dh) % 128
-    qf, kf, vf = fold(q), fold(k), fold(v)
-    if pad:
-        qf = jnp.pad(qf, ((0, 0), (0, 0), (0, pad)))
-        kf = jnp.pad(kf, ((0, 0), (0, 0), (0, pad)))
-        vf = jnp.pad(vf, ((0, 0), (0, 0), (0, pad)))
+    qf, kf, vf, mask_row = fold_heads(q, k, v, mask)
     out = _flash(
         qf, kf, vf, mask_row, float(scale), bq, bk, interpret, precision
     )
-    if pad:
+    if (-dh) % 128:
         out = out[:, :, :dh]
     return out.reshape(b, h, s, dh)

@@ -455,6 +455,35 @@ def _lane_block_ok(t: int, b: int) -> bool:
     return t % _LANE == 0 or t == b
 
 
+def check_explicit_tiles(
+    tiles: tuple[int, int], rows: int, cols: int, interpret: bool
+) -> None:
+    """Validate sweep-supplied (row, col) tiles — shared by every kernel
+    entry point that accepts an explicit ``tiles`` override.
+
+    Auto-picked tiles satisfy both rules by construction (_pick_tiles
+    filters with _lane_block_ok); explicit tiles must be checked here, or
+    the grid silently drops rows / Mosaic fails deep in compilation with
+    an opaque layout error on the (1, t) lane-vector blocks.  The
+    interpreter has no lane-layout constraint, so tiny test tiles stay
+    allowed there (divisibility still holds).
+    """
+    tb, tc = tiles
+    if rows % tb or cols % tc:
+        raise ValueError(
+            f"tiles {tiles} do not divide [{rows}] rows x [{cols}] "
+            "candidates: the grid would silently drop rows/columns"
+        )
+    if not interpret and not (
+        _lane_block_ok(tb, rows) and _lane_block_ok(tc, cols)
+    ):
+        raise ValueError(
+            f"tiles {tiles} violate the Mosaic lane-vector rule for "
+            f"[{rows}] rows x [{cols}] candidates: each tile must be a "
+            f"multiple of {_LANE} or cover its whole axis"
+        )
+
+
 def _pick_tiles(b: int, d: int) -> tuple[int, int] | None:
     """Choose (row, col) tile sizes; None means the shape is unsupported.
 

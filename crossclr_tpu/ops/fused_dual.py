@@ -62,6 +62,7 @@ from .fused_crossclr import (
     _pick_tiles,
     _resolve_precision,
     _tier_name,
+    check_explicit_tiles,
 )
 
 # the PRUNED (full-CrossCLR) variant's "excluded candidate" logit —
@@ -730,24 +731,10 @@ def dual_lse_pair(
         and precision in (None, "highest", "default", "bf16")
         and sym_supported(b, d, scale, negative_weight)
     )
-    if b % tb or b % tc:
-        raise ValueError(
-            f"tiles {tiles} do not divide batch {b}: the grid would "
-            "silently drop rows/columns"
-        )
-    if (
-        explicit_tiles
-        and not interpret  # the interpreter has no lane-layout constraint
-        and not (_lane_block_ok(tb, b) and _lane_block_ok(tc, b))
-    ):
-        # auto-picked tiles already satisfy this; explicit (sweep) tiles
-        # must too, or Mosaic fails deep in compilation with an opaque
-        # layout error on the (1, t) lane-vector blocks
-        raise ValueError(
-            f"tiles {tiles} violate the Mosaic lane-vector rule for "
-            f"batch {b}: each tile must be a multiple of {_LANE} or "
-            "cover the whole batch"
-        )
+    # auto-picked tiles satisfy both rules by construction; this guards
+    # explicit (sweep) tiles — divisibility AND the Mosaic lane-vector
+    # rule (validator shared with every other kernel entry point)
+    check_explicit_tiles((tb, tc), b, b, interpret)
     v_norm, t_norm = _pad_lanes(v_norm, t_norm)
     # bf16 operand fetch for the one-pass tiers happens INSIDE the vjp
     # boundary (_fetch_cast in the fwd/bwd wrappers): it is value-identical

@@ -35,15 +35,16 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .fused_crossclr import (
-    _LANE,
     _NEG_INF,
     _dot,
     _dot_nt,
     _fetch_cast,
+    _lane_pad,
     _pad_lanes,
     _pick_tiles,
     _resolve_precision,
     _tier_name,
+    check_explicit_tiles,
 )
 
 __all__ = ["cross_clr_fused", "fused_lse_rows", "rows_supported"]
@@ -532,25 +533,7 @@ def fused_lse_rows(
         tiles_c = tiles_c or ((small_c[0], small_c[0]) if small_c else None)
     if tiles is not None:
         tb, tc = tiles
-        if bl % tb or bg % tc:
-            raise ValueError(
-                f"tiles {tiles} do not divide [{bl}] rows x [{bg}] candidates"
-            )
-        from .fused_crossclr import _lane_block_ok
-
-        if not interpret and not (
-            _lane_block_ok(tb, bl) and _lane_block_ok(tc, bg)
-        ):
-            # auto-picked tiles already satisfy this; explicit (sweep)
-            # tiles must too, or the (1, t) lane-vector blocks fail deep
-            # in Mosaic compilation with an opaque layout error (the
-            # interpreter has no lane-layout constraint, so tiny test
-            # tiles stay allowed there)
-            raise ValueError(
-                f"tiles {tiles} violate the Mosaic lane-vector rule for "
-                f"[{bl}] rows x [{bg}] candidates: each tile must be a "
-                f"multiple of {_LANE} or cover its whole axis"
-            )
+        check_explicit_tiles(tiles, bl, bg, interpret)
     else:
         if tiles_r is None or tiles_c is None:
             raise ValueError(
@@ -563,8 +546,11 @@ def fused_lse_rows(
             # than (512, 2048) at HIGHEST — the 3-pass fp32 dots want the
             # deeper pipeline of smaller tiles; DEFAULT prefers the wide
             # tiles' fewer grid steps (21.8 vs 24.8 ms) and keeps them
-            if bl % 256 == 0 and bg % 1024 == 0 and 1024 * max(
-                d, _LANE
+            # budget against the LANE-PADDED feature dim — the kernel
+            # allocates d_pad-wide blocks, not d-wide (same
+            # predicate-vs-allocation rule as _pick_tiles)
+            if bl % 256 == 0 and bg % 1024 == 0 and 1024 * _lane_pad(
+                max(d, 1)
             ) * 4 * 6 < 64 * 1024 * 1024:
                 tb, tc = 256, 1024
     anchor_rows, anchor_all, other_all = _pad_lanes(

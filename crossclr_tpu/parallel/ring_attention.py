@@ -112,27 +112,6 @@ def _grad_block(qf, do, delta, lse, k_blk, v_blk, mask_blk, scale,
 # ---------------------------------------------------------------------------
 
 
-def _flash_fold(q, k, v, mask):
-    """Fold ``[B,H,s,Dh]`` → the flash kernel layout ``[BH,s,Dh_pad]``
-    (head dim zero-padded to the 128 lane width) and the key mask →
-    ``[BH,1,s]`` fp32 rows (head-repeated, b-major like the fold)."""
-    b, h, s, dh = q.shape
-    pad = (-dh) % 128
-
-    def f(x):
-        x = x.reshape(b * h, s, dh)
-        return jnp.pad(x, ((0, 0), (0, 0), (0, pad))) if pad else x
-
-    mask_row = (
-        None
-        if mask is None
-        else jnp.repeat(mask.astype(jnp.float32), h, axis=0).reshape(
-            b * h, 1, s
-        )
-    )
-    return f(q), f(k), f(v), mask_row
-
-
 def _merge_partials(o, lse, o_blk, lse_blk):
     """Merge two partial attention results over DISJOINT key sets.
 
@@ -149,12 +128,12 @@ def _merge_partials(o, lse, o_blk, lse_blk):
 
 
 def _ring_fwd_flash(q, k, v, mask, axis, scale, interpret, precision):
-    from ..ops.flash_attention import _flash_fwd, _pick_blocks
+    from ..ops.flash_attention import _flash_fwd, _pick_blocks, fold_heads
 
     bq, bk = _pick_blocks(q.shape[2])
     n_dev = jax.lax.psum(1, axis)
     perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
-    qf, kf, vf, mrow = _flash_fold(q, k, v, mask)
+    qf, kf, vf, mrow = fold_heads(q, k, v, mask)
 
     o_blk, lse = _flash_fwd(qf, kf, vf, mrow, scale, bq, bk, interpret,
                             precision)
@@ -178,14 +157,14 @@ def _ring_fwd_flash(q, k, v, mask, axis, scale, interpret, precision):
 
 def _ring_bwd_flash(q, k, v, mask, o_fold, lse, dout, axis, scale,
                     interpret, precision):
-    from ..ops.flash_attention import _flash_bwd, _pick_blocks
+    from ..ops.flash_attention import _flash_bwd, _pick_blocks, fold_heads
 
     b, h, s, dh = q.shape
     bq, bk = _pick_blocks(s)
     n_dev = jax.lax.psum(1, axis)
     perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
-    qf, kf, vf, mrow = _flash_fold(q, k, v, mask)
-    do = _flash_fold(dout, dout, dout, None)[0]  # fold+pad dout alone
+    qf, kf, vf, mrow = fold_heads(q, k, v, mask)
+    do = fold_heads(dout, dout, dout, None)[0]  # fold+pad dout alone
 
     # with the GLOBAL (out, lse) the flash backward's p = exp(s − lse) is
     # the globally-normalized probability restricted to this block, so

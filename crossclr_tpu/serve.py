@@ -45,14 +45,28 @@ class RetrievalService:
     """
 
     def __init__(self, trainer, state, corpus_emb, corpus_side: str,
-                 ids: list[str] | None = None):
+                 ids: list[str] | None = None,
+                 index_step: int | None = None,
+                 mesh=None):
         self.trainer = trainer
         self.state = state
-        self.corpus_emb = jnp.asarray(corpus_emb)
+        # real row count BEFORE any shard padding — clamps k, sizes the
+        # k=0 contract, and is what healthz reports
+        self.corpus_rows = int(jnp.shape(corpus_emb)[0])
+        # mesh set => the index is row-sharded over the data axis
+        # (per-device HBM holds rows/n_dev; search merges O(k) winners
+        # per device — evaluation.sharded_retrieve_topk)
+        self.mesh = mesh
+        self.corpus_emb = self._place_corpus(corpus_emb)
         self.corpus_side = corpus_side
         self.query_side = "text" if corpus_side == "video" else "video"
         self.ids = ids
         self.step = int(state.step)
+        # which checkpoint step the corpus index was ENCODED at (None =
+        # unknown, e.g. a --corpus-emb dump without a recorded step).
+        # When it trails self.step the index and query tower disagree —
+        # surfaced in /healthz and in every /reload response.
+        self.index_step = index_step
         self._lock = threading.Lock()
         self._search_jit = None
 
@@ -72,12 +86,48 @@ class RetrievalService:
                 "(started with --random-params?)"
             )
         with self._lock:
-            self.state, self.corpus_emb = self._reloader(self.state, step)
+            new_state, corpus, self.index_step = self._reloader(
+                self.state, step
+            )
+            self.state = new_state
+            if corpus is not self.corpus_emb:
+                # re-encoded index; a kept precomputed index (identity)
+                # is already placed and its row count unchanged
+                if int(jnp.shape(corpus)[0]) != self.corpus_rows:
+                    # sharded search bakes the real row count in as the
+                    # padding mask bound — rebuild on a row-count change
+                    self._search_jit = None
+                self.corpus_rows = int(jnp.shape(corpus)[0])
+                self.corpus_emb = self._place_corpus(corpus)
             self.step = int(self.state.step)
+        if self.index_stale:
+            print(
+                f"warning: /reload restored step {self.step} but the "
+                f"precomputed corpus index is from step {self.index_step} "
+                "— re-run `eval --embeddings-output` (or serve without "
+                "--corpus-emb) to refresh the index",
+                file=sys.stderr,
+            )
         return self.step
 
+    @property
+    def index_stale(self) -> bool:
+        """True when the corpus index provably predates the query tower."""
+        return self.index_step is not None and self.index_step != self.step
+
+    def _place_corpus(self, corpus_emb) -> jax.Array:
+        """Device placement for the index: single-device, or row-sharded
+        over the mesh's data axis (zero-padded to the axis size by
+        shard_corpus; search masks padded rows by global index)."""
+        corpus_emb = jnp.asarray(corpus_emb)
+        if self.mesh is None:
+            return corpus_emb
+        from .evaluation import shard_corpus
+
+        return shard_corpus(corpus_emb, self.mesh)
+
     # set by build_service when a checkpoint directory exists:
-    # (current_state, step|None) -> (restored_state, corpus_emb)
+    # (current_state, step|None) -> (restored_state, corpus_emb, index_step)
     _reloader = None
 
     def _search_fn(self):
@@ -93,16 +143,24 @@ class RetrievalService:
         if self._search_jit is None:
             import functools
 
-            from .evaluation import retrieve_topk
+            from .evaluation import retrieve_topk, sharded_retrieve_topk
 
             # the single source of the tower-apply contract — shared with
             # Trainer.encode_modality so the two paths cannot drift
             encode = self.trainer.encode_modality_raw(self.query_side)
+            mesh, n_real = self.mesh, self.corpus_rows
 
             @functools.partial(jax.jit, static_argnames=("k",))
             def fn(params, corpus, features, mask, *, k):
                 q = encode(params, features, mask)
-                scores, idx = retrieve_topk(q, corpus, k=k)
+                if mesh is not None:
+                    # row-sharded index: local top-k per device, O(k)
+                    # merge — equivalent to the dense path
+                    scores, idx = sharded_retrieve_topk(
+                        q, corpus, k=k, mesh=mesh, n_real=n_real
+                    )
+                else:
+                    scores, idx = retrieve_topk(q, corpus, k=k)
                 packed_idx = jax.lax.bitcast_convert_type(idx, jnp.float32)
                 return jnp.concatenate([scores, packed_idx], axis=1)
 
@@ -117,7 +175,7 @@ class RetrievalService:
             mask = np.asarray(mask, np.float32)
             if mask.ndim == 1:
                 mask = mask[None]
-        n_rows = int(self.corpus_emb.shape[0])
+        n_rows = self.corpus_rows
         k = int(min(k, n_rows))  # retrieve_topk clamps too
         if k <= 0:
             # preserve the k=0 contract (empty per-query result lists)
@@ -177,26 +235,42 @@ def _make_handler(service: RetrievalService):
         def do_GET(self):
             if self.path != "/healthz":
                 return self._reply(404, {"error": "unknown path"})
-            self._reply(
-                200,
-                {
-                    "status": "ok",
-                    "corpus_rows": int(service.corpus_emb.shape[0]),
-                    "corpus_side": service.corpus_side,
-                    "query_side": service.query_side,
-                    "step": service.step,
-                },
-            )
+            health = {
+                "status": "ok",
+                "corpus_rows": service.corpus_rows,
+                "corpus_side": service.corpus_side,
+                "query_side": service.query_side,
+                "step": service.step,
+            }
+            if service.index_step is not None:
+                health["index_step"] = service.index_step
+            if service.index_stale:
+                health["index_stale"] = True
+            self._reply(200, health)
 
         def do_POST(self):
             try:
                 length = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(length) or b"{}")
-                if self.path == "/search":
-                    out = service.search(
-                        req["features"], req.get("mask"), req.get("k", 10)
-                    )
-                elif self.path == "/reload":
+            except (ValueError, TypeError) as e:
+                return self._reply(400, {"error": f"{type(e).__name__}: {e}"})
+            # per-path client-error classes: a device/runtime failure on
+            # the /search hot path (XlaRuntimeError subclasses
+            # RuntimeError) must surface as a 500 server fault, not a 400;
+            # /reload's RuntimeError/FileNotFoundError ARE request errors
+            # (no checkpoint dir, nonexistent step).
+            if self.path == "/search":
+                client_errors = (KeyError, ValueError, TypeError)
+                run = lambda: service.search(  # noqa: E731
+                    req["features"], req.get("mask"), req.get("k", 10)
+                )
+            elif self.path == "/reload":
+                client_errors = (
+                    KeyError, ValueError, TypeError, RuntimeError,
+                    FileNotFoundError,
+                )
+
+                def run():
                     step = req.get("step")
                     out = {
                         "status": "ok",
@@ -204,11 +278,24 @@ def _make_handler(service: RetrievalService):
                             None if step is None else int(step)
                         ),
                     }
-                else:
-                    return self._reply(404, {"error": "unknown path"})
-            except (KeyError, ValueError, TypeError, RuntimeError,
-                    FileNotFoundError) as e:
+                    if service.index_step is not None:
+                        out["index_step"] = service.index_step
+                    if service.index_stale:
+                        out["warning"] = (
+                            "corpus index was encoded at step "
+                            f"{service.index_step}; queries now use the "
+                            f"step-{service.step} tower — refresh the "
+                            "--corpus-emb dump"
+                        )
+                    return out
+            else:
+                return self._reply(404, {"error": "unknown path"})
+            try:
+                out = run()
+            except client_errors as e:
                 return self._reply(400, {"error": f"{type(e).__name__}: {e}"})
+            except Exception as e:  # noqa: BLE001 — device/runtime fault
+                return self._reply(500, {"error": f"{type(e).__name__}: {e}"})
             self._reply(200, out)
 
     return Handler
@@ -217,7 +304,8 @@ def _make_handler(service: RetrievalService):
 def build_service(cfg, checkpoint_dir: str | None, corpus_side: str,
                   batch_size: int | None = None,
                   random_params: bool = False,
-                  corpus_emb_path: str | None = None) -> RetrievalService:
+                  corpus_emb_path: str | None = None,
+                  shard_corpus: bool = False) -> RetrievalService:
     """Construct the service: dataset → trainer → restore → encode corpus.
 
     ``corpus_emb_path``: an ``.npz`` written by
@@ -225,6 +313,12 @@ def build_service(cfg, checkpoint_dir: str | None, corpus_side: str,
     instead of re-encoding every row through the tower at startup (the
     dominant startup cost on large corpora; the query tower still comes
     from the checkpoint).
+
+    ``shard_corpus``: row-shard the index over the device mesh's data
+    axis — each device holds ``rows/n_dev`` and search merges O(k) local
+    winners per device, so the servable corpus scales with the slice
+    instead of one chip's HBM.  Results are bit-identical to the
+    single-device path.  Requires >1 device.
     """
     from .data import dataset_from_config, epoch_batches
     from .eval import _encode_split
@@ -236,6 +330,8 @@ def build_service(cfg, checkpoint_dir: str | None, corpus_side: str,
     dataset, ids = dataset_from_config(cfg.data)
 
     mesh = make_mesh() if len(jax.devices()) > 1 else None
+    if shard_corpus and mesh is None:
+        raise SystemExit("--shard-corpus needs more than one device")
     trainer = Trainer(cfg.video_tower, cfg.text_tower, cfg.train, mesh=mesh)
     batch_size = min(batch_size or cfg.data.batch_size, len(dataset))
     first = next(epoch_batches(dataset, batch_size, shuffle=False))
@@ -282,11 +378,16 @@ def build_service(cfg, checkpoint_dir: str | None, corpus_side: str,
                 file=sys.stderr,
             )
             ids = None
+        index_step = npz_step
     else:
         v_emb, t_emb = _encode_split(trainer, state, dataset, batch_size)
         corpus_emb = v_emb if corpus_side == "video" else t_emb
+        index_step = int(state.step)
 
-    service = RetrievalService(trainer, state, corpus_emb, corpus_side, ids)
+    service = RetrievalService(
+        trainer, state, corpus_emb, corpus_side, ids, index_step=index_step,
+        mesh=mesh if shard_corpus else None,
+    )
     query_feats = getattr(
         dataset, "text" if corpus_side == "video" else "video"
     )
@@ -305,11 +406,15 @@ def build_service(cfg, checkpoint_dir: str | None, corpus_side: str,
             finally:
                 fresh.close()
             if corpus_emb_path is not None:
-                # precomputed index: keep it; only the query tower moves
-                return new_state, service.corpus_emb
+                # precomputed index: keep it (only the query tower moves)
+                # — its encode step stays put, so reload()/healthz flag
+                # the tower/index mismatch instead of hiding it
+                return new_state, service.corpus_emb, service.index_step
             v, t = _encode_split(trainer, new_state, dataset, batch_size)
-            return new_state, jnp.asarray(
-                v if corpus_side == "video" else t
+            return (
+                new_state,
+                jnp.asarray(v if corpus_side == "video" else t),
+                int(new_state.step),
             )
 
         service._reloader = _reloader
@@ -338,6 +443,12 @@ def main(argv: list[str] | None = None) -> int:
         help=".npz from `eval --embeddings-output`: serve this precomputed "
         "index instead of encoding the corpus at startup",
     )
+    ap.add_argument(
+        "--shard-corpus",
+        action="store_true",
+        help="row-shard the index over the device mesh's data axis; the "
+        "servable corpus scales with the slice instead of one chip's HBM",
+    )
     ap.add_argument("--random-params", action="store_true")
     ap.add_argument("overrides", nargs="*")
     args = ap.parse_args(argv)
@@ -354,6 +465,7 @@ def main(argv: list[str] | None = None) -> int:
         batch_size=args.batch_size,
         random_params=args.random_params,
         corpus_emb_path=args.corpus_emb,
+        shard_corpus=args.shard_corpus,
     )
     httpd = ThreadingHTTPServer(
         (args.host, args.port), _make_handler(service)
@@ -376,7 +488,7 @@ def main(argv: list[str] | None = None) -> int:
         pass
 
     print(
-        f"serving {int(service.corpus_emb.shape[0])} {args.corpus} rows on "
+        f"serving {service.corpus_rows} {args.corpus} rows on "
         f"http://{args.host}:{httpd.server_address[1]} "
         f"(queries: raw {service.query_side} features)",
         file=sys.stderr,

@@ -23,13 +23,16 @@ both paths run the same algorithm, so achieved TFLOP/s is comparable.
 import json
 import sys
 import time
+from pathlib import Path
 
 import numpy as np
 
 import jax
 import jax.numpy as jnp
 
-sys.path.insert(0, "/root/repo")
+# import the checkout this script lives in (path-insert rather than
+# PYTHONPATH: the latter breaks axon plugin discovery on the TPU host)
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 from crossclr_tpu.ops.flash_attention import (  # noqa: E402
     flash_attention,
     flash_supported,

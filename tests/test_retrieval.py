@@ -108,3 +108,94 @@ def test_chunked_metrics_match_dense(rng):
         assert set(chunked) == set(dense)
         for k in dense:
             np.testing.assert_allclose(chunked[k], dense[k], rtol=1e-6, err_msg=k)
+
+
+# ---------------------------------------------------------------------------
+# sharded corpus top-k (serving past one chip's HBM)
+# ---------------------------------------------------------------------------
+
+
+def _assert_topk_equivalent(q, c, k, got_s, got_i, want_s, want_i):
+    """The sharded result must equal the dense one up to matmul
+    reduction-order noise (CPU blocks the two shapes differently, so
+    scores can differ in the last ulp and exact ties may swap): scores
+    match positionally within fp32 noise, indices are a valid top-k
+    selection under a float64 host reference, no duplicates."""
+    got_s, got_i = np.asarray(got_s), np.asarray(got_i)
+    want_s, want_i = np.asarray(want_s), np.asarray(want_i)
+    np.testing.assert_allclose(got_s, want_s, atol=2e-6, rtol=0)
+    qn = np.asarray(q, np.float64)
+    qn /= np.linalg.norm(qn, axis=1, keepdims=True)
+    cn = np.asarray(c, np.float64)
+    cn /= np.linalg.norm(cn, axis=1, keepdims=True)
+    sim = qn @ cn.T
+    for r in range(got_i.shape[0]):
+        assert len(set(got_i[r].tolist())) == k, "duplicate index in top-k"
+        sel = np.sort(sim[r, got_i[r]])[::-1]
+        ref = np.sort(sim[r, want_i[r]])[::-1]
+        np.testing.assert_allclose(sel, ref, atol=2e-6, rtol=0)
+        # positional: returned scores really are these rows' similarities
+        np.testing.assert_allclose(
+            np.sort(got_s[r])[::-1], sel, atol=2e-6, rtol=0
+        )
+
+
+def _sharded_case(nc, k, nq=7, d=12, seed=0, ties=False):
+    import jax
+
+    from crossclr_tpu.evaluation import (
+        retrieve_topk,
+        shard_corpus,
+        sharded_retrieve_topk,
+    )
+    from crossclr_tpu.parallel import make_mesh
+
+    rng = np.random.default_rng(seed)
+    q = jnp.asarray(rng.standard_normal((nq, d)), jnp.float32)
+    c = rng.standard_normal((nc, d)).astype(np.float32)
+    if ties:
+        # plant exact duplicates so tie handling is exercised, within and
+        # across shard boundaries
+        c[nc // 2 :] = c[: nc - nc // 2]
+    c = jnp.asarray(c)
+    mesh = make_mesh()
+    k_eff = min(k, nc)
+
+    want_s, want_i = retrieve_topk(q, c, k=k)
+    got_s, got_i = sharded_retrieve_topk(q, c, k=k, mesh=mesh)
+    _assert_topk_equivalent(q, c, k_eff, got_s, got_i, want_s, want_i)
+
+    # pre-sharded placement (the serving configuration): same result,
+    # and the index really is row-sharded over the data axis
+    placed = shard_corpus(c, mesh)
+    n_dev = mesh.shape["data"]
+    assert placed.shape[0] % n_dev == 0
+    assert len(placed.sharding.device_set) == n_dev
+    s2, i2 = sharded_retrieve_topk(q, placed, k=k, mesh=mesh, n_real=nc)
+    _assert_topk_equivalent(q, c, k_eff, s2, i2, want_s, want_i)
+    # padded rows must never surface, even with duplicates/ties around
+    assert int(np.asarray(i2).max()) < nc
+    jax.block_until_ready((got_s, s2))
+
+
+def test_sharded_topk_matches_dense_divisible():
+    _sharded_case(nc=64, k=5)
+
+
+def test_sharded_topk_matches_dense_ragged_rows():
+    # 53 rows over 8 devices: zero-padding path, padded rows masked out
+    _sharded_case(nc=53, k=10, seed=1)
+
+
+def test_sharded_topk_k_exceeds_per_shard_rows():
+    # rows_per = 8 < k = 20: local cut is min(k, rows_per), merge is
+    # still exact
+    _sharded_case(nc=64, k=20, seed=2)
+
+
+def test_sharded_topk_handles_exact_ties():
+    _sharded_case(nc=48, k=12, seed=3, ties=True)
+
+
+def test_sharded_topk_k_clamps_to_corpus():
+    _sharded_case(nc=24, k=24, seed=4)

@@ -62,6 +62,7 @@ def test_healthz(server):
     assert body == {
         "status": "ok", "corpus_rows": 48,
         "corpus_side": "video", "query_side": "text", "step": 0,
+        "index_step": 0,  # encoded at startup from the step-0 tower
     }
 
 
@@ -427,6 +428,142 @@ def test_reload_picks_up_checkpoints_written_after_startup(tmp_path):
     none_svc = build_service(cfg, None, "video", random_params=True)
     with pytest.raises(RuntimeError, match="no checkpoint directory"):
         none_svc.reload()
+
+
+def test_reload_with_precomputed_corpus_flags_stale_index(tmp_path):
+    """/reload on a --corpus-emb service keeps the precomputed index (only
+    the query tower moves) — and because the tower and index can now
+    disagree, the reload response and /healthz must SAY so instead of
+    silently degrading every retrieval."""
+    from crossclr_tpu import eval as eval_cli
+    from crossclr_tpu.data import dataset_from_config, epoch_batches
+    from crossclr_tpu.training import CheckpointManager, Trainer
+    from crossclr_tpu.utils.config import save_config
+
+    cfg = _tiny_cfg()
+    dataset, _ = dataset_from_config(cfg.data)
+    trainer = Trainer(cfg.video_tower, cfg.text_tower, cfg.train, mesh=None)
+    first = next(epoch_batches(dataset, 16, shuffle=False))
+    state = trainer.init_state(first["video"], first["text"])
+    ckpt = tmp_path / "ckpt"
+    mngr = CheckpointManager(ckpt)
+    mngr.save(0, state, wait=True)
+    mngr.close()
+
+    cfg_path = tmp_path / "cfg.json"
+    save_config(cfg, cfg_path)
+    emb_path = tmp_path / "emb.npz"
+    assert eval_cli.main([
+        "--config", str(cfg_path), "--split", "all",
+        "--checkpoint-dir", str(ckpt),
+        "--embeddings-output", str(emb_path),
+    ]) == 0
+
+    service = build_service(
+        cfg, str(ckpt), "video", corpus_emb_path=str(emb_path)
+    )
+    assert service.index_step == 0
+    assert not service.index_stale
+
+    # a training job writes step 2 after startup; reload picks it up but
+    # the precomputed index still dates from step 0
+    for _ in range(2):
+        state, _ = trainer.train_step(state, first)
+    mngr = CheckpointManager(ckpt)
+    mngr.save(2, state, wait=True)
+    mngr.close()
+
+    frozen = np.asarray(service.corpus_emb)
+    assert service.reload() == 2
+    np.testing.assert_array_equal(np.asarray(service.corpus_emb), frozen)
+    assert service.index_step == 0
+    assert service.index_stale
+
+    # the HTTP surfaces carry the signal
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), _make_handler(service))
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    try:
+        url = f"http://127.0.0.1:{httpd.server_address[1]}"
+        req = urllib.request.Request(
+            url + "/reload", data=b"{}",
+            headers={"Content-Type": "application/json"}, method="POST",
+        )
+        with urllib.request.urlopen(req) as resp:
+            body = json.loads(resp.read())
+        assert body["step"] == 2
+        assert body["index_step"] == 0
+        assert "refresh" in body["warning"]
+        with urllib.request.urlopen(url + "/healthz") as resp:
+            health = json.loads(resp.read())
+        assert health["index_stale"] is True
+        assert health["index_step"] == 0
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+
+
+def test_shard_corpus_service_matches_single_device(tmp_path):
+    """--shard-corpus: the index is row-sharded over the mesh's data axis
+    (48 rows over 8 devices: ragged → padded), and every search result
+    matches the single-device service up to fp reduction noise."""
+    import jax
+
+    from crossclr_tpu.data import SyntheticPairs
+
+    cfg = _tiny_cfg()
+    plain = build_service(cfg, None, "video", random_params=True)
+    sharded = build_service(
+        cfg, None, "video", random_params=True, shard_corpus=True
+    )
+    assert sharded.mesh is not None
+    n_dev = sharded.mesh.shape["data"]
+    assert sharded.corpus_rows == 48
+    assert sharded.corpus_emb.shape[0] % n_dev == 0  # padded
+    assert len(sharded.corpus_emb.sharding.device_set) == n_dev
+
+    queries = SyntheticPairs(
+        num_pairs=48, video_dim=24, text_dim=16, seed=0
+    ).text[:5]
+    for k in (1, 3, 10, 48):
+        a = plain.search(queries, k=k)
+        b = sharded.search(queries, k=k)
+        np.testing.assert_allclose(
+            np.asarray(a["scores"]), np.asarray(b["scores"]),
+            atol=2e-6, rtol=0,
+        )
+        # identical indices expected here (scores are well-separated);
+        # padded rows must never appear
+        assert a["indices"] == b["indices"]
+        assert int(np.asarray(b["indices"]).max()) < 48
+    # the k=0 contract and healthz row count use the REAL row count
+    assert sharded.search(queries, k=0) == plain.search(queries, k=0)
+    assert len(jax.devices()) > 1  # guards the shard_corpus precondition
+
+
+def test_search_runtime_faults_are_500_not_400(server):
+    """A device/runtime failure on the /search hot path (XlaRuntimeError
+    subclasses RuntimeError) must surface as a 500 server fault; only
+    malformed requests are 400s."""
+    service, url = server
+    orig = service.search
+    service.search = lambda *a, **k: (_ for _ in ()).throw(
+        RuntimeError("RESOURCE_EXHAUSTED: HBM OOM")
+    )
+    try:
+        _post(url, {"features": [[0.0] * 16]})
+        raise AssertionError("expected HTTP 500")
+    except urllib.error.HTTPError as e:
+        assert e.code == 500
+        assert "RESOURCE_EXHAUSTED" in json.loads(e.read())["error"]
+    finally:
+        service.search = orig
+    # malformed request on the untouched service: still a 400
+    try:
+        _post(url, {"wrong_key": []})
+        raise AssertionError("expected HTTP 400")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
 
 
 def test_reload_endpoint_over_http(server):
