@@ -99,6 +99,12 @@ def main(argv: list[str] | None = None) -> int:
     )
     ap.add_argument("--output", default=None, help="write metrics JSON here too")
     ap.add_argument(
+        "--ema",
+        action="store_true",
+        help="encode with the EMA parameters (requires train.ema_decay in "
+        "the config so the checkpoint carries the EMA tree)",
+    )
+    ap.add_argument(
         "--random-params",
         action="store_true",
         help="skip checkpoint restore (smoke tests / baselines)",
@@ -145,15 +151,23 @@ def main(argv: list[str] | None = None) -> int:
                 "checkpoint_dir in the config, or use --random-params"
             )
         state = CheckpointManager(ckpt_dir).restore(state, step=args.step)
+    if args.ema:
+        state = state.as_ema()
 
     v_emb, t_emb = _encode_split(trainer, state, data, batch_size)
 
     ks = tuple(int(k) for k in args.ks.split(","))
-    metrics = retrieval_metrics(jnp.asarray(v_emb), jnp.asarray(t_emb), ks=ks)
+    # with a mesh, rank with the corpus side sharded over the data axis
+    # (per-device: [chunk, N/n_dev] scores — eval scales with the slice)
+    metrics = retrieval_metrics(
+        jnp.asarray(v_emb), jnp.asarray(t_emb), ks=ks, mesh=mesh
+    )
     metrics.update(
         {"split": args.split, "rows": int(v_emb.shape[0]),
          "step": int(state.step)}
     )
+    if args.ema:
+        metrics["ema"] = True
 
     is_rank0 = jax.process_index() == 0
     line = json.dumps(metrics)

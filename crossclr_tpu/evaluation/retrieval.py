@@ -99,11 +99,78 @@ def _metrics_from_ranks(ranks: jax.Array, ks: tuple[int, ...]) -> dict:
     return out
 
 
+@functools.lru_cache(maxsize=None)
+def _sharded_ranks_fn(mesh, n_real: int, query_chunk: int):
+    """Build (and cache) the jitted corpus-sharded rank computation.
+
+    The rank decomposes over disjoint corpus shards: ``rank_i = Σ_j
+    [sim_ij > truth_i]`` is a sum of per-shard partial counts, psum'd
+    over the data axis.  Each device therefore only ever holds its
+    ``[rows/n_dev, D]`` corpus shard and a ``[chunk, rows/n_dev]`` score
+    block — the eval counterpart of :func:`sharded_retrieve_topk`.
+    Queries are replicated; the ground-truth similarity ``truth_i =
+    q_i·c_i`` is computed by the device owning corpus row i and
+    all-gathered (O(N) comm, not O(N²)).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.mesh import DATA_AXIS
+
+    def local(q_norm, c_loc):
+        rows_per = c_loc.shape[0]
+        i = jax.lax.axis_index(DATA_AXIS)
+        gidx = i * rows_per + jnp.arange(rows_per)
+
+        pad = (-n_real) % query_chunk
+        q_padded = jnp.pad(q_norm, ((0, pad), (0, 0)))
+        # padded query rows get index −1: no corpus column matches, so
+        # their truth is 0 and their (discarded) counts are harmless
+        qidx = jnp.pad(jnp.arange(n_real), (0, pad), constant_values=-1)
+        blocks = q_padded.reshape(-1, query_chunk, q_norm.shape[1])
+        qidx_blocks = qidx.reshape(-1, query_chunk)
+
+        def one_block(args):
+            qb, qi = args
+            sim = jnp.matmul(
+                qb, c_loc.T, precision=jax.lax.Precision.HIGHEST
+            )
+            # the ground-truth similarity must be the SAME matmul value
+            # the comparisons see — a separately-computed dot differs in
+            # the last ulp and would make the self column count; extract
+            # it from the owner's block and psum (one device contributes,
+            # the rest add zeros)
+            self_col = gidx[None, :] == qi[:, None]
+            truth = jax.lax.psum(
+                jnp.sum(jnp.where(self_col, sim, 0.0), axis=1), DATA_AXIS
+            )
+            # padded corpus rows (gidx >= n_real) never outrank anything;
+            # the self column is excluded structurally, not by fp compare
+            valid = (gidx < n_real)[None, :] & ~self_col
+            return jnp.sum((sim > truth[:, None]) & valid, axis=1)
+
+        partial = jax.lax.map(one_block, (blocks, qidx_blocks)).reshape(-1)
+        return jax.lax.psum(partial[:n_real], DATA_AXIS)
+
+    # check_vma=False: outputs are replicated (they come off a psum) but
+    # the inference can't prove it through axis_index arithmetic — same
+    # as _sharded_topk_fn above
+    return jax.jit(
+        jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(), P(DATA_AXIS)),
+            out_specs=P(),
+            check_vma=False,
+        )
+    )
+
+
 def retrieval_metrics(
     video_emb: jax.Array,
     text_emb: jax.Array,
     ks: tuple[int, ...] = (1, 5, 10),
     query_chunk: int | None = None,
+    mesh=None,
 ) -> dict[str, float]:
     """Bidirectional retrieval metrics as host floats.
 
@@ -114,9 +181,15 @@ def retrieval_metrics(
     Defaults to the dense one-matmul path for small N and auto-chunks
     beyond ``_DENSE_SIM_MAX_ROWS``; both paths are rank-identical (ties
     resolve in favor of the ground truth either way).
+
+    ``mesh``: shard the CORPUS side of each direction's ranking over the
+    mesh's data axis — per-device memory drops to ``[chunk, N/n_dev]``
+    scores plus a ``[N/n_dev, D]`` corpus shard, so eval scales with the
+    slice like :func:`sharded_retrieve_topk` does for serving.  Ranks are
+    exact partial-count sums (psum), not approximations.
     """
     n = video_emb.shape[0]
-    if query_chunk is None and n > _DENSE_SIM_MAX_ROWS:
+    if query_chunk is None and (n > _DENSE_SIM_MAX_ROWS or mesh is not None):
         query_chunk = 4096
     if query_chunk is None:
         sim = similarity_matrix(video_emb, text_emb)
@@ -127,7 +200,10 @@ def retrieval_metrics(
     chunk = min(query_chunk, n)
     out = {}
     for tag, q, c in (("v2t", v, t), ("t2v", t, v)):
-        ranks = _ranks_chunked(q, c, chunk)
+        if mesh is None:
+            ranks = _ranks_chunked(q, c, chunk)
+        else:
+            ranks = _sharded_ranks_fn(mesh, n, chunk)(q, shard_corpus(c, mesh))
         out.update(
             {f"{tag}/{k}": v_ for k, v_ in _metrics_from_ranks(ranks, ks).items()}
         )

@@ -305,7 +305,8 @@ def build_service(cfg, checkpoint_dir: str | None, corpus_side: str,
                   batch_size: int | None = None,
                   random_params: bool = False,
                   corpus_emb_path: str | None = None,
-                  shard_corpus: bool = False) -> RetrievalService:
+                  shard_corpus: bool = False,
+                  use_ema: bool = False) -> RetrievalService:
     """Construct the service: dataset → trainer → restore → encode corpus.
 
     ``corpus_emb_path``: an ``.npz`` written by
@@ -345,6 +346,11 @@ def build_service(cfg, checkpoint_dir: str | None, corpus_side: str,
             )
         mngr = CheckpointManager(checkpoint_dir)
         state = mngr.restore(state)
+    if use_ema:
+        # encode queries (and, without --corpus-emb, the corpus) with the
+        # EMA parameters; requires train.ema_decay so the restore
+        # template carried the EMA tree
+        state = state.as_ema()
 
     if corpus_emb_path is not None:
         with np.load(corpus_emb_path, allow_pickle=False) as npz:
@@ -405,6 +411,8 @@ def build_service(cfg, checkpoint_dir: str | None, corpus_side: str,
                 new_state = fresh.restore(cur_state, step=step)
             finally:
                 fresh.close()
+            if use_ema:
+                new_state = new_state.as_ema()
             if corpus_emb_path is not None:
                 # precomputed index: keep it (only the query tower moves)
                 # — its encode step stays put, so reload()/healthz flag
@@ -449,6 +457,12 @@ def main(argv: list[str] | None = None) -> int:
         help="row-shard the index over the device mesh's data axis; the "
         "servable corpus scales with the slice instead of one chip's HBM",
     )
+    ap.add_argument(
+        "--ema",
+        action="store_true",
+        help="serve with the EMA parameters (requires train.ema_decay in "
+        "the config so checkpoints carry the EMA tree)",
+    )
     ap.add_argument("--random-params", action="store_true")
     ap.add_argument("overrides", nargs="*")
     args = ap.parse_args(argv)
@@ -466,6 +480,7 @@ def main(argv: list[str] | None = None) -> int:
         random_params=args.random_params,
         corpus_emb_path=args.corpus_emb,
         shard_corpus=args.shard_corpus,
+        use_ema=args.ema,
     )
     httpd = ThreadingHTTPServer(
         (args.host, args.port), _make_handler(service)

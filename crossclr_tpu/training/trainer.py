@@ -112,13 +112,40 @@ class TrainConfig:
     # with the jnp losses and with crossclr_intra_fused (the dual Pallas
     # kernel takes τ as a traced SMEM scalar).
     learnable_temperature: bool = False
+    # Polyak/exponential moving average of the parameters (e.g. 0.999):
+    # each step ema = d·ema + (1−d)·params.  The EMA tree rides the
+    # TrainState (checkpointed, sharded like the live params) and is what
+    # `eval --ema` / `serve --ema` encode with — the standard trick for
+    # smoother retrieval numbers late in training.  Initialized AT the
+    # initial params (no zero-init bias); enable it from step 0, since a
+    # checkpoint without the EMA tree cannot restore into a state that
+    # has one.  None (default) carries no EMA and costs nothing.
+    ema_decay: float | None = None
     seed: int = 0
 
 
 class TrainState(train_state.TrainState):
     """Flax TrainState; model params include the towers only — the
     criterion's vestigial ``logit_scale`` is carried as an extra leaf so
-    checkpoints mirror the reference's optimizer surface."""
+    checkpoints mirror the reference's optimizer surface.
+
+    ``ema_params``: exponential moving average of ``params`` when
+    ``TrainConfig.ema_decay`` is set, else None (an empty pytree — no
+    checkpoint or sharding footprint)."""
+
+    ema_params: Any = None
+
+    def as_ema(self) -> "TrainState":
+        """This state with the EMA tree swapped in as the live params —
+        what ``eval --ema`` / ``serve --ema`` encode with.  Requires
+        ``TrainConfig.ema_decay`` to have been set (the restore template
+        must carry the EMA tree for the checkpoint to load it)."""
+        if self.ema_params is None:
+            raise ValueError(
+                "state carries no EMA tree: set train.ema_decay in the "
+                "config (from step 0 of training)"
+            )
+        return self.replace(params=self.ema_params)
 
 
 def make_loss_fn(cfg: TrainConfig, mesh: Mesh | None = None) -> Callable:
@@ -448,6 +475,17 @@ class Trainer:
             params=params,
             tx=make_optimizer(self.cfg),
         )
+        if self.cfg.ema_decay is not None:
+            if not 0.0 < self.cfg.ema_decay < 1.0:
+                raise ValueError(
+                    f"ema_decay must be in (0, 1), got {self.cfg.ema_decay}"
+                )
+            # start AT the initial params: no zero-init bias to correct.
+            # A REAL copy, not an alias — the donated train step would
+            # otherwise receive the same buffer twice
+            state = state.replace(
+                ema_params=jax.tree.map(jnp.copy, params)
+            )
         if self.mesh is not None:
             if self.mesh.shape[MODEL_AXIS] > 1:
                 state = self._shard_state_tp(state)
@@ -495,7 +533,14 @@ class Trainer:
             return node
 
         opt_state = place_opt(state.opt_state)
-        return state.replace(params=params, opt_state=opt_state)
+        state = state.replace(params=params, opt_state=opt_state)
+        if state.ema_params is not None:
+            # the EMA tree mirrors params — shard it identically or every
+            # step's EMA update inserts resharding copies
+            state = state.replace(
+                ema_params=place(state.ema_params, param_specs)
+            )
+        return state
 
     # -- the step -----------------------------------------------------------
 
@@ -697,6 +742,16 @@ class Trainer:
                             -_LOGIT_SCALE_BOUND,
                             _LOGIT_SCALE_BOUND,
                         ),
+                    )
+                )
+            if cfg.ema_decay is not None:
+                d = cfg.ema_decay
+                # after the clamp so the EMA tracks the STORED logit_scale
+                new_state = new_state.replace(
+                    ema_params=jax.tree.map(
+                        lambda e, p: d * e + (1.0 - d) * p,
+                        new_state.ema_params,
+                        new_state.params,
                     )
                 )
             v_norm = jnp.mean(jnp.linalg.norm(v_emb, axis=1))

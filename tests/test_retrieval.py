@@ -199,3 +199,31 @@ def test_sharded_topk_handles_exact_ties():
 
 def test_sharded_topk_k_clamps_to_corpus():
     _sharded_case(nc=24, k=24, seed=4)
+
+
+def _sharded_metrics_case(n, d=10, seed=0, query_chunk=16):
+    from crossclr_tpu.evaluation import retrieval_metrics
+    from crossclr_tpu.parallel import make_mesh
+
+    rng = np.random.default_rng(seed)
+    v = jnp.asarray(rng.standard_normal((n, d)), jnp.float32)
+    t = jnp.asarray(
+        0.6 * np.asarray(v) + 0.8 * rng.standard_normal((n, d)), jnp.float32
+    )
+    mesh = make_mesh()
+    dense = retrieval_metrics(v, t)
+    chunked = retrieval_metrics(v, t, query_chunk=query_chunk)
+    sharded = retrieval_metrics(v, t, query_chunk=query_chunk, mesh=mesh)
+    assert sharded == chunked
+    for key in dense:
+        np.testing.assert_allclose(sharded[key], dense[key], rtol=1e-6)
+
+
+def test_sharded_metrics_match_dense():
+    # 64 rows over 8 devices: even shards
+    _sharded_metrics_case(n=64)
+
+
+def test_sharded_metrics_ragged_rows_and_chunk():
+    # 53 rows: corpus shard padding AND query-chunk padding both active
+    _sharded_metrics_case(n=53, seed=1, query_chunk=8)
