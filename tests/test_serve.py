@@ -541,6 +541,45 @@ def test_shard_corpus_service_matches_single_device(tmp_path):
     assert len(jax.devices()) > 1  # guards the shard_corpus precondition
 
 
+def test_precomputed_index_composes_with_shard_corpus(tmp_path):
+    """`--corpus-emb dump.npz --shard-corpus`: the loaded index gets
+    row-sharded like an encoded one, and results match the unsharded
+    precomputed service."""
+    from crossclr_tpu import eval as eval_cli
+    from crossclr_tpu.data import SyntheticPairs
+    from crossclr_tpu.utils.config import save_config
+
+    cfg = _tiny_cfg()
+    cfg_path = tmp_path / "cfg.json"
+    save_config(cfg, cfg_path)
+    emb_path = tmp_path / "emb.npz"
+    assert eval_cli.main([
+        "--config", str(cfg_path), "--split", "all", "--random-params",
+        "--embeddings-output", str(emb_path),
+    ]) == 0
+
+    plain = build_service(
+        cfg, None, "video", random_params=True,
+        corpus_emb_path=str(emb_path),
+    )
+    sharded = build_service(
+        cfg, None, "video", random_params=True,
+        corpus_emb_path=str(emb_path), shard_corpus=True,
+    )
+    assert sharded.corpus_rows == 48
+    n_dev = sharded.mesh.shape["data"]
+    assert sharded.corpus_emb.shape[0] % n_dev == 0
+    queries = SyntheticPairs(
+        num_pairs=48, video_dim=24, text_dim=16, seed=0
+    ).text[:4]
+    a = plain.search(queries, k=5)
+    b = sharded.search(queries, k=5)
+    assert a["indices"] == b["indices"]
+    np.testing.assert_allclose(
+        np.asarray(a["scores"]), np.asarray(b["scores"]), atol=2e-6, rtol=0
+    )
+
+
 def test_search_runtime_faults_are_500_not_400(server):
     """A device/runtime failure on the /search hot path (XlaRuntimeError
     subclasses RuntimeError) must surface as a 500 server fault; only
