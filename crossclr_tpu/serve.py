@@ -47,7 +47,8 @@ class RetrievalService:
     def __init__(self, trainer, state, corpus_emb, corpus_side: str,
                  ids: list[str] | None = None,
                  index_step: int | None = None,
-                 mesh=None):
+                 mesh=None,
+                 corpus_dtype=None):
         self.trainer = trainer
         self.state = state
         # real row count BEFORE any shard padding — clamps k, sizes the
@@ -57,6 +58,13 @@ class RetrievalService:
         # (per-device HBM holds rows/n_dev; search merges O(k) winners
         # per device — evaluation.sharded_retrieve_topk)
         self.mesh = mesh
+        # index storage dtype: bfloat16 halves index HBM (search still
+        # normalizes and scores in fp32 — only the stored embeddings are
+        # rounded, a ~3-decimal-digit quantization of unit vectors)
+        self.corpus_dtype = (
+            jnp.dtype(corpus_dtype) if corpus_dtype is not None
+            else jnp.float32
+        )
         self.corpus_emb = self._place_corpus(corpus_emb)
         self.corpus_side = corpus_side
         self.query_side = "text" if corpus_side == "video" else "video"
@@ -116,10 +124,11 @@ class RetrievalService:
         return self.index_step is not None and self.index_step != self.step
 
     def _place_corpus(self, corpus_emb) -> jax.Array:
-        """Device placement for the index: single-device, or row-sharded
-        over the mesh's data axis (zero-padded to the axis size by
-        shard_corpus; search masks padded rows by global index)."""
-        corpus_emb = jnp.asarray(corpus_emb)
+        """Device placement for the index: cast to the storage dtype,
+        then single-device or row-sharded over the mesh's data axis
+        (zero-padded to the axis size by shard_corpus; search masks
+        padded rows by global index)."""
+        corpus_emb = jnp.asarray(corpus_emb).astype(self.corpus_dtype)
         if self.mesh is None:
             return corpus_emb
         from .evaluation import shard_corpus
@@ -242,6 +251,8 @@ def _make_handler(service: RetrievalService):
                 "query_side": service.query_side,
                 "step": service.step,
             }
+            if service.corpus_dtype != jnp.float32:
+                health["corpus_dtype"] = str(service.corpus_dtype)
             if service.index_step is not None:
                 health["index_step"] = service.index_step
             if service.index_stale:
@@ -306,7 +317,8 @@ def build_service(cfg, checkpoint_dir: str | None, corpus_side: str,
                   random_params: bool = False,
                   corpus_emb_path: str | None = None,
                   shard_corpus: bool = False,
-                  use_ema: bool = False) -> RetrievalService:
+                  use_ema: bool = False,
+                  corpus_dtype: str | None = None) -> RetrievalService:
     """Construct the service: dataset → trainer → restore → encode corpus.
 
     ``corpus_emb_path``: an ``.npz`` written by
@@ -393,6 +405,7 @@ def build_service(cfg, checkpoint_dir: str | None, corpus_side: str,
     service = RetrievalService(
         trainer, state, corpus_emb, corpus_side, ids, index_step=index_step,
         mesh=mesh if shard_corpus else None,
+        corpus_dtype=corpus_dtype,
     )
     query_feats = getattr(
         dataset, "text" if corpus_side == "video" else "video"
@@ -463,6 +476,13 @@ def main(argv: list[str] | None = None) -> int:
         help="serve with the EMA parameters (requires train.ema_decay in "
         "the config so checkpoints carry the EMA tree)",
     )
+    ap.add_argument(
+        "--corpus-dtype",
+        choices=("float32", "bfloat16"),
+        default="float32",
+        help="index storage dtype: bfloat16 halves index HBM (scoring "
+        "still runs in fp32; only the stored embeddings are rounded)",
+    )
     ap.add_argument("--random-params", action="store_true")
     ap.add_argument("overrides", nargs="*")
     args = ap.parse_args(argv)
@@ -481,6 +501,7 @@ def main(argv: list[str] | None = None) -> int:
         corpus_emb_path=args.corpus_emb,
         shard_corpus=args.shard_corpus,
         use_ema=args.ema,
+        corpus_dtype=args.corpus_dtype,
     )
     httpd = ThreadingHTTPServer(
         (args.host, args.port), _make_handler(service)

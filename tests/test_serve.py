@@ -580,6 +580,43 @@ def test_precomputed_index_composes_with_shard_corpus(tmp_path):
     )
 
 
+def test_bf16_corpus_index(tmp_path):
+    """--corpus-dtype bfloat16: the stored index is bf16 (half the HBM),
+    scoring still runs in fp32, and results match the fp32 index within
+    bf16 rounding; composes with --shard-corpus."""
+    from crossclr_tpu.data import SyntheticPairs
+
+    cfg = _tiny_cfg()
+    f32 = build_service(cfg, None, "video", random_params=True)
+    bf16 = build_service(
+        cfg, None, "video", random_params=True, corpus_dtype="bfloat16"
+    )
+    assert bf16.corpus_emb.dtype == jnp.bfloat16
+    assert f32.corpus_emb.dtype == jnp.float32
+
+    queries = SyntheticPairs(
+        num_pairs=48, video_dim=24, text_dim=16, seed=0
+    ).text[:5]
+    a = f32.search(queries, k=3)
+    b = bf16.search(queries, k=3)
+    np.testing.assert_allclose(
+        np.asarray(a["scores"]), np.asarray(b["scores"]), atol=2e-2
+    )
+    # well-separated synthetic corpus: top-1 is robust to bf16 rounding
+    assert [r[0] for r in a["indices"]] == [r[0] for r in b["indices"]]
+
+    both = build_service(
+        cfg, None, "video", random_params=True, corpus_dtype="bfloat16",
+        shard_corpus=True,
+    )
+    assert both.corpus_emb.dtype == jnp.bfloat16
+    c = both.search(queries, k=3)
+    # sharded bf16 == unsharded bf16 up to reduction-order noise
+    np.testing.assert_allclose(
+        np.asarray(b["scores"]), np.asarray(c["scores"]), atol=2e-6
+    )
+
+
 def test_search_runtime_faults_are_500_not_400(server):
     """A device/runtime failure on the /search hot path (XlaRuntimeError
     subclasses RuntimeError) must surface as a 500 server fault; only
