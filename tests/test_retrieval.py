@@ -227,3 +227,46 @@ def test_sharded_metrics_match_dense():
 def test_sharded_metrics_ragged_rows_and_chunk():
     # 53 rows: corpus shard padding AND query-chunk padding both active
     _sharded_metrics_case(n=53, seed=1, query_chunk=8)
+
+
+def test_sharded_retrieval_fuzz():
+    """Random (nc, k, nq, duplicate-fraction) grid: sharded top-k stays
+    equivalent to dense and sharded metrics stay equal to chunked, across
+    shard-padding, k-vs-rows-per-shard, and tie configurations."""
+    from crossclr_tpu.evaluation import (
+        retrieval_metrics,
+        retrieve_topk,
+        sharded_retrieve_topk,
+    )
+    from crossclr_tpu.parallel import make_mesh
+
+    mesh = make_mesh()
+    rng = np.random.default_rng(42)
+    for trial in range(12):
+        nc = int(rng.integers(9, 90))
+        k = int(rng.integers(1, 25))
+        nq = int(rng.integers(1, 9))
+        d = int(rng.integers(4, 20))
+        q = jnp.asarray(rng.standard_normal((nq, d)), jnp.float32)
+        c = rng.standard_normal((nc, d)).astype(np.float32)
+        if trial % 3 == 0 and nc >= 4:
+            # plant duplicates (exact score ties)
+            n_dup = nc // 4
+            c[-n_dup:] = c[:n_dup]
+        c = jnp.asarray(c)
+        k_eff = min(k, nc)
+        want = retrieve_topk(q, c, k=k)
+        got = sharded_retrieve_topk(q, c, k=k, mesh=mesh)
+        _assert_topk_equivalent(q, c, k_eff, got[0], got[1], want[0], want[1])
+        if trial % 4 == 0:
+            v = jnp.asarray(rng.standard_normal((nc, d)), jnp.float32)
+            t = jnp.asarray(
+                0.5 * np.asarray(v)
+                + rng.standard_normal((nc, d)).astype(np.float32)
+            )
+            chunk = int(rng.integers(2, nc + 1))
+            assert retrieval_metrics(
+                v, t, query_chunk=chunk, mesh=mesh
+            ) == retrieval_metrics(v, t, query_chunk=chunk), (
+                f"trial {trial}: nc={nc} chunk={chunk}"
+            )
