@@ -8,6 +8,8 @@ the loss exists).
 
 Endpoints:
   GET  /healthz   → {"status": "ok", "corpus_rows": N, "step": S, ...}
+  GET  /metrics   → request/error counts + recent /search latency
+                    percentiles (p50/p95/p99 over a 512-request window)
   POST /search    → body {"features": [[...], ...], "k": 10}
                     raw QUERY-modality features ([B, D] pooled or
                     [B, S, D] sequences, optional "mask": [B, S]);
@@ -24,9 +26,11 @@ Example:
 from __future__ import annotations
 
 import argparse
+import collections
 import json
 import sys
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
@@ -77,6 +81,40 @@ class RetrievalService:
         self.index_step = index_step
         self._lock = threading.Lock()
         self._search_jit = None
+        # request observability (GET /metrics): counts + a bounded window
+        # of recent /search latencies, guarded by their own lock so the
+        # metrics read never queues behind a device dispatch
+        self._stats_lock = threading.Lock()
+        self._search_count = 0
+        self._error_count = 0
+        self._latencies = collections.deque(maxlen=512)
+
+    def record_search(self, seconds: float | None, ok: bool) -> None:
+        with self._stats_lock:
+            self._search_count += 1
+            if not ok:
+                self._error_count += 1
+            if seconds is not None:
+                self._latencies.append(seconds)
+
+    def stats(self) -> dict:
+        with self._stats_lock:
+            lats = sorted(self._latencies)
+            out = {
+                "search_requests": self._search_count,
+                "search_errors": self._error_count,
+            }
+        if lats:
+            pick = lambda q: lats[  # noqa: E731
+                min(len(lats) - 1, int(q * len(lats)))
+            ]
+            out["latency_ms"] = {
+                "p50": round(pick(0.50) * 1e3, 2),
+                "p95": round(pick(0.95) * 1e3, 2),
+                "p99": round(pick(0.99) * 1e3, 2),
+                "window": len(lats),
+            }
+        return out
 
     def reload(self, step: int | None = None) -> int:
         """Swap in a newer (or specific) checkpoint without restarting.
@@ -242,6 +280,15 @@ def _make_handler(service: RetrievalService):
             self.wfile.write(body)
 
         def do_GET(self):
+            if self.path == "/metrics":
+                return self._reply(
+                    200,
+                    {
+                        **service.stats(),
+                        "corpus_rows": service.corpus_rows,
+                        "step": service.step,
+                    },
+                )
             if self.path != "/healthz":
                 return self._reply(404, {"error": "unknown path"})
             health = {
@@ -301,12 +348,20 @@ def _make_handler(service: RetrievalService):
                     return out
             else:
                 return self._reply(404, {"error": "unknown path"})
+            is_search = self.path == "/search"
+            t0 = time.perf_counter()
             try:
                 out = run()
             except client_errors as e:
+                if is_search:
+                    service.record_search(None, ok=False)
                 return self._reply(400, {"error": f"{type(e).__name__}: {e}"})
             except Exception as e:  # noqa: BLE001 — device/runtime fault
+                if is_search:
+                    service.record_search(None, ok=False)
                 return self._reply(500, {"error": f"{type(e).__name__}: {e}"})
+            if is_search:
+                service.record_search(time.perf_counter() - t0, ok=True)
             self._reply(200, out)
 
     return Handler

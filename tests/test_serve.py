@@ -642,6 +642,38 @@ def test_search_runtime_faults_are_500_not_400(server):
         assert e.code == 400
 
 
+def test_metrics_endpoint(tmp_path):
+    """GET /metrics: request counts, error counts, and the recent-latency
+    percentiles — observability for the serving hot path."""
+    service = build_service(_tiny_cfg(), None, "video", random_params=True)
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), _make_handler(service))
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    try:
+        url = f"http://127.0.0.1:{httpd.server_address[1]}"
+        from crossclr_tpu.data import SyntheticPairs
+
+        queries = SyntheticPairs(
+            num_pairs=48, video_dim=24, text_dim=16, seed=0
+        ).text[:2]
+        for _ in range(3):
+            _post(url, {"features": np.asarray(queries).tolist(), "k": 2})
+        try:  # one malformed request -> counted as a search error
+            _post(url, {"oops": 1})
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+        with urllib.request.urlopen(url + "/metrics") as resp:
+            m = json.loads(resp.read())
+        assert m["search_requests"] == 4
+        assert m["search_errors"] == 1
+        assert m["latency_ms"]["window"] == 3
+        assert m["latency_ms"]["p50"] > 0
+        assert m["corpus_rows"] == 48 and m["step"] == 0
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+
+
 def test_reload_endpoint_over_http(server):
     """The HTTP surface: /reload on a --random-params service is a clean
     400, and healthz carries the step field."""
