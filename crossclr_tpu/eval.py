@@ -185,6 +185,10 @@ def main(argv: list[str] | None = None) -> int:
             ids=np.asarray(ids if ids is not None else [], dtype=str),
             step=int(state.step),
             split=args.split,
+            # which tower flavor encoded this dump — serve compares it
+            # against its own --ema flag so an EMA/live tower-vs-index
+            # mismatch is flagged, not silently served
+            ema=bool(args.ema),
         )
         print(
             f"wrote {v_emb.shape[0]} x {v_emb.shape[1]} embeddings "

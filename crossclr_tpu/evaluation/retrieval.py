@@ -99,7 +99,10 @@ def _metrics_from_ranks(ranks: jax.Array, ks: tuple[int, ...]) -> dict:
     return out
 
 
-@functools.lru_cache(maxsize=None)
+# bounded: each entry retains a compiled shard_map executable; a
+# long-running serve/eval process with changing row counts must not
+# accumulate dead executables forever
+@functools.lru_cache(maxsize=32)
 def _sharded_ranks_fn(mesh, n_real: int, query_chunk: int):
     """Build (and cache) the jitted corpus-sharded rank computation.
 
@@ -249,7 +252,7 @@ def retrieve_topk(
     return scores, idx
 
 
-def shard_corpus(corpus_emb: jax.Array, mesh) -> jax.Array:
+def shard_corpus(corpus_emb, mesh) -> jax.Array:
     """Place a corpus row-sharded over the mesh's data axis.
 
     Rows are zero-padded to a multiple of the axis size so every device
@@ -257,22 +260,28 @@ def shard_corpus(corpus_emb: jax.Array, mesh) -> jax.Array:
     rows are provably inert in :func:`sharded_retrieve_topk` (their
     global index ≥ the real row count masks their scores to −inf before
     any top-k sees them).  Per-device HBM holds ``rows/n_dev`` of the
-    index — the point when one chip cannot hold the corpus.
+    index — the point when one chip cannot hold the corpus.  Padding
+    happens on the HOST and ``device_put`` transfers per-shard: the full
+    index is never committed to a single device (which would OOM at
+    exactly the scale this function exists for).
     """
+    import numpy as np
+
     from jax.sharding import NamedSharding
 
     from ..parallel.mesh import DATA_AXIS
 
     n_dev = mesh.shape[DATA_AXIS]
-    pad = (-corpus_emb.shape[0]) % n_dev
+    arr = np.asarray(corpus_emb)
+    pad = (-arr.shape[0]) % n_dev
     if pad:
-        corpus_emb = jnp.pad(corpus_emb, ((0, pad), (0, 0)))
+        arr = np.pad(arr, ((0, pad), (0, 0)))
     return jax.device_put(
-        corpus_emb, NamedSharding(mesh, jax.sharding.PartitionSpec(DATA_AXIS))
+        arr, NamedSharding(mesh, jax.sharding.PartitionSpec(DATA_AXIS))
     )
 
 
-@functools.lru_cache(maxsize=None)
+@functools.lru_cache(maxsize=32)  # bounded: entries hold compiled executables
 def _sharded_topk_fn(mesh, k: int, n_real: int):
     """Build (and cache) the jitted sharded top-k for one (mesh, k, N)."""
     from jax.sharding import PartitionSpec as P

@@ -637,6 +637,11 @@ def fused_lse_pair(
             # so they cover batch sizes beyond the dual kernel's VMEM
             # budget (static temperature only — τ is baked into them)
             tb, tc = tiles
+            if TILE_OVERRIDE is not None:
+                # auto-picked tiles satisfy both rules by construction;
+                # a sweep override must be validated here like every
+                # other explicit-tiles entry point
+                check_explicit_tiles((tb, tc), b, b, interpret)
             v_norm, t_norm = _pad_lanes(v_norm, t_norm)
             # bf16 operand fetch happens INSIDE the vjp (_fetch_cast) so
             # feature gradients come back fp32

@@ -176,6 +176,10 @@ class RetrievalService:
     # set by build_service when a checkpoint directory exists:
     # (current_state, step|None) -> (restored_state, corpus_emb, index_step)
     _reloader = None
+    # set by build_service: a precomputed index encoded with a different
+    # tower flavor (EMA vs live) than the one answering queries — a
+    # disagreement the step comparison cannot see
+    index_tower_mismatch: bool = False
 
     def _search_fn(self):
         """ONE jitted dispatch and ONE host readback per request.
@@ -304,6 +308,8 @@ def _make_handler(service: RetrievalService):
                 health["index_step"] = service.index_step
             if service.index_stale:
                 health["index_stale"] = True
+            if service.index_tower_mismatch:
+                health["index_tower_mismatch"] = True
             self._reply(200, health)
 
         def do_POST(self):
@@ -311,6 +317,10 @@ def _make_handler(service: RetrievalService):
                 length = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(length) or b"{}")
             except (ValueError, TypeError) as e:
+                if self.path == "/search":
+                    # malformed JSON is still a failed search request —
+                    # /metrics must not undercount this class
+                    service.record_search(None, ok=False)
                 return self._reply(400, {"error": f"{type(e).__name__}: {e}"})
             # per-path client-error classes: a device/runtime failure on
             # the /search hot path (XlaRuntimeError subclasses
@@ -385,8 +395,9 @@ def build_service(cfg, checkpoint_dir: str | None, corpus_side: str,
     ``shard_corpus``: row-shard the index over the device mesh's data
     axis — each device holds ``rows/n_dev`` and search merges O(k) local
     winners per device, so the servable corpus scales with the slice
-    instead of one chip's HBM.  Results are bit-identical to the
-    single-device path.  Requires >1 device.
+    instead of one chip's HBM.  Results are equivalent to the
+    single-device path up to matmul reduction-order noise in the scores
+    (see ``evaluation.sharded_retrieve_topk``).  Requires >1 device.
     """
     from .data import dataset_from_config, epoch_batches
     from .eval import _encode_split
@@ -424,6 +435,7 @@ def build_service(cfg, checkpoint_dir: str | None, corpus_side: str,
             corpus_emb = np.asarray(npz[corpus_side], np.float32)
             npz_ids = [str(i) for i in npz["ids"]] if "ids" in npz else []
             npz_step = int(npz["step"]) if "step" in npz else None
+            npz_ema = bool(npz["ema"]) if "ema" in npz else None
         embed_dim = getattr(
             cfg.video_tower if corpus_side == "video" else cfg.text_tower,
             "embed_dim",
@@ -441,6 +453,19 @@ def build_service(cfg, checkpoint_dir: str | None, corpus_side: str,
                 "index and the query tower may disagree",
                 file=sys.stderr,
             )
+        # the step comparison cannot see an EMA/live flavor mismatch —
+        # same step, genuinely different towers
+        tower_mismatch = npz_ema is not None and npz_ema != use_ema
+        if tower_mismatch:
+            print(
+                "warning: --corpus-emb was encoded with the "
+                f"{'EMA' if npz_ema else 'live'} tower but this service "
+                f"queries with the {'EMA' if use_ema else 'live'} tower "
+                "— index and query tower disagree (re-export with "
+                f"{'--ema' if use_ema else 'no --ema'}, or flip serve's "
+                "--ema flag)",
+                file=sys.stderr,
+            )
         if npz_ids:
             ids = npz_ids  # row-aligned with the precomputed index
         elif ids is not None and len(ids) != corpus_emb.shape[0]:
@@ -456,12 +481,14 @@ def build_service(cfg, checkpoint_dir: str | None, corpus_side: str,
         v_emb, t_emb = _encode_split(trainer, state, dataset, batch_size)
         corpus_emb = v_emb if corpus_side == "video" else t_emb
         index_step = int(state.step)
+        tower_mismatch = False  # encoded right here with the query tower
 
     service = RetrievalService(
         trainer, state, corpus_emb, corpus_side, ids, index_step=index_step,
         mesh=mesh if shard_corpus else None,
         corpus_dtype=corpus_dtype,
     )
+    service.index_tower_mismatch = tower_mismatch
     query_feats = getattr(
         dataset, "text" if corpus_side == "video" else "video"
     )

@@ -210,3 +210,22 @@ def test_eval_and_serve_cli_use_ema(tmp_path):
     np.testing.assert_allclose(
         np.asarray(svc_ema.corpus_emb), np.asarray(v_ema), atol=1e-6
     )
+
+    # a LIVE-encoded dump served with --ema is a tower/index mismatch the
+    # step comparison cannot see — the npz records the flavor and serve
+    # flags the disagreement (and the matching combination does not)
+    emb_path = tmp_path / "live_dump.npz"
+    assert eval_cli.main([
+        "--config", str(cfg_path), "--split", "all",
+        "--checkpoint-dir", str(ckpt),
+        "--embeddings-output", str(emb_path),
+    ]) == 0
+    mismatched = build_service(
+        cfg, str(ckpt), "video", use_ema=True,
+        corpus_emb_path=str(emb_path),
+    )
+    assert mismatched.index_tower_mismatch is True
+    matched = build_service(
+        cfg, str(ckpt), "video", corpus_emb_path=str(emb_path)
+    )
+    assert matched.index_tower_mismatch is False

@@ -658,14 +658,24 @@ def test_metrics_endpoint(tmp_path):
         ).text[:2]
         for _ in range(3):
             _post(url, {"features": np.asarray(queries).tolist(), "k": 2})
-        try:  # one malformed request -> counted as a search error
+        try:  # missing key -> counted as a search error
             _post(url, {"oops": 1})
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+        # malformed JSON body -> ALSO counted (same failed-search class)
+        req = urllib.request.Request(
+            url + "/search", data=b"{not json",
+            headers={"Content-Type": "application/json"}, method="POST",
+        )
+        try:
+            urllib.request.urlopen(req)
+            raise AssertionError("expected HTTP 400")
         except urllib.error.HTTPError as e:
             assert e.code == 400
         with urllib.request.urlopen(url + "/metrics") as resp:
             m = json.loads(resp.read())
-        assert m["search_requests"] == 4
-        assert m["search_errors"] == 1
+        assert m["search_requests"] == 5
+        assert m["search_errors"] == 2
         assert m["latency_ms"]["window"] == 3
         assert m["latency_ms"]["p50"] > 0
         assert m["corpus_rows"] == 48 and m["step"] == 0
