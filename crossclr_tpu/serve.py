@@ -166,12 +166,14 @@ class RetrievalService:
         then single-device or row-sharded over the mesh's data axis
         (zero-padded to the axis size by shard_corpus; search masks
         padded rows by global index)."""
-        corpus_emb = jnp.asarray(corpus_emb).astype(self.corpus_dtype)
         if self.mesh is None:
-            return corpus_emb
+            return jnp.asarray(corpus_emb).astype(self.corpus_dtype)
         from .evaluation import shard_corpus
 
-        return shard_corpus(corpus_emb, self.mesh)
+        # cast on the HOST (numpy handles ml_dtypes bfloat16): the full
+        # index must never be committed to a single device on this path
+        host = np.asarray(corpus_emb).astype(self.corpus_dtype)
+        return shard_corpus(host, self.mesh)
 
     # set by build_service when a checkpoint directory exists:
     # (current_state, step|None) -> (restored_state, corpus_emb, index_step)
