@@ -103,6 +103,10 @@ class RetrievalService:
             out = {
                 "search_requests": self._search_count,
                 "search_errors": self._error_count,
+                # device dispatches actually issued — under micro-batching
+                # (--batch-window-ms) this trails search_requests by the
+                # coalescing factor
+                "search_dispatches": self._dispatch_count,
             }
         if lats:
             pick = lambda q: lats[  # noqa: E731
@@ -220,33 +224,21 @@ class RetrievalService:
             self._search_jit = fn
         return self._search_jit
 
-    def search(self, features, mask=None, k: int = 10):
-        features = np.asarray(features, np.float32)
-        if features.ndim == self._query_ndim - 1:
-            features = features[None]  # single query convenience
-        if mask is not None:
-            mask = np.asarray(mask, np.float32)
-            if mask.ndim == 1:
-                mask = mask[None]
-        n_rows = self.corpus_rows
-        k = int(min(k, n_rows))  # retrieve_topk clamps too
-        if k <= 0:
-            # preserve the k=0 contract (empty per-query result lists)
-            # without dispatching anything
-            empty = [[] for _ in range(features.shape[0])]
-            out = {"indices": empty, "scores": [[] for _ in empty]}
-            if self.ids is not None:
-                out["ids"] = [[] for _ in empty]
-            return out
-        # k AND the query-row count are STATIC in the fused program, and
-        # clients control both: one executable per distinct (B, k) would
-        # let request-shape variety pile arbitrarily many multi-second
-        # compiles behind the service lock.  Compile at the next power of
-        # two on each axis (≤ log2 distinct values per axis, ever) and
-        # slice to the requested shape on the host — padded query rows
-        # are zeros whose results are discarded, and lax.top_k is sorted
-        # descending, so the first k of top-k_pad ARE the top-k.
-        k_pad = min(1 << (k - 1).bit_length(), n_rows)
+    def _dispatch(self, features, mask, k: int):
+        """One padded device dispatch: fp32 ``[b, ...]`` features (and
+        optional mask) → ``(scores [b, k], indices [b, k])`` numpy.
+        ``k`` must be pre-clamped to ``[1, corpus_rows]``.
+
+        k AND the query-row count are STATIC in the fused program, and
+        clients control both: one executable per distinct (B, k) would
+        let request-shape variety pile arbitrarily many multi-second
+        compiles behind the service lock.  Compile at the next power of
+        two on each axis (≤ log2 distinct values per axis, ever) and
+        slice to the requested shape on the host — padded query rows
+        are zeros whose results are discarded, and lax.top_k is sorted
+        descending, so the first k of top-k_pad ARE the top-k.
+        """
+        k_pad = min(1 << (k - 1).bit_length(), self.corpus_rows)
         b = features.shape[0]
         b_pad = 1 << max(b - 1, 0).bit_length()
         if b_pad != b:
@@ -255,6 +247,7 @@ class RetrievalService:
             if mask is not None:
                 mask = np.pad(mask, [(0, b_pad - b), (0, 0)])
         with self._lock:
+            self._dispatch_count += 1
             packed = np.asarray(
                 self._search_fn()(
                     self.state.params, self.corpus_emb, features, mask,
@@ -263,13 +256,156 @@ class RetrievalService:
             )[:b]
         scores = packed[:, :k]
         idx = np.ascontiguousarray(packed[:, k_pad:k_pad + k]).view(np.int32)
+        return scores, idx
+
+    def search(self, features, mask=None, k: int = 10):
+        features = np.asarray(features, np.float32)
+        if features.ndim == self._query_ndim - 1:
+            features = features[None]  # single query convenience
+        if mask is not None:
+            mask = np.asarray(mask, np.float32)
+            if mask.ndim == 1:
+                mask = mask[None]
+        k = int(min(k, self.corpus_rows))  # retrieve_topk clamps too
+        if k <= 0:
+            # preserve the k=0 contract (empty per-query result lists)
+            # without dispatching anything
+            empty = [[] for _ in range(features.shape[0])]
+            out = {"indices": empty, "scores": [[] for _ in empty]}
+            if self.ids is not None:
+                out["ids"] = [[] for _ in empty]
+            return out
+        if self._batcher is not None:
+            scores, idx = self._batcher.submit(features, mask, k)
+        else:
+            scores, idx = self._dispatch(features, mask, k)
         out = {"indices": idx.tolist(), "scores": scores.tolist()}
         if self.ids is not None:
             out["ids"] = [[self.ids[j] for j in row] for row in idx.tolist()]
         return out
 
+    def enable_batching(self, window_ms: float = 2.0, max_batch: int = 64):
+        """Coalesce concurrent searches into shared device dispatches
+        (see :class:`_MicroBatcher`).  Call once, before serving."""
+        self._batcher = _MicroBatcher(
+            self._dispatch, window_ms=window_ms, max_batch=max_batch
+        )
+
     # set by build_service (single-query convenience reshaping)
     _query_ndim: int = 2
+    _batcher = None
+    _dispatch_count: int = 0
+
+
+class _MicroBatcher:
+    """Coalesce concurrent search dispatches into one device call.
+
+    On a remote-runtime serving host every dispatch pays a full round
+    trip (~30-40 ms) REGARDLESS of how many query rows it carries, and
+    the device lock serializes dispatches — N concurrent clients pay
+    N round trips back to back.  Batching collects compatible requests
+    (same feature trailing shape and mask presence/width) for a short
+    window and runs ONE dispatch at the group's max k, then slices each
+    requester's rows and first-k columns out (lax.top_k is sorted
+    descending, so a k=5 answer is the first 5 columns of a k=8 one).
+
+    A solitary request pays at most ``window_ms`` extra latency; the
+    window only keeps collecting while the queue is non-empty or until
+    it expires, so idle services add no steady-state delay after the
+    first wait.
+    """
+
+    def __init__(self, dispatch, window_ms: float = 2.0,
+                 max_batch: int = 64):
+        self._dispatch = dispatch
+        self._window = window_ms / 1e3
+        self._max = max_batch
+        self._cv = threading.Condition()
+        self._queue: list[dict] = []
+        self._stop = False
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    def submit(self, features, mask, k: int):
+        item = {
+            "f": features, "m": mask, "k": k,
+            "done": threading.Event(), "out": None, "err": None,
+        }
+        with self._cv:
+            if self._stop:
+                raise RuntimeError("batcher is closed")
+            self._queue.append(item)
+            self._cv.notify()
+        item["done"].wait()
+        if item["err"] is not None:
+            raise item["err"]
+        return item["out"]
+
+    def close(self):
+        with self._cv:
+            self._stop = True
+            self._cv.notify()
+        self._worker.join(timeout=5)
+
+    @staticmethod
+    def _key(item):
+        m = item["m"]
+        return (item["f"].shape[1:], None if m is None else m.shape[1])
+
+    def _take_group(self):
+        """Pop one request, then collect compatible ones until the window
+        closes, the group fills, or only incompatible requests remain."""
+        first = self._queue.pop(0)
+        group = [first]
+        key = self._key(first)
+        deadline = time.perf_counter() + self._window
+        while len(group) < self._max:
+            remaining = deadline - time.perf_counter()
+            if remaining <= 0:
+                break
+            matched = False
+            for i, it in enumerate(self._queue):
+                if self._key(it) == key:
+                    group.append(self._queue.pop(i))
+                    matched = True
+                    break
+            if not matched:
+                if self._queue:
+                    break  # only incompatible requests: dispatch this group
+                self._cv.wait(timeout=remaining)
+                if self._stop:
+                    break
+        return group
+
+    def _run(self):
+        while True:
+            with self._cv:
+                while not self._queue and not self._stop:
+                    self._cv.wait()
+                if self._stop and not self._queue:
+                    return
+                group = self._take_group()
+            try:
+                feats = np.concatenate([g["f"] for g in group])
+                masks = None
+                if group[0]["m"] is not None:
+                    masks = np.concatenate([g["m"] for g in group])
+                k_max = max(g["k"] for g in group)
+                scores, idx = self._dispatch(feats, masks, k_max)
+                off = 0
+                for g in group:
+                    b = g["f"].shape[0]
+                    g["out"] = (
+                        scores[off:off + b, :g["k"]],
+                        idx[off:off + b, :g["k"]],
+                    )
+                    off += b
+            except Exception as e:  # noqa: BLE001 — deliver to every waiter
+                for g in group:
+                    g["err"] = e
+            finally:
+                for g in group:
+                    g["done"].set()
 
 
 def _make_handler(service: RetrievalService):
@@ -385,7 +521,8 @@ def build_service(cfg, checkpoint_dir: str | None, corpus_side: str,
                   corpus_emb_path: str | None = None,
                   shard_corpus: bool = False,
                   use_ema: bool = False,
-                  corpus_dtype: str | None = None) -> RetrievalService:
+                  corpus_dtype: str | None = None,
+                  batch_window_ms: float | None = None) -> RetrievalService:
     """Construct the service: dataset → trainer → restore → encode corpus.
 
     ``corpus_emb_path``: an ``.npz`` written by
@@ -495,6 +632,8 @@ def build_service(cfg, checkpoint_dir: str | None, corpus_side: str,
         dataset, "text" if corpus_side == "video" else "video"
     )
     service._query_ndim = np.asarray(query_feats).ndim
+    if batch_window_ms is not None:
+        service.enable_batching(window_ms=batch_window_ms)
 
     if mngr is not None:
         def _reloader(cur_state, step):
@@ -567,6 +706,15 @@ def main(argv: list[str] | None = None) -> int:
         help="index storage dtype: bfloat16 halves index HBM (scoring "
         "still runs in fp32; only the stored embeddings are rounded)",
     )
+    ap.add_argument(
+        "--batch-window-ms",
+        type=float,
+        default=None,
+        help="coalesce concurrent /search requests arriving within this "
+        "window into one device dispatch (each dispatch pays a full "
+        "runtime round trip regardless of rows); a solitary request pays "
+        "at most this much extra latency",
+    )
     ap.add_argument("--random-params", action="store_true")
     ap.add_argument("overrides", nargs="*")
     args = ap.parse_args(argv)
@@ -586,6 +734,7 @@ def main(argv: list[str] | None = None) -> int:
         shard_corpus=args.shard_corpus,
         use_ema=args.ema,
         corpus_dtype=args.corpus_dtype,
+        batch_window_ms=args.batch_window_ms,
     )
     httpd = ThreadingHTTPServer(
         (args.host, args.port), _make_handler(service)

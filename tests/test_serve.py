@@ -617,6 +617,57 @@ def test_bf16_corpus_index(tmp_path):
     )
 
 
+def test_micro_batching_coalesces_and_matches_serial(tmp_path):
+    """--batch-window-ms: concurrent searches coalesce into fewer device
+    dispatches, every requester gets exactly its own rows and k, and
+    results match the unbatched service."""
+    from crossclr_tpu.data import SyntheticPairs
+
+    cfg = _tiny_cfg()
+    plain = build_service(cfg, None, "video", random_params=True)
+    batched = build_service(
+        cfg, None, "video", random_params=True, batch_window_ms=100.0
+    )
+    assert batched._batcher is not None
+    queries = SyntheticPairs(
+        num_pairs=48, video_dim=24, text_dim=16, seed=0
+    ).text
+
+    # warm the compile so the timed window isn't dominated by tracing
+    batched.search(queries[:2], k=4)
+    base = batched._dispatch_count
+
+    n_req = 6
+    results = [None] * n_req
+    barrier = threading.Barrier(n_req)
+
+    def worker(i):
+        barrier.wait()
+        results[i] = batched.search(queries[2 * i : 2 * i + 2], k=2 + i % 3)
+
+    threads = [
+        threading.Thread(target=worker, args=(i,)) for i in range(n_req)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    for i in range(n_req):
+        want = plain.search(queries[2 * i : 2 * i + 2], k=2 + i % 3)
+        assert results[i]["indices"] == want["indices"], f"request {i}"
+        np.testing.assert_allclose(
+            np.asarray(results[i]["scores"]), np.asarray(want["scores"]),
+            atol=2e-6,
+        )
+    coalesced = batched._dispatch_count - base
+    assert coalesced < n_req, f"no coalescing: {coalesced} dispatches"
+
+    # the k=0 contract bypasses the batcher entirely
+    assert batched.search(queries[:1], k=0) == plain.search(queries[:1], k=0)
+    batched._batcher.close()
+
+
 def test_search_runtime_faults_are_500_not_400(server):
     """A device/runtime failure on the /search hot path (XlaRuntimeError
     subclasses RuntimeError) must surface as a 500 server fault; only
