@@ -153,6 +153,19 @@ def main(argv: list[str] | None = None) -> int:
     state = trainer.init_state(first["video"], first["text"])
 
     ckpt = CheckpointManager(cfg.checkpoint_dir) if cfg.checkpoint_dir else None
+    # model selection: a SEPARATE ranked manager under <dir>/best (ranked
+    # garbage collection may delete the latest step — never mix it with
+    # the resume checkpoints above).  Point eval/serve's --checkpoint-dir
+    # at <dir>/best to use the selected model.
+    best_ckpt = None
+    if ckpt is not None and cfg.train.keep_best_metric:
+        from pathlib import Path as _Path
+
+        best_ckpt = CheckpointManager(
+            _Path(cfg.checkpoint_dir) / "best",
+            max_to_keep=1,
+            best_metric=cfg.train.keep_best_metric,
+        )
     is_rank0 = jax.process_index() == 0
     if ckpt is not None and ckpt.latest_step() is not None:
         state = ckpt.restore(state)
@@ -291,12 +304,26 @@ def main(argv: list[str] | None = None) -> int:
             writer({f"eval/{k}" if k != "step" else k: v for k, v in metrics.items()})
             if ckpt is not None:
                 ckpt.save(done, state)
+            if best_ckpt is not None:
+                if cfg.train.keep_best_metric not in metrics:
+                    raise SystemExit(
+                        f"train.keep_best_metric "
+                        f"{cfg.train.keep_best_metric!r} is not an eval "
+                        f"metric; available: {sorted(metrics)}"
+                    )
+                best_ckpt.save(
+                    done, state,
+                    metrics={k: float(v) for k, v in metrics.items()},
+                )
     finally:
         for sig, handler in prev_handlers.items():
             signal.signal(sig, handler)
         if ckpt is not None:
             ckpt.wait()
             ckpt.close()
+        if best_ckpt is not None:
+            best_ckpt.wait()
+            best_ckpt.close()
         writer.close()
     return 0
 

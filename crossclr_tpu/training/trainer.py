@@ -121,6 +121,12 @@ class TrainConfig:
     # checkpoint without the EMA tree cannot restore into a state that
     # has one.  None (default) carries no EMA and costs nothing.
     ema_decay: float | None = None
+    # model selection: rank the eval-boundary checkpoints by this eval
+    # metric (e.g. "v2t/R@1") and retain the best under
+    # <checkpoint_dir>/best — a separate ranked manager, so the resume
+    # checkpoints' latest-N retention is untouched.  Point eval/serve at
+    # <dir>/best to use the selected model.  None (default) disables it.
+    keep_best_metric: str | None = None
     seed: int = 0
 
 

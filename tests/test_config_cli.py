@@ -419,3 +419,79 @@ def test_cli_profile_dir_writes_trace(tmp_path):
     # jax writes plugins/profile/<ts>/*.xplane.pb under the logdir
     traces = list((tmp_path / "trace").rglob("*.xplane.pb"))
     assert traces, list((tmp_path / "trace").rglob("*"))
+
+
+def test_checkpoint_best_retention_unit(tmp_path):
+    """A ranked CheckpointManager keeps the best-by-metric step, not the
+    most recent (max_to_keep=1 evicts the rest)."""
+    import jax.numpy as jnp
+
+    from crossclr_tpu.data import SyntheticPairs, epoch_batches
+    from crossclr_tpu.models import TowerConfig
+    from crossclr_tpu.training import CheckpointManager, TrainConfig, Trainer
+
+    data = SyntheticPairs(num_pairs=32, video_dim=8, text_dim=8, seed=0)
+    tower = TowerConfig(
+        kind="mlp", input_dim=8, embed_dim=8, hidden_dim=8,
+        dtype=jnp.float32,
+    )
+    trainer = Trainer(tower, tower, TrainConfig(total_steps=10), mesh=None)
+    batch = next(epoch_batches(data, 16, shuffle=False))
+    state = trainer.init_state(batch["video"], batch["text"])
+
+    mngr = CheckpointManager(
+        tmp_path / "best", max_to_keep=1, best_metric="v2t/R@1"
+    )
+    for step, r1 in ((1, 50.0), (2, 90.0), (3, 70.0)):
+        state = state.replace(step=step)
+        mngr.save(step, state, metrics={"v2t/R@1": r1}, wait=True)
+    assert mngr.best_step() == 2
+    restored = mngr.restore(state.replace(step=0), step=mngr.best_step())
+    assert int(restored.step) == 2
+    mngr.close()
+
+
+def test_train_cli_keep_best_metric(tmp_path):
+    """train.keep_best_metric writes a ranked best checkpoint under
+    <checkpoint_dir>/best, loadable by the eval CLI."""
+    from crossclr_tpu import eval as eval_cli
+    from crossclr_tpu.train import main
+
+    ckpt = tmp_path / "ckpt"
+    common = [
+        "data.num_pairs=64", "data.batch_size=32",
+        "data.video_dim=24", "data.text_dim=16",
+        "video_tower.input_dim=24", "video_tower.embed_dim=16",
+        "video_tower.hidden_dim=32", "video_tower.dtype=float32",
+        "text_tower.input_dim=16", "text_tower.embed_dim=16",
+        "text_tower.hidden_dim=32", "text_tower.dtype=float32",
+        "train.warmup_steps=2", "eval_every=3", "log_every=3",
+    ]
+    rc = main([
+        "--steps", "6", f"checkpoint_dir={ckpt}",
+        "train.keep_best_metric=v2t/R@1", *common,
+    ])
+    assert rc == 0
+    assert (ckpt / "best").is_dir()
+
+    from crossclr_tpu.training import CheckpointManager
+
+    best = CheckpointManager(ckpt / "best", best_metric="v2t/R@1")
+    assert best.best_step() in (3, 6)
+    best.close()
+
+    # the eval CLI consumes the selected model by pointing at <dir>/best
+    rc = eval_cli.main([
+        "--checkpoint-dir", str(ckpt / "best"), "--split", "all", *common,
+    ])
+    assert rc == 0
+
+    # an unknown metric name fails loudly at the first eval boundary
+    import pytest
+
+    with pytest.raises(SystemExit, match="not an eval metric"):
+        main([
+            "--steps", "3",
+            f"checkpoint_dir={tmp_path / 'ckpt2'}",
+            "train.keep_best_metric=nope/R@1", *common,
+        ])
