@@ -84,6 +84,11 @@ def main(argv: list[str] | None = None) -> int:
     cfg = load_config(args.config) if args.config else ExperimentConfig()
     if args.overrides:
         cfg = apply_overrides(cfg, args.overrides)
+    if cfg.train.eval_with_ema and cfg.train.ema_decay is None:
+        raise SystemExit(
+            "train.eval_with_ema requires train.ema_decay (the state "
+            "carries no EMA tree to evaluate with)"
+        )
     if args.steps is not None:
         cfg = dataclasses.replace(
             cfg, train=dataclasses.replace(cfg.train, total_steps=args.steps)
@@ -294,8 +299,11 @@ def main(argv: list[str] | None = None) -> int:
             # batched eval encode: never materializes the eval split as one
             # host array / one device batch (matters for eval_fraction=0,
             # where the "split" is the whole — possibly mmapped — dataset)
+            eval_state = (
+                state.as_ema() if cfg.train.eval_with_ema else state
+            )
             v_emb, t_emb = _encode_split(
-                trainer, state, eval_data, local_batch
+                trainer, eval_state, eval_data, local_batch
             )
             metrics = retrieval_metrics(
                 jax.numpy.asarray(v_emb), jax.numpy.asarray(t_emb)

@@ -127,6 +127,9 @@ class TrainConfig:
     # checkpoints' latest-N retention is untouched.  Point eval/serve at
     # <dir>/best to use the selected model.  None (default) disables it.
     keep_best_metric: str | None = None
+    # evaluate (and rank keep_best_metric) with the EMA parameters
+    # instead of the live ones at each eval boundary; requires ema_decay
+    eval_with_ema: bool = False
     seed: int = 0
 
 

@@ -229,3 +229,31 @@ def test_eval_and_serve_cli_use_ema(tmp_path):
         cfg, str(ckpt), "video", corpus_emb_path=str(emb_path)
     )
     assert matched.index_tower_mismatch is False
+
+
+def test_train_cli_eval_with_ema(tmp_path):
+    """train.eval_with_ema: the eval-boundary metrics (and best ranking)
+    come from the EMA tower; without ema_decay it fails at startup."""
+    import pytest
+
+    from crossclr_tpu.train import main
+
+    common = [
+        "data.num_pairs=64", "data.batch_size=32",
+        "data.video_dim=24", "data.text_dim=16",
+        "video_tower.input_dim=24", "video_tower.embed_dim=16",
+        "video_tower.hidden_dim=32", "video_tower.dtype=float32",
+        "text_tower.input_dim=16", "text_tower.embed_dim=16",
+        "text_tower.hidden_dim=32", "text_tower.dtype=float32",
+        "train.warmup_steps=2", "eval_every=3", "log_every=3",
+    ]
+    csv_path = tmp_path / "m.csv"
+    rc = main([
+        "--steps", "3", "--metrics-csv", str(csv_path),
+        "train.ema_decay=0.5", "train.eval_with_ema=true", *common,
+    ])
+    assert rc == 0
+    assert "eval/v2t/R@1" in csv_path.read_text()
+
+    with pytest.raises(SystemExit, match="requires train.ema_decay"):
+        main(["--steps", "3", "train.eval_with_ema=true", *common])
