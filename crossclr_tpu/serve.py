@@ -522,7 +522,8 @@ def build_service(cfg, checkpoint_dir: str | None, corpus_side: str,
                   shard_corpus: bool = False,
                   use_ema: bool = False,
                   corpus_dtype: str | None = None,
-                  batch_window_ms: float | None = None) -> RetrievalService:
+                  batch_window_ms: float | None = None,
+                  strict_index: bool = False) -> RetrievalService:
     """Construct the service: dataset → trainer → restore → encode corpus.
 
     ``corpus_emb_path``: an ``.npz`` written by
@@ -585,7 +586,8 @@ def build_service(cfg, checkpoint_dir: str | None, corpus_side: str,
                 f"{corpus_emb.shape}, expected [rows, {embed_dim}] for this "
                 "config's towers"
             )
-        if npz_step is not None and npz_step != int(state.step):
+        step_mismatch = npz_step is not None and npz_step != int(state.step)
+        if step_mismatch:
             print(
                 f"warning: --corpus-emb was encoded at step {npz_step} but "
                 f"the restored checkpoint is step {int(state.step)} — the "
@@ -604,6 +606,14 @@ def build_service(cfg, checkpoint_dir: str | None, corpus_side: str,
                 f"{'--ema' if use_ema else 'no --ema'}, or flip serve's "
                 "--ema flag)",
                 file=sys.stderr,
+            )
+        if strict_index and (step_mismatch or tower_mismatch):
+            raise SystemExit(
+                "--strict-index: the precomputed corpus index disagrees "
+                "with the restored query tower "
+                f"({'step' if step_mismatch else 'EMA/live flavor'} "
+                "mismatch — see the warning above); re-export the index "
+                "or drop --strict-index to serve anyway"
             )
         if npz_ids:
             ids = npz_ids  # row-aligned with the precomputed index
@@ -715,6 +725,13 @@ def main(argv: list[str] | None = None) -> int:
         "runtime round trip regardless of rows); a solitary request pays "
         "at most this much extra latency",
     )
+    ap.add_argument(
+        "--strict-index",
+        action="store_true",
+        help="refuse to start when a --corpus-emb index disagrees with "
+        "the restored query tower (step or EMA/live flavor mismatch) "
+        "instead of serving with a warning",
+    )
     ap.add_argument("--random-params", action="store_true")
     ap.add_argument("overrides", nargs="*")
     args = ap.parse_args(argv)
@@ -735,6 +752,7 @@ def main(argv: list[str] | None = None) -> int:
         use_ema=args.ema,
         corpus_dtype=args.corpus_dtype,
         batch_window_ms=args.batch_window_ms,
+        strict_index=args.strict_index,
     )
     httpd = ThreadingHTTPServer(
         (args.host, args.port), _make_handler(service)

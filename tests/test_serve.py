@@ -668,6 +668,85 @@ def test_micro_batching_coalesces_and_matches_serial(tmp_path):
     batched._batcher.close()
 
 
+def test_strict_index_refuses_mismatched_dump(tmp_path):
+    """--strict-index: a precomputed index whose encode step disagrees
+    with the restored tower is a startup error, not a warning."""
+    from crossclr_tpu import eval as eval_cli
+    from crossclr_tpu.data import dataset_from_config, epoch_batches
+    from crossclr_tpu.training import CheckpointManager, Trainer
+    from crossclr_tpu.utils.config import save_config
+
+    cfg = _tiny_cfg()
+    dataset, _ = dataset_from_config(cfg.data)
+    trainer = Trainer(cfg.video_tower, cfg.text_tower, cfg.train, mesh=None)
+    first = next(epoch_batches(dataset, 16, shuffle=False))
+    state = trainer.init_state(first["video"], first["text"])
+    ckpt = tmp_path / "ckpt"
+    mngr = CheckpointManager(ckpt)
+    mngr.save(0, state, wait=True)
+    mngr.close()
+
+    cfg_path = tmp_path / "cfg.json"
+    save_config(cfg, cfg_path)
+    emb_path = tmp_path / "emb.npz"
+    assert eval_cli.main([
+        "--config", str(cfg_path), "--split", "all",
+        "--checkpoint-dir", str(ckpt),
+        "--embeddings-output", str(emb_path),
+    ]) == 0
+
+    # matching step: strict startup succeeds
+    ok = build_service(
+        cfg, str(ckpt), "video", corpus_emb_path=str(emb_path),
+        strict_index=True,
+    )
+    assert ok.index_step == 0
+
+    # training advances; the dump is now stale -> strict refuses
+    state, _ = trainer.train_step(state, first)
+    mngr = CheckpointManager(ckpt)
+    mngr.save(1, state, wait=True)
+    mngr.close()
+    with pytest.raises(SystemExit, match="strict-index"):
+        build_service(
+            cfg, str(ckpt), "video", corpus_emb_path=str(emb_path),
+            strict_index=True,
+        )
+
+
+def test_micro_batcher_error_propagation_and_close(tmp_path):
+    """A dispatch failure reaches every coalesced waiter; a closed
+    batcher rejects new submissions."""
+    from crossclr_tpu.serve import _MicroBatcher
+
+    calls = {"n": 0}
+
+    def boom(features, mask, k):
+        calls["n"] += 1
+        raise RuntimeError("device on fire")
+
+    b = _MicroBatcher(boom, window_ms=50.0, max_batch=8)
+    errs = [None, None]
+
+    def worker(i):
+        try:
+            b.submit(np.zeros((1, 4), np.float32), None, 2)
+        except RuntimeError as e:
+            errs[i] = str(e)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in (0, 1)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errs == ["device on fire", "device on fire"]
+    assert calls["n"] <= 2  # likely coalesced into one failing dispatch
+
+    b.close()
+    with pytest.raises(RuntimeError, match="closed"):
+        b.submit(np.zeros((1, 4), np.float32), None, 2)
+
+
 def test_search_runtime_faults_are_500_not_400(server):
     """A device/runtime failure on the /search hot path (XlaRuntimeError
     subclasses RuntimeError) must surface as a 500 server fault; only
