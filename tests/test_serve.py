@@ -747,6 +747,79 @@ def test_micro_batcher_error_propagation_and_close(tmp_path):
         b.submit(np.zeros((1, 4), np.float32), None, 2)
 
 
+def test_micro_batcher_stress_mixed_shapes(tmp_path):
+    """Many threads, random row counts and k, pooled AND masked-sequence
+    query shapes interleaved: every response matches the unbatched
+    service (incompatible shapes must never coalesce into one array)."""
+    from crossclr_tpu.data import SyntheticPairs
+
+    cfg = ExperimentConfig(data=DataConfig(
+        num_pairs=48, batch_size=16, video_dim=24, text_dim=16,
+        video_seq_len=4, text_seq_len=4,
+    ))
+    cfg = apply_overrides(cfg, [
+        "video_tower.kind=transformer", "video_tower.input_dim=24",
+        "video_tower.embed_dim=16", "video_tower.hidden_dim=32",
+        "video_tower.num_heads=2", "video_tower.max_seq_len=4",
+        "video_tower.dtype=float32",
+        "text_tower.kind=transformer", "text_tower.input_dim=16",
+        "text_tower.embed_dim=16", "text_tower.hidden_dim=32",
+        "text_tower.num_heads=2", "text_tower.max_seq_len=4",
+        "text_tower.dtype=float32",
+    ])
+    plain = build_service(cfg, None, "video", random_params=True)
+    batched = build_service(
+        cfg, None, "video", random_params=True, batch_window_ms=20.0
+    )
+    data = SyntheticPairs(
+        num_pairs=48, video_dim=24, text_dim=16,
+        video_seq_len=4, text_seq_len=4, seed=0,
+    )
+    rng = np.random.default_rng(7)
+    n_req = 24
+    reqs = []
+    for i in range(n_req):
+        b = int(rng.integers(1, 4))
+        start = int(rng.integers(0, 48 - b))
+        feats = np.asarray(data.text[start:start + b], np.float32)
+        if i % 2:
+            mask = np.ones(feats.shape[:2], np.float32)
+            mask[:, int(rng.integers(1, feats.shape[1])):] = 0.0
+        else:
+            mask = None
+        reqs.append((feats, mask, int(rng.integers(1, 9))))
+
+    # warm both services on every (ndim, mask) class so the stress loop
+    # measures threading, not compiles
+    for feats, mask, k in reqs[:2]:
+        plain.search(feats, mask, k=k)
+        batched.search(feats, mask, k=k)
+
+    results = [None] * n_req
+    barrier = threading.Barrier(n_req)
+
+    def worker(i):
+        feats, mask, k = reqs[i]
+        barrier.wait()
+        results[i] = batched.search(feats, mask, k=k)
+
+    threads = [
+        threading.Thread(target=worker, args=(i,)) for i in range(n_req)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    for i, (feats, mask, k) in enumerate(reqs):
+        want = plain.search(feats, mask, k=k)
+        assert results[i]["indices"] == want["indices"], f"request {i}"
+        np.testing.assert_allclose(
+            np.asarray(results[i]["scores"]), np.asarray(want["scores"]),
+            atol=2e-6, err_msg=f"request {i}",
+        )
+    batched._batcher.close()
+
+
 def test_search_runtime_faults_are_500_not_400(server):
     """A device/runtime failure on the /search hot path (XlaRuntimeError
     subclasses RuntimeError) must surface as a 500 server fault; only
