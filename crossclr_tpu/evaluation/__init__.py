@@ -1,7 +1,9 @@
 """Retrieval evaluation and serving."""
 
 from .retrieval import (
+    QuantizedCorpus,
     encode_corpus,
+    quantize_corpus,
     rank_of_ground_truth,
     retrieval_metrics,
     retrieve_topk,
@@ -11,7 +13,9 @@ from .retrieval import (
 )
 
 __all__ = [
+    "QuantizedCorpus",
     "encode_corpus",
+    "quantize_corpus",
     "rank_of_ground_truth",
     "retrieval_metrics",
     "retrieve_topk",

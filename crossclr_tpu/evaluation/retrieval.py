@@ -10,6 +10,7 @@ no host-side sorting of the full matrix.
 from __future__ import annotations
 
 import functools
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -24,7 +25,76 @@ __all__ = [
     "shard_corpus",
     "sharded_retrieve_topk",
     "encode_corpus",
+    "QuantizedCorpus",
+    "quantize_corpus",
 ]
+
+
+class QuantizedCorpus(NamedTuple):
+    """An int8-quantized retrieval index: 4× less HBM than fp32.
+
+    ``values[i] * scales[i]`` reconstructs the L2-NORMALIZED corpus row i
+    (symmetric per-row quantization, so no zero-points).  A NamedTuple is
+    a pytree, so a ``QuantizedCorpus`` passes straight through ``jit`` /
+    ``shard_map`` / ``device_put`` wherever a dense corpus array does.
+    """
+
+    values: jax.Array  # int8 [N, D]
+    scales: jax.Array  # float32 [N]
+
+
+def quantize_corpus(corpus_emb) -> QuantizedCorpus:
+    """Quantize a corpus to int8 on the HOST (never commits the fp32
+    matrix to a device — the point is indexes too big for that).
+
+    Rows are L2-normalized first (cosine retrieval stores unit vectors),
+    then symmetrically quantized per row: ``scale = max|row| / 127``,
+    ``values = round(row / scale)``.  Worst-case per-element error is
+    ``scale/2 ≤ 1/254`` of a unit vector — cosine scores move by ≲1e-2,
+    which top-k ranking tolerates (tests pin top-1 agreement and score
+    deltas).  Scoring happens in int8×int8→int32 on the MXU (2× the bf16
+    rate) — see :func:`retrieve_topk`.
+    """
+    import numpy as np
+
+    arr = np.asarray(corpus_emb, np.float32)
+    norms = np.linalg.norm(arr, axis=1, keepdims=True)
+    arr = arr / np.maximum(norms, 1e-12)
+    scales = np.maximum(np.max(np.abs(arr), axis=1), 1e-12) / 127.0
+    values = np.rint(arr / scales[:, None]).astype(np.int8)
+    return QuantizedCorpus(values, scales.astype(np.float32))
+
+
+def _quantize_queries(q: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Per-row symmetric int8 quantization of normalized queries, inside
+    jit (queries are tiny; the corpus is what was quantized offline)."""
+    qn = l2_normalize(q.astype(jnp.float32), axis=1)
+    scales = jnp.maximum(jnp.max(jnp.abs(qn), axis=1), 1e-12) / 127.0
+    values = jnp.round(qn / scales[:, None]).astype(jnp.int8)
+    return values, scales
+
+
+def _quantized_sim(
+    q_values: jax.Array, q_scales: jax.Array, corpus: QuantizedCorpus
+) -> jax.Array:
+    """int8×int8→int32 dot on the MXU, rescaled to cosine similarity.
+
+    Exact integer accumulation (D·127² ≪ 2³¹ for any realistic embed
+    dim), so sharded and dense paths produce BITWISE-equal scores —
+    unlike fp32 matmuls, where reduction order shifts the last ulp.
+    """
+    acc = jax.lax.dot_general(
+        q_values,
+        corpus.values,
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return acc.astype(jnp.float32) * q_scales[:, None] * corpus.scales[None, :]
+
+
+def _corpus_rows(corpus) -> int:
+    c = corpus.values if isinstance(corpus, QuantizedCorpus) else corpus
+    return int(c.shape[0])
 
 
 def similarity_matrix(video_emb: jax.Array, text_emb: jax.Array) -> jax.Array:
@@ -216,7 +286,7 @@ def retrieval_metrics(
 @functools.partial(jax.jit, static_argnames=("k", "query_chunk"))
 def retrieve_topk(
     query_emb: jax.Array,
-    corpus_emb: jax.Array,
+    corpus_emb,
     *,
     k: int = 10,
     query_chunk: int = 1024,
@@ -227,11 +297,20 @@ def retrieve_topk(
     large query set never materializes the full ``[Nq, Nc]`` similarity
     matrix — only ``[chunk, Nc]`` lives at a time, and ``lax.top_k`` runs
     on device.  Returns ``(scores [Nq, k], indices [Nq, k])``.
+
+    ``corpus_emb`` may be a dense ``[N, D]`` array (fp32 HIGHEST matmul)
+    or a :class:`QuantizedCorpus` (queries are quantized per-row inside
+    the program and scored int8×int8→int32 on the MXU).
     """
-    q = l2_normalize(query_emb.astype(jnp.float32), axis=1)
-    c = l2_normalize(corpus_emb.astype(jnp.float32), axis=1)
+    quantized = isinstance(corpus_emb, QuantizedCorpus)
+    if quantized:
+        q, q_scales = _quantize_queries(query_emb)
+        c = corpus_emb
+    else:
+        q = l2_normalize(query_emb.astype(jnp.float32), axis=1)
+        c = l2_normalize(corpus_emb.astype(jnp.float32), axis=1)
     nq = q.shape[0]
-    k = min(k, c.shape[0])  # top-k cannot exceed the corpus
+    k = min(k, _corpus_rows(corpus_emb))  # top-k cannot exceed the corpus
     if nq == 0:
         return (
             jnp.zeros((0, k), jnp.float32),
@@ -241,9 +320,16 @@ def retrieve_topk(
     pad = (-nq) % chunk
     q_padded = jnp.pad(q, ((0, pad), (0, 0)))
     blocks = q_padded.reshape(-1, chunk, q.shape[1])
+    if quantized:
+        s_padded = jnp.pad(q_scales, (0, pad))
+        blocks = (blocks, s_padded.reshape(-1, chunk))
 
-    def one_block(qb):
-        sim = jnp.matmul(qb, c.T, precision=jax.lax.Precision.HIGHEST)
+    def one_block(args):
+        if quantized:
+            qb, sb = args
+            sim = _quantized_sim(qb, sb, c)
+        else:
+            sim = jnp.matmul(args, c.T, precision=jax.lax.Precision.HIGHEST)
         return jax.lax.top_k(sim, k)
 
     scores, idx = jax.lax.map(one_block, blocks)
@@ -272,17 +358,28 @@ def shard_corpus(corpus_emb, mesh) -> jax.Array:
     from ..parallel.mesh import DATA_AXIS
 
     n_dev = mesh.shape[DATA_AXIS]
+    rows = NamedSharding(mesh, jax.sharding.PartitionSpec(DATA_AXIS))
+    if isinstance(corpus_emb, QuantizedCorpus):
+        # padded rows: values 0 AND scale 0 — scores exactly 0 before the
+        # index mask even applies
+        vals = np.asarray(corpus_emb.values)
+        scls = np.asarray(corpus_emb.scales)
+        pad = (-vals.shape[0]) % n_dev
+        if pad:
+            vals = np.pad(vals, ((0, pad), (0, 0)))
+            scls = np.pad(scls, (0, pad))
+        return QuantizedCorpus(
+            jax.device_put(vals, rows), jax.device_put(scls, rows)
+        )
     arr = np.asarray(corpus_emb)
     pad = (-arr.shape[0]) % n_dev
     if pad:
         arr = np.pad(arr, ((0, pad), (0, 0)))
-    return jax.device_put(
-        arr, NamedSharding(mesh, jax.sharding.PartitionSpec(DATA_AXIS))
-    )
+    return jax.device_put(arr, rows)
 
 
 @functools.lru_cache(maxsize=32)  # bounded: entries hold compiled executables
-def _sharded_topk_fn(mesh, k: int, n_real: int):
+def _sharded_topk_fn(mesh, k: int, n_real: int, quantized: bool = False):
     """Build (and cache) the jitted sharded top-k for one (mesh, k, N)."""
     from jax.sharding import PartitionSpec as P
 
@@ -291,15 +388,19 @@ def _sharded_topk_fn(mesh, k: int, n_real: int):
     n_dev = mesh.shape[DATA_AXIS]
 
     def local(q, c_loc):
-        rows_per = c_loc.shape[0]
+        rows_per = _corpus_rows(c_loc)
         # exactness: the true global top-k can contain at most
         # min(k, rows_per) entries from any one shard, which is exactly
         # the local cut — merging per-shard top-k_loc loses nothing
         k_loc = min(k, rows_per)
         i = jax.lax.axis_index(DATA_AXIS)
-        qn = l2_normalize(q.astype(jnp.float32), axis=1)
-        cn = l2_normalize(c_loc.astype(jnp.float32), axis=1)
-        sim = jnp.matmul(qn, cn.T, precision=jax.lax.Precision.HIGHEST)
+        if quantized:
+            qv, qs = _quantize_queries(q)
+            sim = _quantized_sim(qv, qs, c_loc)
+        else:
+            qn = l2_normalize(q.astype(jnp.float32), axis=1)
+            cn = l2_normalize(c_loc.astype(jnp.float32), axis=1)
+            sim = jnp.matmul(qn, cn.T, precision=jax.lax.Precision.HIGHEST)
         gidx = i * rows_per + jnp.arange(rows_per)
         sim = jnp.where(gidx[None, :] < n_real, sim, -jnp.inf)
         s_loc, i_loc = jax.lax.top_k(sim, k_loc)
@@ -316,6 +417,10 @@ def _sharded_topk_fn(mesh, k: int, n_real: int):
         s, j = jax.lax.top_k(s_all, k)
         return s, jnp.take_along_axis(g_all, j, axis=1).astype(jnp.int32)
 
+    corpus_spec = (
+        QuantizedCorpus(P(DATA_AXIS), P(DATA_AXIS)) if quantized
+        else P(DATA_AXIS)
+    )
     # check_vma=False: the outputs ARE replicated (they come off an
     # all_gather over the only varying axis) but the vma inference can't
     # prove it through axis_index arithmetic — same situation as the
@@ -324,7 +429,7 @@ def _sharded_topk_fn(mesh, k: int, n_real: int):
         jax.shard_map(
             local,
             mesh=mesh,
-            in_specs=(P(), P(DATA_AXIS)),
+            in_specs=(P(), corpus_spec),
             out_specs=(P(), P()),
             check_vma=False,
         )
@@ -359,13 +464,16 @@ def sharded_retrieve_topk(
     from ..parallel.mesh import DATA_AXIS
 
     n_dev = mesh.shape[DATA_AXIS]
+    quantized = isinstance(corpus_emb, QuantizedCorpus)
     if n_real is None:
-        n_real = int(corpus_emb.shape[0])
-    if corpus_emb.shape[0] % n_dev:
+        n_real = _corpus_rows(corpus_emb)
+    if _corpus_rows(corpus_emb) % n_dev:
         # not yet padded/sharded (shard_corpus pads): do it now
         corpus_emb = shard_corpus(corpus_emb, mesh)
     k = min(k, n_real)
-    return _sharded_topk_fn(mesh, k, n_real)(query_emb, corpus_emb)
+    return _sharded_topk_fn(mesh, k, n_real, quantized)(
+        query_emb, corpus_emb
+    )
 
 
 def encode_corpus(encode_fn, batches, *, side: str = "video") -> jax.Array:

@@ -165,11 +165,26 @@ class RetrievalService:
         """True when the corpus index provably predates the query tower."""
         return self.index_step is not None and self.index_step != self.step
 
-    def _place_corpus(self, corpus_emb) -> jax.Array:
+    def _place_corpus(self, corpus_emb):
         """Device placement for the index: cast to the storage dtype,
         then single-device or row-sharded over the mesh's data axis
         (zero-padded to the axis size by shard_corpus; search masks
-        padded rows by global index)."""
+        padded rows by global index).
+
+        ``int8`` storage quantizes per-row on the host (4× less index
+        HBM than fp32; scoring runs int8×int8→int32 on the MXU — see
+        ``evaluation.quantize_corpus`` for the error bound)."""
+        if self.corpus_dtype == jnp.int8:
+            from .evaluation import quantize_corpus, shard_corpus
+
+            qc = quantize_corpus(corpus_emb)
+            if self.mesh is None:
+                from .evaluation import QuantizedCorpus
+
+                return QuantizedCorpus(
+                    jnp.asarray(qc.values), jnp.asarray(qc.scales)
+                )
+            return shard_corpus(qc, self.mesh)
         if self.mesh is None:
             return jnp.asarray(corpus_emb).astype(self.corpus_dtype)
         from .evaluation import shard_corpus
@@ -711,10 +726,12 @@ def main(argv: list[str] | None = None) -> int:
     )
     ap.add_argument(
         "--corpus-dtype",
-        choices=("float32", "bfloat16"),
+        choices=("float32", "bfloat16", "int8"),
         default="float32",
         help="index storage dtype: bfloat16 halves index HBM (scoring "
-        "still runs in fp32; only the stored embeddings are rounded)",
+        "still runs in fp32; only the stored embeddings are rounded); "
+        "int8 quarters it (per-row symmetric quantization, scored "
+        "int8×int8→int32 on the MXU — cosine scores move ≲1e-2)",
     )
     ap.add_argument(
         "--batch-window-ms",

