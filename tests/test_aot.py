@@ -1,0 +1,156 @@
+"""AOT serving artifacts (crossclr_tpu/aot.py): export → file → load →
+search, with no config/checkpoint/model code on the load side."""
+
+import numpy as np
+import pytest
+
+from crossclr_tpu.aot import SearchArtifact, export_search, save_artifact
+from crossclr_tpu.data import SyntheticPairs
+from crossclr_tpu.serve import build_service
+from crossclr_tpu.utils.config import (
+    DataConfig,
+    ExperimentConfig,
+    apply_overrides,
+)
+
+
+def _tiny_cfg(**data_kw):
+    cfg = ExperimentConfig(data=DataConfig(
+        num_pairs=48, batch_size=16, video_dim=24, text_dim=16, **data_kw
+    ))
+    return apply_overrides(cfg, [
+        "video_tower.input_dim=24", "video_tower.embed_dim=16",
+        "video_tower.hidden_dim=32", "video_tower.dtype=float32",
+        "text_tower.input_dim=16", "text_tower.embed_dim=16",
+        "text_tower.hidden_dim=32", "text_tower.dtype=float32",
+    ])
+
+
+def _queries(n=5):
+    return SyntheticPairs(
+        num_pairs=48, video_dim=24, text_dim=16, seed=0
+    ).text[:n]
+
+
+def test_artifact_matches_service_across_batch_sizes(tmp_path):
+    """One export serves any batch size (symbolic b), results equal the
+    live service; ids ride along; smaller k slices the sorted columns."""
+    service = build_service(_tiny_cfg(), None, "video", random_params=True)
+    blob, meta = export_search(service, k=5)
+    assert meta["k"] == 5 and meta["corpus_rows"] == 48
+    assert meta["query_side"] == "text" and not meta["with_mask"]
+    path = str(tmp_path / "art.npz")
+    save_artifact(path, blob, meta, ids=[f"clip{i}" for i in range(48)])
+
+    art = SearchArtifact.load(path)
+    q = _queries(5)
+    for n in (1, 3, 5):  # no re-export between batch sizes
+        got = art.search(q[:n])
+        want = service.search(q[:n], k=5)
+        assert got["indices"] == want["indices"]
+        np.testing.assert_allclose(
+            np.asarray(got["scores"]), np.asarray(want["scores"]), atol=2e-6
+        )
+        assert got["ids"][0][0] == f"clip{got['indices'][0][0]}"
+
+    # single-query convenience + k slicing
+    one = art.search(q[0], k=2)
+    assert np.asarray(one["indices"]).shape == (1, 2)
+    assert one["indices"][0] == got["indices"][0][:2]
+
+    with pytest.raises(ValueError, match="outside"):
+        art.search(q[:1], k=6)
+    with pytest.raises(ValueError, match="pooled"):
+        art.search(q[:1], mask=np.ones((1, 4), np.float32))
+
+
+def test_artifact_sequence_tower_with_mask(tmp_path):
+    """Masked sequence queries: the artifact signature carries the mask
+    and matches the service for full and partial masks."""
+    cfg = ExperimentConfig(data=DataConfig(
+        num_pairs=48, batch_size=16, video_dim=24, text_dim=16,
+        video_seq_len=4, text_seq_len=4,
+    ))
+    cfg = apply_overrides(cfg, [
+        "video_tower.kind=transformer", "video_tower.input_dim=24",
+        "video_tower.embed_dim=16", "video_tower.hidden_dim=32",
+        "video_tower.num_heads=2", "video_tower.max_seq_len=4",
+        "video_tower.dtype=float32",
+        "text_tower.kind=transformer", "text_tower.input_dim=16",
+        "text_tower.embed_dim=16", "text_tower.hidden_dim=32",
+        "text_tower.num_heads=2", "text_tower.max_seq_len=4",
+        "text_tower.dtype=float32",
+    ])
+    service = build_service(cfg, None, "video", random_params=True)
+    blob, meta = export_search(service, k=4, query_shape=(4, 16))
+    assert meta["with_mask"]
+    path = str(tmp_path / "seq.npz")
+    save_artifact(path, blob, meta)
+    art = SearchArtifact.load(path)
+
+    data = SyntheticPairs(
+        num_pairs=48, video_dim=24, text_dim=16,
+        video_seq_len=4, text_seq_len=4, seed=0,
+    )
+    q = np.asarray(data.text[:3], np.float32)
+    mask = np.ones((3, 4), np.float32)
+    mask[:, 2:] = 0.0
+    for m in (None, mask):
+        got = art.search(q, mask=m)
+        want = service.search(q, m, k=4)
+        assert got["indices"] == want["indices"]
+        np.testing.assert_allclose(
+            np.asarray(got["scores"]), np.asarray(want["scores"]), atol=2e-6
+        )
+
+
+def test_artifact_int8_index(tmp_path):
+    """An int8-quantized index exports and matches the int8 service
+    bitwise (integer accumulation)."""
+    service = build_service(
+        _tiny_cfg(), None, "video", random_params=True, corpus_dtype="int8"
+    )
+    blob, meta = export_search(service, k=3)
+    assert meta["index_dtype"] == "int8"
+    path = str(tmp_path / "q8.npz")
+    save_artifact(path, blob, meta)
+    art = SearchArtifact.load(path)
+    q = _queries(4)
+    got = art.search(q)
+    want = service.search(q, k=3)
+    assert got["indices"] == want["indices"]
+    np.testing.assert_array_equal(
+        np.asarray(got["scores"]), np.asarray(want["scores"])
+    )
+
+
+def test_export_refuses_sharded_corpus():
+    service = build_service(
+        _tiny_cfg(), None, "video", random_params=True, shard_corpus=True
+    )
+    with pytest.raises(ValueError, match="sharded"):
+        export_search(service, k=3)
+
+
+def test_export_cli_roundtrip(tmp_path):
+    """scripts/export_serving.py writes a loadable artifact with ids."""
+    import json
+
+    from crossclr_tpu.utils.config import save_config
+    from scripts.export_serving import main as export_main
+
+    cfg_path = tmp_path / "cfg.json"
+    save_config(_tiny_cfg(), str(cfg_path))
+    out = tmp_path / "art.npz"
+    rc = export_main([
+        "--config", str(cfg_path), "--random-params",
+        "--k", "4", "--output", str(out),
+    ])
+    assert rc == 0 and out.exists()
+    art = SearchArtifact.load(str(out))
+    assert art.meta["k"] == 4 and art.meta["corpus_rows"] == 48
+    assert json.dumps(art.meta)  # meta stays JSON-serializable
+    res = art.search(_queries(2))
+    assert np.asarray(res["indices"]).shape == (2, 4)
+    s = np.asarray(res["scores"])
+    assert np.all(np.isfinite(s)) and np.all(s[:, :-1] >= s[:, 1:] - 1e-7)
