@@ -57,7 +57,13 @@ def _to_numpy(value: Any) -> np.ndarray:
     """torch.Tensor / array-like → float64-safe numpy (no torch import
     required when the caller already passes numpy)."""
     if hasattr(value, "detach"):  # torch.Tensor without importing torch
-        value = value.detach().cpu().numpy()
+        value = value.detach().cpu()
+        try:
+            value = value.numpy()
+        except TypeError:
+            # bfloat16/float8 tensors have no native numpy dtype; upcast
+            # (the template dtype is re-applied in _convert_leaf anyway)
+            value = value.float().numpy()
     return np.asarray(value)
 
 
@@ -138,9 +144,19 @@ def params_from_torch(
     ``strict``: raise if any non-buffer torch entry goes unconsumed
     (catches silently-dropped weights, the classic porting bug).
     """
-    source = {
-        _apply_rename(k, rename): _to_numpy(v) for k, v in state_dict.items()
-    }
+    source: dict[str, np.ndarray] = {}
+    renamed_from: dict[str, str] = {}
+    for torch_key, v in state_dict.items():
+        key = _apply_rename(torch_key, rename)
+        if key in source:
+            # a collapsing rename would silently overwrite a weight —
+            # exactly the silent drop `strict` exists to prevent
+            raise ValueError(
+                f"rename maps both {renamed_from[key]!r} and "
+                f"{torch_key!r} to {key!r}"
+            )
+        source[key] = _to_numpy(v)
+        renamed_from[key] = torch_key
     consumed: set[str] = set()
 
     def convert(path, leaf):

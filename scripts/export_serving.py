@@ -16,8 +16,9 @@ Example:
 
 import argparse
 import sys
+from pathlib import Path
 
-sys.path.insert(0, ".")  # repo root, like the other scripts
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
 def main(argv=None) -> int:
@@ -47,6 +48,11 @@ def main(argv=None) -> int:
     ap.add_argument("--platforms", default=None,
                     help="comma-separated lowering targets, e.g. tpu,cpu "
                     "(default: the current backend)")
+    ap.add_argument("--query-shape", default=None,
+                    help="per-query trailing feature shape: D for pooled "
+                    "(the default, from the query tower's input_dim) or "
+                    "S,D for sequence queries (adds a [b, S] mask to the "
+                    "artifact signature)")
     ap.add_argument("--random-params", action="store_true")
     ap.add_argument("overrides", nargs="*")
     args = ap.parse_args(argv)
@@ -73,8 +79,14 @@ def main(argv=None) -> int:
     platforms = (
         tuple(args.platforms.split(",")) if args.platforms else None
     )
-    blob, meta = export_search(service, k=args.k, platforms=platforms)
-    save_artifact(args.output, blob, meta, ids=service.ids)
+    query_shape = (
+        tuple(int(d) for d in args.query_shape.split(","))
+        if args.query_shape else None
+    )
+    blob, meta, corpus = export_search(
+        service, k=args.k, platforms=platforms, query_shape=query_shape
+    )
+    save_artifact(args.output, blob, meta, corpus, ids=service.ids)
     print(
         f"wrote {args.output}: k={meta['k']}, {meta['corpus_rows']} "
         f"{meta['corpus_side']} rows ({meta['index_dtype']} index), "

@@ -47,7 +47,6 @@ def main(argv=None) -> int:
     import jax
     import jax.numpy as jnp
 
-    from crossclr_tpu.data import dataset_from_config, epoch_batches
     from crossclr_tpu.training import CheckpointManager, Trainer
     from crossclr_tpu.utils.config import (
         ExperimentConfig, apply_overrides, load_config,
@@ -85,22 +84,42 @@ def main(argv=None) -> int:
         if not (args.video_key and args.text_key):
             raise SystemExit("--video-key and --text-key go together")
         video_sd, text_sd = blob[args.video_key], blob[args.text_key]
-        crit_sd = blob[args.criterion_key] if args.criterion_key else None
     else:
         video_sd = _sub_dict(blob, args.video_prefix)
         text_sd = _sub_dict(blob, args.text_prefix)
-        crit_sd = (
-            _sub_dict(blob, args.criterion_prefix)
-            if args.criterion_prefix else None
+    # the criterion selector is independent of the tower mode: a flat
+    # prefixed checkpoint may still nest the criterion under a key
+    if args.criterion_key and args.criterion_prefix:
+        raise SystemExit(
+            "pass --criterion-key OR --criterion-prefix, not both"
         )
+    if args.criterion_key:
+        if args.criterion_key not in blob:
+            raise SystemExit(
+                f"--criterion-key {args.criterion_key!r} not in the "
+                f"checkpoint (top-level keys: {sorted(blob)[:20]})"
+            )
+        crit_sd = blob[args.criterion_key]
+    elif args.criterion_prefix:
+        crit_sd = _sub_dict(blob, args.criterion_prefix)
+    else:
+        crit_sd = None
 
-    # template state from the experiment config (shapes from one batch)
-    dataset, _ = dataset_from_config(cfg.data)
-    first = next(epoch_batches(
-        dataset, min(cfg.data.batch_size, len(dataset)), shuffle=False
-    ))
+    # template state from the tower configs alone — a pure weight
+    # conversion must not require the training data on disk; only the
+    # input SHAPES matter (transformer pos_embed is sized by
+    # TowerConfig.max_seq_len, not the example length)
+    def _example(tower_cfg, seq_len):
+        if getattr(tower_cfg, "kind", "mlp") == "transformer":
+            s = min(seq_len or tower_cfg.max_seq_len, tower_cfg.max_seq_len)
+            return jnp.zeros((2, s, tower_cfg.input_dim), jnp.float32)
+        return jnp.zeros((2, tower_cfg.input_dim), jnp.float32)
+
     trainer = Trainer(cfg.video_tower, cfg.text_tower, cfg.train)
-    state = trainer.init_state(first["video"], first["text"])
+    state = trainer.init_state(
+        _example(cfg.video_tower, getattr(cfg.data, "video_seq_len", None)),
+        _example(cfg.text_tower, getattr(cfg.data, "text_seq_len", None)),
+    )
 
     params = dual_encoder_params_from_torch(
         state.params, video_sd, text_sd, crit_sd, strict=not args.no_strict,

@@ -15,8 +15,9 @@ from crossclr_tpu.utils.config import (
 
 
 def _tiny_cfg(**data_kw):
+    data_kw = {"num_pairs": 48, **data_kw}
     cfg = ExperimentConfig(data=DataConfig(
-        num_pairs=48, batch_size=16, video_dim=24, text_dim=16, **data_kw
+        batch_size=16, video_dim=24, text_dim=16, **data_kw
     ))
     return apply_overrides(cfg, [
         "video_tower.input_dim=24", "video_tower.embed_dim=16",
@@ -36,11 +37,11 @@ def test_artifact_matches_service_across_batch_sizes(tmp_path):
     """One export serves any batch size (symbolic b), results equal the
     live service; ids ride along; smaller k slices the sorted columns."""
     service = build_service(_tiny_cfg(), None, "video", random_params=True)
-    blob, meta = export_search(service, k=5)
+    blob, meta, corpus = export_search(service, k=5)
     assert meta["k"] == 5 and meta["corpus_rows"] == 48
     assert meta["query_side"] == "text" and not meta["with_mask"]
     path = str(tmp_path / "art.npz")
-    save_artifact(path, blob, meta, ids=[f"clip{i}" for i in range(48)])
+    save_artifact(path, blob, meta, corpus, ids=[f"clip{i}" for i in range(48)])
 
     art = SearchArtifact.load(path)
     q = _queries(5)
@@ -82,10 +83,10 @@ def test_artifact_sequence_tower_with_mask(tmp_path):
         "text_tower.dtype=float32",
     ])
     service = build_service(cfg, None, "video", random_params=True)
-    blob, meta = export_search(service, k=4, query_shape=(4, 16))
+    blob, meta, corpus = export_search(service, k=4, query_shape=(4, 16))
     assert meta["with_mask"]
     path = str(tmp_path / "seq.npz")
-    save_artifact(path, blob, meta)
+    save_artifact(path, blob, meta, corpus)
     art = SearchArtifact.load(path)
 
     data = SyntheticPairs(
@@ -110,10 +111,11 @@ def test_artifact_int8_index(tmp_path):
     service = build_service(
         _tiny_cfg(), None, "video", random_params=True, corpus_dtype="int8"
     )
-    blob, meta = export_search(service, k=3)
+    blob, meta, corpus = export_search(service, k=3)
     assert meta["index_dtype"] == "int8"
+    assert corpus[0].dtype == np.int8  # index keeps its storage dtype
     path = str(tmp_path / "q8.npz")
-    save_artifact(path, blob, meta)
+    save_artifact(path, blob, meta, corpus)
     art = SearchArtifact.load(path)
     q = _queries(4)
     got = art.search(q)
@@ -154,3 +156,76 @@ def test_export_cli_roundtrip(tmp_path):
     assert np.asarray(res["indices"]).shape == (2, 4)
     s = np.asarray(res["scores"])
     assert np.all(np.isfinite(s)) and np.all(s[:, :-1] >= s[:, 1:] - 1e-7)
+
+
+def test_artifact_bf16_index_stays_bf16(tmp_path):
+    """A bf16 service exports a bf16 index (stored as a uint16 view in
+    the npz, NOT folded into fp32 module constants) and matches the
+    live bf16 service."""
+    import jax.numpy as jnp
+
+    service = build_service(
+        _tiny_cfg(), None, "video", random_params=True,
+        corpus_dtype="bfloat16",
+    )
+    blob, meta, corpus = export_search(service, k=3)
+    assert meta["index_dtype"] == "bfloat16"
+    assert meta["corpus_dtypes"] == ["bfloat16"]
+    assert corpus[0].dtype == jnp.bfloat16
+    path = str(tmp_path / "bf16.npz")
+    save_artifact(path, blob, meta, corpus)
+    with np.load(path, allow_pickle=False) as npz:
+        assert npz["corpus_0"].dtype == np.uint16  # view storage
+
+    # the index is NOT baked into the module: the serialized blob's size
+    # must not scale with the corpus (params are the only constants)
+    big = build_service(
+        _tiny_cfg(num_pairs=480), None, "video", random_params=True,
+        corpus_dtype="bfloat16",
+    )
+    blob_big, _, corpus_big = export_search(big, k=3)
+    assert corpus_big[0].nbytes == 10 * corpus[0].nbytes
+    assert abs(len(blob_big) - len(blob)) < 2000
+
+    art = SearchArtifact.load(path)
+    q = _queries(4)
+    got = art.search(q)
+    want = service.search(q, k=3)
+    assert got["indices"] == want["indices"]
+    np.testing.assert_allclose(
+        np.asarray(got["scores"]), np.asarray(want["scores"]), atol=2e-6
+    )
+
+
+def test_artifact_single_query_mask_convenience(tmp_path):
+    """A 1-D mask expands alongside a single (S, D) query, like the
+    live service's search does."""
+    cfg = ExperimentConfig(data=DataConfig(
+        num_pairs=48, batch_size=16, video_dim=24, text_dim=16,
+        video_seq_len=4, text_seq_len=4,
+    ))
+    cfg = apply_overrides(cfg, [
+        "video_tower.kind=transformer", "video_tower.input_dim=24",
+        "video_tower.embed_dim=16", "video_tower.hidden_dim=32",
+        "video_tower.num_heads=2", "video_tower.max_seq_len=4",
+        "video_tower.dtype=float32",
+        "text_tower.kind=transformer", "text_tower.input_dim=16",
+        "text_tower.embed_dim=16", "text_tower.hidden_dim=32",
+        "text_tower.num_heads=2", "text_tower.max_seq_len=4",
+        "text_tower.dtype=float32",
+    ])
+    service = build_service(cfg, None, "video", random_params=True)
+    blob, meta, corpus = export_search(service, k=3, query_shape=(4, 16))
+    path = str(tmp_path / "seq1.npz")
+    save_artifact(path, blob, meta, corpus)
+    art = SearchArtifact.load(path)
+
+    data = SyntheticPairs(
+        num_pairs=48, video_dim=24, text_dim=16,
+        video_seq_len=4, text_seq_len=4, seed=0,
+    )
+    q1 = np.asarray(data.text[0], np.float32)  # (S, D) single query
+    m1 = np.asarray([1, 1, 0, 0], np.float32)  # (S,) single mask
+    got = art.search(q1, mask=m1)
+    want = service.search(q1, m1, k=3)
+    assert got["indices"] == want["indices"]

@@ -373,3 +373,95 @@ def test_dual_encoder_params_template_passthrough(rng):
         template, tv.state_dict(), tt.state_dict()
     )
     assert float(params["logit_scale"]) == 0.5
+
+
+def test_rename_collision_raises():
+    """A rename that collapses two torch keys to one name must raise, not
+    silently overwrite a weight (the silent drop `strict` exists for)."""
+    torch.manual_seed(0)
+    sd = dict(TorchMLPTower(MLP_CFG).state_dict())
+    sd["shadow_fc1.weight"] = torch.zeros_like(sd["fc1.weight"])
+    with pytest.raises(ValueError, match="maps both"):
+        params_from_torch(
+            _mlp_template(), sd, rename={"shadow_fc1.": "fc1."}
+        )
+
+
+def test_bfloat16_state_dict_imports():
+    """bf16-trained torch checkpoints convert (tensor.numpy() has no
+    bf16 path; the importer upcasts) and match the fp32 conversion to
+    bf16 rounding."""
+    torch.manual_seed(0)
+    tower = TorchMLPTower(MLP_CFG)
+    got = params_from_torch(
+        _mlp_template(),
+        {k: v.bfloat16() for k, v in tower.state_dict().items()},
+    )
+    want = params_from_torch(_mlp_template(), tower.state_dict())
+    for g, w in zip(jax.tree.leaves(got), jax.tree.leaves(want)):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(w), rtol=1e-2, atol=1e-2
+        )
+
+
+def test_import_cli_criterion_key_and_no_data(tmp_path):
+    """--criterion-key works without --video-key/--text-key, and the
+    conversion never touches the training data (a files-source config
+    with nonexistent paths still converts)."""
+    torch.manual_seed(3)
+    text_cfg = TowerConfig(
+        kind="mlp", input_dim=18, embed_dim=16, hidden_dim=32, num_layers=1,
+        dtype=jnp.float32,
+    )
+    tv, tt = TorchMLPTower(MLP_CFG), TorchMLPTower(text_cfg)
+    blob = {f"video_tower.{k}": v for k, v in tv.state_dict().items()}
+    blob.update({f"text_tower.{k}": v for k, v in tt.state_dict().items()})
+    blob["criterion"] = {"logit_scale": torch.full([], 0.75)}
+    pt_path = tmp_path / "mixed.pt"
+    torch.save(blob, pt_path)
+
+    from crossclr_tpu.utils.config import (
+        DataConfig, ExperimentConfig, save_config,
+    )
+    cfg = ExperimentConfig(
+        video_tower=MLP_CFG, text_tower=text_cfg,
+        data=DataConfig(
+            source="files",
+            video_path=str(tmp_path / "missing_v.npy"),
+            text_path=str(tmp_path / "missing_t.npy"),
+        ),
+    )
+    cfg_path = tmp_path / "cfg.json"
+    save_config(cfg, cfg_path)
+
+    sys.path.insert(0, "/root/repo/scripts")
+    try:
+        import import_torch_checkpoint
+    finally:
+        sys.path.remove("/root/repo/scripts")
+    out_dir = tmp_path / "ckpt"
+    assert import_torch_checkpoint.main([
+        "--config", str(cfg_path), "--torch-ckpt", str(pt_path),
+        "--output", str(out_dir), "--criterion-key", "criterion",
+    ]) == 0
+
+    from crossclr_tpu.training import CheckpointManager, Trainer
+    trainer = Trainer(MLP_CFG, text_cfg, cfg.train)
+    state = trainer.init_state(
+        jnp.zeros((2, MLP_CFG.input_dim)), jnp.zeros((2, 18))
+    )
+    mgr = CheckpointManager(str(out_dir))
+    state = mgr.restore(state)
+    mgr.close()
+    # the nested-key criterion state landed
+    np.testing.assert_allclose(
+        float(state.params["logit_scale"]), 0.75, rtol=1e-6
+    )
+
+    # both criterion selectors at once is an error
+    with pytest.raises(SystemExit, match="not both"):
+        import_torch_checkpoint.main([
+            "--config", str(cfg_path), "--torch-ckpt", str(pt_path),
+            "--output", str(tmp_path / "x"),
+            "--criterion-key", "criterion", "--criterion-prefix", "c.",
+        ])
