@@ -47,6 +47,14 @@ class TrainConfig:
     prune_percent: float = 0.10
     margin: float = 0.1  # loss.py:23 default
     learning_rate: float = 1e-4
+    # "adamw" (default) or "lamb": LAMB (You et al. 2020, public
+    # technique) layer-wise-rescales the adam update by ‖param‖/‖update‖,
+    # the standard optimizer for very large batches — the 32k global-
+    # negative configuration (BASELINE.json config 5) is exactly the
+    # regime it was built for.  Same warmup-cosine schedule, clipping,
+    # decay mask, and state shape (param-shaped mu/nu moments, so the
+    # tensor-parallel moment sharding applies unchanged).
+    optimizer: str = "adamw"
     weight_decay: float = 0.01
     warmup_steps: int = 100
     total_steps: int = 10_000
@@ -331,10 +339,20 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
             params,
         )
 
-    return optax.chain(
-        optax.clip_by_global_norm(cfg.clip_norm),
-        optax.adamw(schedule, weight_decay=cfg.weight_decay, mask=decay_mask),
-    )
+    if cfg.optimizer == "adamw":
+        tx = optax.adamw(
+            schedule, weight_decay=cfg.weight_decay, mask=decay_mask
+        )
+    elif cfg.optimizer == "lamb":
+        tx = optax.lamb(
+            schedule, weight_decay=cfg.weight_decay, mask=decay_mask
+        )
+    else:
+        raise ValueError(
+            f"TrainConfig.optimizer must be 'adamw' or 'lamb', got "
+            f"{cfg.optimizer!r}"
+        )
+    return optax.chain(optax.clip_by_global_norm(cfg.clip_norm), tx)
 
 
 def stitch_host_replicated(sharding, full: np.ndarray, global_shape):

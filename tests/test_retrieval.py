@@ -258,6 +258,18 @@ def test_sharded_retrieval_fuzz():
         want = retrieve_topk(q, c, k=k)
         got = sharded_retrieve_topk(q, c, k=k, mesh=mesh)
         _assert_topk_equivalent(q, c, k_eff, got[0], got[1], want[0], want[1])
+        # int8 index on the same trial grid: sharded == dense BITWISE
+        from crossclr_tpu.evaluation import quantize_corpus
+
+        qc = quantize_corpus(np.asarray(c))
+        want_q = retrieve_topk(q, qc, k=k)
+        got_q = sharded_retrieve_topk(q, qc, k=k, mesh=mesh)
+        np.testing.assert_array_equal(
+            np.asarray(got_q[1]), np.asarray(want_q[1])
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got_q[0]), np.asarray(want_q[0])
+        )
         if trial % 4 == 0:
             v = jnp.asarray(rng.standard_normal((nc, d)), jnp.float32)
             t = jnp.asarray(

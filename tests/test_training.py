@@ -957,3 +957,62 @@ def test_checkpoint_restores_across_mesh_topologies(tmp_path):
             float(m_b["loss"]), float(m_a["loss"]), rtol=1e-5,
             err_msg=f"resume on dp={n_data},tp={n_model}",
         )
+
+
+def test_lamb_optimizer_trains_and_shards():
+    """TrainConfig.optimizer='lamb' (large-batch regime, config 5): the
+    step trains the loss down, and under a dp x tp mesh the LAMB moment
+    tree shards like the params (same param-shaped mu/nu structure the
+    generic moment-placement walks)."""
+    from crossclr_tpu.parallel import data_sharding, make_mesh
+
+    data = SyntheticPairs(num_pairs=256, video_dim=48, text_dim=32, seed=0)
+    vc = TowerConfig(kind="mlp", input_dim=48, embed_dim=32, hidden_dim=64,
+                     dtype=jnp.float32)
+    tc = TowerConfig(kind="mlp", input_dim=32, embed_dim=32, hidden_dim=64,
+                     dtype=jnp.float32)
+    cfg = TrainConfig(optimizer="lamb", learning_rate=1e-3, warmup_steps=5,
+                      total_steps=100, temperature=0.1)
+    trainer = Trainer(vc, tc, cfg, mesh=None)
+    batch = next(epoch_batches(data, 64, shuffle=False))
+    state = trainer.init_state(batch["video"], batch["text"])
+    first = None
+    for _ in range(40):
+        state, m = trainer.train_step(state, batch)
+        if first is None:
+            first = float(m["loss"])
+    last = float(m["loss"])
+    assert np.isfinite(last) and last < first - 0.3, (first, last)
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    tr_tp = Trainer(vc, tc, cfg, mesh=mesh)
+    st_tp = tr_tp.init_state(batch["video"], batch["text"])
+    # a TP-sharded param implies its LAMB moments are sharded the same
+    # way (apply_gradients would otherwise insert resharding copies)
+    kernel_spec = str(
+        st_tp.params["video_tower"]["fc1"]["kernel"].sharding.spec
+    )
+    assert "model" in kernel_spec
+    mu_leaves = [
+        leaf
+        for leaf in jax.tree.leaves(
+            st_tp.opt_state,
+            is_leaf=lambda x: hasattr(x, "sharding"),
+        )
+        if hasattr(x := leaf, "sharding")
+        and x.shape == st_tp.params["video_tower"]["fc1"]["kernel"].shape
+    ]
+    assert mu_leaves and all(
+        "model" in str(leaf.sharding.spec) for leaf in mu_leaves
+    )
+    sh = data_sharding(mesh)
+    dbatch = {k: jax.device_put(jnp.asarray(v), sh) for k, v in batch.items()}
+    _, m_tp = tr_tp.train_step(st_tp, dbatch)
+    assert np.isfinite(float(m_tp["loss"]))
+
+
+def test_unknown_optimizer_raises():
+    from crossclr_tpu.training.trainer import make_optimizer
+
+    with pytest.raises(ValueError, match="adamw"):
+        make_optimizer(TrainConfig(optimizer="sgd"))
