@@ -7,6 +7,7 @@ from .torch_import import (
     dual_encoder_params_from_torch,
     logit_scale_from_torch,
     params_from_torch,
+    state_dict_from_params,
 )
 
 __all__ = [
@@ -22,4 +23,5 @@ __all__ = [
     "params_from_torch",
     "dual_encoder_params_from_torch",
     "logit_scale_from_torch",
+    "state_dict_from_params",
 ]

@@ -46,6 +46,7 @@ __all__ = [
     "params_from_torch",
     "dual_encoder_params_from_torch",
     "logit_scale_from_torch",
+    "state_dict_from_params",
 ]
 
 # torch buffer suffixes that are bookkeeping, not parameters — never
@@ -243,3 +244,70 @@ def dual_encoder_params_from_torch(
     elif "logit_scale" in template:
         out["logit_scale"] = jnp.asarray(template["logit_scale"])
     return out
+
+
+def state_dict_from_params(
+    params: Any,
+    *,
+    rename: Mapping[str, str] | Callable[[str], str] | None = None,
+) -> dict[str, np.ndarray]:
+    """The REVERSE conversion: a Flax parameter (sub)tree → a torch-layout
+    ``state_dict`` of numpy arrays (``torch.save``-able after
+    ``{k: torch.from_numpy(v) for ...}``) — the migration escape hatch, so
+    moving here is a two-way door.
+
+    Inverts :func:`params_from_torch` exactly: ``Dense`` kernels
+    transpose back to ``[out, in]``; ``DenseGeneral`` attention kernels
+    ``[E, H, Dh]`` / ``[H, Dh, E]`` flatten to ``[E, E]`` Linears (their
+    biases to ``[E]``); ``scale`` leaves become ``weight``.  Keys are the
+    structural Flax paths with the leaf rewritten (``kernel``/``scale`` →
+    ``weight``); ``rename`` rewrites them AFTERWARD (a
+    ``{flax_prefix: torch_prefix}`` map or a callable), mirroring the
+    import direction's knob.  Round-trip is exact:
+    ``params_from_torch(t, state_dict_from_params(p)) == p``
+    (pinned in tests/test_torch_import.py).
+    """
+    flat: dict[str, np.ndarray] = {}
+
+    def emit(path, leaf):
+        names = tuple(getattr(p, "key", getattr(p, "idx", p)) for p in path)
+        *modules, leaf_name = names
+        value = np.asarray(jax.device_get(leaf))
+        if leaf_name == "kernel":
+            if value.ndim == 2:
+                value = value.T  # [in, out] -> [out, in]
+            elif value.ndim == 3:
+                # flax MultiHeadDotProductAttention: the out projection
+                # (module named "out") groups its LEADING head axes as
+                # the input, [H, Dh, E] -> [H*Dh, E]; q/k/v group their
+                # TRAILING head axes as the output, [E, H, Dh] ->
+                # [E, H*Dh].  Either way, torch wants [out, in].
+                if modules and str(modules[-1]) == "out":
+                    value = value.reshape(-1, value.shape[-1]).T
+                else:
+                    value = value.reshape(value.shape[0], -1).T
+            else:
+                raise ValueError(
+                    f"{'.'.join(map(str, names))}: cannot express a "
+                    f"{value.ndim}-D kernel as a torch Linear"
+                )
+            torch_leaf = "weight"
+        elif leaf_name == "scale":
+            torch_leaf = "weight"  # LayerNorm
+        else:
+            torch_leaf = str(leaf_name)
+            if torch_leaf == "bias" and value.ndim > 1:
+                value = value.reshape(-1)  # q/k/v bias [H, Dh] -> [E]
+        key = (
+            ".".join([*map(str, modules), torch_leaf])
+            if modules else torch_leaf
+        )
+        rk = _apply_rename(key, rename)
+        if rk in flat:
+            raise ValueError(
+                f"rename maps two params to the same key {rk!r}"
+            )
+        flat[rk] = value
+
+    jax.tree_util.tree_map_with_path(emit, params)
+    return flat

@@ -465,3 +465,58 @@ def test_import_cli_criterion_key_and_no_data(tmp_path):
             "--output", str(tmp_path / "x"),
             "--criterion-key", "criterion", "--criterion-prefix", "c.",
         ])
+
+
+def test_reverse_export_roundtrips_exactly(rng):
+    """state_dict_from_params inverts params_from_torch bit-exactly for
+    both tower kinds (transposes/reshapes only, no arithmetic)."""
+    from crossclr_tpu.utils.torch_import import state_dict_from_params
+
+    torch.manual_seed(4)
+    for mirror, cfg, flax_cls, example in (
+        (TorchMLPTower, MLP_CFG, MLPTower,
+         (jnp.zeros((1, MLP_CFG.input_dim)),)),
+        (TorchTransformerTower, TR_CFG, TransformerTower,
+         (jnp.zeros((1, TR_CFG.max_seq_len, TR_CFG.input_dim)), None)),
+    ):
+        tm = mirror(cfg)
+        sd = {k: _np(v) for k, v in tm.state_dict().items()}
+        template = jax.eval_shape(
+            lambda flax_cls=flax_cls, cfg=cfg, example=example:
+            flax_cls(cfg).init(jax.random.PRNGKey(0), *example)
+        )["params"]
+        params = params_from_torch(template, sd)
+        back = state_dict_from_params(params)
+        assert sorted(back) == sorted(sd)
+        for k in sd:
+            np.testing.assert_array_equal(back[k], sd[k], err_msg=k)
+
+
+def test_reverse_export_runs_in_torch(rng):
+    """A FLAX-initialized transformer tower exports to a state_dict a
+    live torch mirror loads strictly, and the two forwards agree — the
+    migration is a two-way door."""
+    from crossclr_tpu.utils.torch_import import state_dict_from_params
+
+    b, s = 4, TR_CFG.max_seq_len
+    x = rng.standard_normal((b, s, TR_CFG.input_dim)).astype(np.float32)
+    flax_tower = TransformerTower(TR_CFG)
+    params = flax_tower.init(
+        jax.random.PRNGKey(7), jnp.asarray(x), None
+    )["params"]
+
+    sd = state_dict_from_params(params)
+    tm = TorchTransformerTower(TR_CFG)
+    tm.load_state_dict(
+        {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()},
+        strict=True,
+    )
+    got = _np(tm(torch.from_numpy(x)))
+    want = np.asarray(flax_tower.apply({"params": params}, jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, atol=5e-5, rtol=1e-4)
+
+    # rename knob mirrors the import direction
+    renamed = state_dict_from_params(
+        params, rename={"input_proj.": "stem."}
+    )
+    assert "stem.weight" in renamed and "input_proj.weight" not in renamed
