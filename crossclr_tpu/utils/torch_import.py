@@ -54,6 +54,11 @@ __all__ = [
 _IGNORED_SUFFIXES = ("num_batches_tracked",)
 
 
+def _path_names(path) -> tuple:
+    """A jax key path as plain names (DictKey.key / SequenceKey.idx)."""
+    return tuple(getattr(p, "key", getattr(p, "idx", p)) for p in path)
+
+
 def _to_numpy(value: Any) -> np.ndarray:
     """torch.Tensor / array-like → float64-safe numpy (no torch import
     required when the caller already passes numpy)."""
@@ -161,9 +166,7 @@ def params_from_torch(
     consumed: set[str] = set()
 
     def convert(path, leaf):
-        names = tuple(
-            getattr(p, "key", getattr(p, "idx", p)) for p in path
-        )
+        names = _path_names(path)
         spec = jax.ShapeDtypeStruct(leaf.shape, leaf.dtype)
         for key in _flax_key_candidates(names):
             if key in source:
@@ -263,26 +266,42 @@ def state_dict_from_params(
     structural Flax paths with the leaf rewritten (``kernel``/``scale`` →
     ``weight``); ``rename`` rewrites them AFTERWARD (a
     ``{flax_prefix: torch_prefix}`` map or a callable), mirroring the
-    import direction's knob.  Round-trip is exact:
-    ``params_from_torch(t, state_dict_from_params(p)) == p``
+    import direction's knob.  bf16/fp8 params upcast to float32 (numpy
+    views of those dtypes have no ``torch.from_numpy`` path).  Round-trip
+    is exact: ``params_from_torch(t, state_dict_from_params(p)) == p``
     (pinned in tests/test_torch_import.py).
     """
-    flat: dict[str, np.ndarray] = {}
+    leaves = jax.tree_util.tree_flatten_with_path(params)[0]
+    by_names = {_path_names(path): leaf for path, leaf in leaves}
 
-    def emit(path, leaf):
-        names = tuple(getattr(p, "key", getattr(p, "idx", p)) for p in path)
+    flat: dict[str, np.ndarray] = {}
+    emitted_from: dict[str, str] = {}
+    for names, leaf in by_names.items():
         *modules, leaf_name = names
         value = np.asarray(jax.device_get(leaf))
+        if value.dtype.kind == "V" or "bfloat16" in str(value.dtype):
+            # ml_dtypes bf16/fp8 have no torch.from_numpy path; upcast
+            # (mirrors _to_numpy's handling in the import direction)
+            value = value.astype(np.float32)
         if leaf_name == "kernel":
             if value.ndim == 2:
                 value = value.T  # [in, out] -> [out, in]
             elif value.ndim == 3:
                 # flax MultiHeadDotProductAttention: the out projection
-                # (module named "out") groups its LEADING head axes as
-                # the input, [H, Dh, E] -> [H*Dh, E]; q/k/v group their
-                # TRAILING head axes as the output, [E, H, Dh] ->
-                # [E, H*Dh].  Either way, torch wants [out, in].
-                if modules and str(modules[-1]) == "out":
+                # groups its LEADING head axes as the input ([H, Dh, E]
+                # -> [H*Dh, E]); q/k/v group their TRAILING head axes as
+                # the output ([E, H, Dh] -> [E, H*Dh]).  Which one this
+                # kernel is cannot be read off the shape (E == H*Dh for
+                # the usual square attention), so consult the SIBLING
+                # bias: q/k/v biases are [H, Dh], the out bias is [E]
+                # (the flax module guarantees this).  Biasless modules
+                # fall back to flax's out-projection module name.
+                bias = by_names.get((*modules, "bias"))
+                if bias is not None:
+                    is_out_proj = np.ndim(bias) == 1
+                else:
+                    is_out_proj = bool(modules) and str(modules[-1]) == "out"
+                if is_out_proj:
                     value = value.reshape(-1, value.shape[-1]).T
                 else:
                     value = value.reshape(value.shape[0], -1).T
@@ -303,11 +322,15 @@ def state_dict_from_params(
             if modules else torch_leaf
         )
         rk = _apply_rename(key, rename)
+        src = ".".join(map(str, names))
         if rk in flat:
             raise ValueError(
-                f"rename maps two params to the same key {rk!r}"
+                f"params {emitted_from[rk]!r} and {src!r} both map to the "
+                f"torch key {rk!r}"
+                + (" — fix the rename map" if rename is not None else "")
             )
-        flat[rk] = value
-
-    jax.tree_util.tree_map_with_path(emit, params)
+        # writable + contiguous so the documented torch.from_numpy recipe
+        # works without warnings (device_get views are read-only)
+        flat[rk] = np.ascontiguousarray(value)
+        emitted_from[rk] = src
     return flat

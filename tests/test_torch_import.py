@@ -520,3 +520,70 @@ def test_reverse_export_runs_in_torch(rng):
         params, rename={"input_proj.": "stem."}
     )
     assert "stem.weight" in renamed and "input_proj.weight" not in renamed
+
+
+def test_reverse_export_bf16_and_from_numpy():
+    """bf16 Flax params export as fp32 numpy the documented
+    torch.from_numpy recipe accepts (no ml_dtypes leak, no read-only
+    warning)."""
+    from crossclr_tpu.utils.torch_import import state_dict_from_params
+
+    params = {
+        "fc1": {
+            "kernel": jnp.ones((4, 3), jnp.bfloat16),
+            "bias": jnp.zeros((3,), jnp.bfloat16),
+        }
+    }
+    sd = state_dict_from_params(params)
+    assert sd["fc1.weight"].dtype == np.float32
+    assert sd["fc1.weight"].shape == (3, 4)
+    t = {k: torch.from_numpy(v) for k, v in sd.items()}  # must not raise
+    assert t["fc1.bias"].shape == (3,)
+
+
+def test_reverse_export_out_projection_by_sibling_bias():
+    """An out-projection kernel under a NON-'out' module name flattens
+    correctly: the [E] sibling bias (vs q/k/v's [H, Dh]) disambiguates,
+    so the roundtrip holds for renamed attention modules too."""
+    from crossclr_tpu.utils.torch_import import state_dict_from_params
+
+    h, dh, e = 2, 3, 6
+    rng = np.random.default_rng(0)
+    params = {
+        "o_proj": {  # out-projection layout, arbitrary name
+            "kernel": jnp.asarray(rng.standard_normal((h, dh, e)), jnp.float32),
+            "bias": jnp.asarray(rng.standard_normal((e,)), jnp.float32),
+        },
+        "q_proj": {  # q/k/v layout, arbitrary name
+            "kernel": jnp.asarray(rng.standard_normal((e, h, dh)), jnp.float32),
+            "bias": jnp.asarray(rng.standard_normal((h, dh)), jnp.float32),
+        },
+    }
+    sd = state_dict_from_params(params)
+    assert sd["o_proj.weight"].shape == (e, h * dh)
+    assert sd["q_proj.weight"].shape == (h * dh, e)
+    back = params_from_torch(
+        jax.tree.map(lambda v: jax.ShapeDtypeStruct(v.shape, v.dtype), params),
+        sd,
+    )
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)
+        ),
+        back, params,
+    )
+
+
+def test_reverse_export_structural_collision_names_both():
+    """A structural key collision (no rename involved) reports BOTH
+    colliding param paths and does not blame a rename map."""
+    from crossclr_tpu.utils.torch_import import state_dict_from_params
+
+    params = {
+        "m": {
+            "kernel": jnp.ones((2, 2), jnp.float32),  # -> m.weight
+            "weight": jnp.ones((2,), jnp.float32),    # -> m.weight too
+        }
+    }
+    with pytest.raises(ValueError, match=r"m\.kernel.*m\.weight|m\.weight.*m\.kernel"):
+        state_dict_from_params(params)
