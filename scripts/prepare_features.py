@@ -17,6 +17,16 @@ Usage:
       --out data/lsmdc       # matches basenames, sorts, aligns
   python scripts/prepare_features.py --pickle feats.pkl \\
       --video-key vid_feats --text-key txt_feats --out data/x
+  python scripts/prepare_features.py --h5 feats.h5 \\
+      --video-key video --text-key text --out data/youcook2
+  python scripts/prepare_features.py --h5 video.h5 --text-h5 text.h5 \\
+      --video-key / --text-key / --out data/lsmdc
+
+HDF5 keys may point at an aligned dataset ([N, D] / [N, S, D]) or at a
+GROUP of per-clip datasets keyed by clip id (the COOT-era YouCook2/LSMDC
+release layout); per-clip groups in the two modalities are intersected
+on id and sorted, exactly like --pickle dicts and --video-dir pairing.
+Pass ``/`` as the key to use a file's root group.
 
 Sequence features ([N, S, D]) are mean-pooled unless --keep-sequence.
 """
@@ -89,6 +99,65 @@ def _from_pickle(path, video_key, text_key, keep_sequence):
     )
 
 
+def _h5_node(fh, key, path):
+    """Resolve ``key`` inside an open h5py file; '/' means the root."""
+    if key in ("/", ""):
+        return fh
+    try:
+        return fh[key]
+    except KeyError:
+        raise SystemExit(
+            f"key {key!r} not in {path} (top-level keys: "
+            f"{sorted(fh.keys())})"
+        ) from None
+
+
+def _from_h5(video_path, text_path, video_key, text_key, keep_sequence):
+    """HDF5 archives: one file with two keys, or two files (--text-h5).
+
+    Each key may resolve to a Dataset (row-aligned arrays) or a Group of
+    per-clip datasets keyed by clip id (ids intersected + sorted across
+    the modalities, like --pickle dict stores).
+    """
+    try:
+        import h5py
+    except ImportError:
+        raise SystemExit(
+            "--h5 requires the h5py package, which is not installed"
+        ) from None
+
+    with h5py.File(video_path, "r") as fv:
+        ft_ctx = h5py.File(text_path, "r") if text_path else fv
+        try:
+            v_node = _h5_node(fv, video_key, video_path)
+            t_node = _h5_node(ft_ctx, text_key, text_path or video_path)
+            v_group = isinstance(v_node, (h5py.Group, h5py.File))
+            t_group = isinstance(t_node, (h5py.Group, h5py.File))
+            if v_group != t_group:
+                raise SystemExit(
+                    f"mixed HDF5 layouts: {video_key!r} is a "
+                    f"{'group' if v_group else 'dataset'} but {text_key!r} "
+                    f"is a {'group' if t_group else 'dataset'} — both keys "
+                    "must be per-clip groups or both aligned datasets"
+                )
+            if v_group:
+                ids = sorted(set(v_node) & set(t_node))
+                if not ids:
+                    raise SystemExit(
+                        f"no clip ids shared between {video_key!r} and "
+                        f"{text_key!r}"
+                    )
+                v, vm = _pad_stack([v_node[i][()] for i in ids], keep_sequence)
+                t, tm = _pad_stack([t_node[i][()] for i in ids], keep_sequence)
+                return v, vm, t, tm, list(map(str, ids))
+            v = _pool(v_node[()], keep_sequence)
+            t = _pool(t_node[()], keep_sequence)
+            return v, None, t, None, [str(i) for i in range(v.shape[0])]
+        finally:
+            if ft_ctx is not fv:
+                ft_ctx.close()
+
+
 def _from_dirs(video_dir, text_dir, keep_sequence):
     vd, td = Path(video_dir), Path(text_dir)
     v_files = {p.stem: p for p in vd.glob("*.npy")}
@@ -107,6 +176,12 @@ def main(argv=None) -> int:
     src.add_argument("--npz")
     src.add_argument("--pickle")
     src.add_argument("--video-dir")
+    src.add_argument("--h5", help="HDF5 archive (see module docstring)")
+    ap.add_argument(
+        "--text-h5",
+        help="separate HDF5 file for --text-key when the modalities ship "
+        "in two archives (requires --h5)",
+    )
     ap.add_argument("--text-dir")
     ap.add_argument("--video-key", default="video")
     ap.add_argument("--text-key", default="text")
@@ -114,9 +189,16 @@ def main(argv=None) -> int:
     ap.add_argument("--out", required=True)
     args = ap.parse_args(argv)
 
+    if args.text_h5 and not args.h5:
+        raise SystemExit("--text-h5 requires --h5")
     if args.npz:
         v, vm, t, tm, ids = _from_npz(
             args.npz, args.video_key, args.text_key, args.keep_sequence
+        )
+    elif args.h5:
+        v, vm, t, tm, ids = _from_h5(
+            args.h5, args.text_h5, args.video_key, args.text_key,
+            args.keep_sequence,
         )
     elif args.pickle:
         v, vm, t, tm, ids = _from_pickle(

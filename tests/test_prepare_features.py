@@ -4,6 +4,7 @@ import json
 import pickle
 
 import numpy as np
+import pytest
 
 import importlib.util
 from pathlib import Path
@@ -172,6 +173,95 @@ def test_realistic_archive_through_cli_train_eval(tmp_path, rng):
     assert "eval/v2t/R@1" in header and "loss" in header
     assert len(rows) >= 3  # header + 2 train steps + eval row
     assert (ckpt / "2").exists()
+
+
+def test_h5_aligned_datasets(tmp_path, rng):
+    """--h5 with keys resolving to aligned datasets: pooled like --npz."""
+    h5py = pytest.importorskip("h5py")
+    v = rng.standard_normal((10, 4, 8)).astype(np.float32)
+    t = rng.standard_normal((10, 6)).astype(np.float32)
+    with h5py.File(tmp_path / "f.h5", "w") as fh:
+        fh["video"], fh["text"] = v, t
+    out = tmp_path / "out"
+    prepare_features.main(["--h5", str(tmp_path / "f.h5"), "--out", str(out)])
+    np.testing.assert_allclose(
+        np.load(out / "video_feats.npy"), v.mean(axis=1), rtol=1e-6
+    )
+    np.testing.assert_array_equal(np.load(out / "text_feats.npy"), t)
+    assert len(json.loads((out / "ids.json").read_text())) == 10
+
+
+def test_h5_ragged_groups_through_cli_train(tmp_path, rng):
+    """The COOT-era release layout: per-clip datasets keyed by clip id in
+    two h5 FILES (--h5 + --text-h5, root groups), MISMATCHED id sets and
+    ragged video lengths — through prepare_features --keep-sequence, then
+    the ``files`` source through a CLI train+eval cycle."""
+    h5py = pytest.importorskip("h5py")
+    from crossclr_tpu.train import main as train_main
+
+    lengths = {}
+    with h5py.File(tmp_path / "vid.h5", "w") as fv:
+        for i in range(24):  # video for clips 0..23
+            s = int(rng.integers(2, 7))
+            lengths[f"clip{i:03d}"] = s
+            fv[f"clip{i:03d}"] = rng.standard_normal((s, 8)).astype(np.float32)
+    with h5py.File(tmp_path / "txt.h5", "w") as ft:
+        for i in range(4, 28):  # captions for clips 4..27: shared = 4..23
+            ft[f"clip{i:03d}"] = rng.standard_normal(6).astype(np.float32)
+
+    out = tmp_path / "prepared"
+    prepare_features.main([
+        "--h5", str(tmp_path / "vid.h5"), "--text-h5", str(tmp_path / "txt.h5"),
+        "--video-key", "/", "--text-key", "/",
+        "--keep-sequence", "--out", str(out),
+    ])
+
+    ids = json.loads((out / "ids.json").read_text())
+    assert len(ids) == 20 and ids[0] == "clip004" and ids[-1] == "clip023"
+    v = np.load(out / "video_feats.npy")
+    mask = np.load(out / "video_mask.npy")
+    s_max = max(lengths[i] for i in ids)
+    assert v.shape == (20, s_max, 8) and mask.shape == (20, s_max)
+    np.testing.assert_array_equal(mask.sum(1), [lengths[i] for i in ids])
+    assert not (out / "text_mask.npy").exists()  # pooled 1-D text rows
+
+    rc = train_main([
+        "--steps", "2",
+        "data.source=files",
+        f"data.video_path={out / 'video_feats.npy'}",
+        f"data.text_path={out / 'text_feats.npy'}",
+        f"data.video_mask_path={out / 'video_mask.npy'}",
+        "data.batch_size=8", "data.eval_fraction=0.25",
+        "video_tower.kind=transformer", "video_tower.input_dim=8",
+        "video_tower.embed_dim=16", "video_tower.hidden_dim=32",
+        "video_tower.num_layers=1", "video_tower.num_heads=2",
+        f"video_tower.max_seq_len={s_max}", "video_tower.dtype=float32",
+        "text_tower.input_dim=6", "text_tower.embed_dim=16",
+        "text_tower.hidden_dim=32", "text_tower.dtype=float32",
+        "train.loss=crossclr_intra", "train.warmup_steps=1",
+        "eval_every=2", "log_every=1",
+    ])
+    assert rc == 0
+
+
+def test_h5_mixed_layout_and_missing_key_rejected(tmp_path, rng):
+    h5py = pytest.importorskip("h5py")
+    with h5py.File(tmp_path / "f.h5", "w") as fh:
+        fh["video"] = rng.standard_normal((4, 8)).astype(np.float32)
+        fh["text/clip0"] = rng.standard_normal(6).astype(np.float32)
+    with pytest.raises(SystemExit, match="mixed HDF5 layouts"):
+        prepare_features.main(
+            ["--h5", str(tmp_path / "f.h5"), "--out", str(tmp_path / "o")]
+        )
+    with pytest.raises(SystemExit, match="not in"):
+        prepare_features.main([
+            "--h5", str(tmp_path / "f.h5"), "--video-key", "nope",
+            "--out", str(tmp_path / "o"),
+        ])
+    with pytest.raises(SystemExit, match="--text-h5 requires --h5"):
+        prepare_features.main([
+            "--npz", "x.npz", "--text-h5", "y.h5", "--out", str(tmp_path / "o"),
+        ])
 
 
 def test_stale_ids_manifest_rejected(tmp_path, rng):
