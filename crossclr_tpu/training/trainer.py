@@ -113,6 +113,19 @@ class TrainConfig:
     # prefetches one chunk ahead), and a final tail shorter than n pays
     # one extra scan compile.
     steps_per_call: int = 1
+    # stacked-chunk H2D byte budget for steps_per_call > 1.  A stacked
+    # [n, b, ...] chunk is ONE resident transfer of n x batch-bytes (and
+    # the CLI prefetches a second chunk ahead), so a large steps_per_call
+    # with sequence towers can exceed HBM before the step even traces
+    # (e.g. 8 x 4096 x [S, D] fp32 ~ 13 GiB — BASELINE.md, GradCache
+    # section).  None (default) derives a budget of bytes_limit/4 from
+    # the device's memory stats (2 GiB when the backend reports none);
+    # any positive int overrides it; 0 disables the guard.  fit() falls
+    # back to sequential single-step dispatch with a warning when the
+    # chunk would blow the budget; a direct train_steps() call (and the
+    # prestacked multi-host path, whose chunks are stacked upstream)
+    # raises with the computed sizes instead.
+    max_stacked_bytes: int | None = None
     # CLIP-style learnable temperature: the criterion's logit_scale
     # parameter (vestigial in the reference, loss.py:52) becomes live —
     # effective temperature = cfg.temperature / exp(logit_scale), starting
@@ -486,6 +499,8 @@ class Trainer:
         self._raw_step = None
         self._encode = None
         self._encode_one: dict = {}
+        # once-per-fit decision: stacked chunks over budget -> sequential
+        self._seq_fallback: bool | None = None
 
     # -- init ---------------------------------------------------------------
 
@@ -825,6 +840,34 @@ class Trainer:
             self._train_step = self._build_step()
         return self._train_step(state, batch)
 
+    # -- stacked-chunk byte guard (see TrainConfig.max_stacked_bytes) -------
+
+    def _stacked_budget(self) -> int:
+        """Byte budget for ONE stacked ``[n, b, ...]`` chunk; 0 = unguarded."""
+        if self.cfg.max_stacked_bytes is not None:
+            return self.cfg.max_stacked_bytes
+        try:
+            stats = jax.local_devices()[0].memory_stats() or {}
+            limit = int(stats.get("bytes_limit", 0))
+        except Exception:  # noqa: BLE001 — backends without memory stats
+            limit = 0
+        # the chunk plus the prefetched next one should stay well under
+        # half of HBM, leaving room for params/moments/activations
+        return limit // 4 if limit else 2 << 30
+
+    @staticmethod
+    def _batch_bytes(batch: dict) -> int:
+        """Resident bytes of a batch dict on the busiest device.  Host
+        numpy (not yet sharded) counts in full — a conservative estimate
+        for single-host multi-device meshes; override the budget if the
+        guard is too tight for such a layout."""
+        total = 0
+        for v in batch.values():
+            shards = getattr(v, "addressable_shards", None)
+            n = max(s.data.size for s in shards) if shards else v.size
+            total += int(n) * v.dtype.itemsize
+        return total
+
     def train_steps(
         self,
         state: TrainState,
@@ -865,6 +908,21 @@ class Trainer:
         n = next(iter(stacked_batch.values())).shape[0]
         if limit is not None and not (0 < limit <= n):
             raise ValueError(f"limit {limit} outside chunk length {n}")
+        budget = self._stacked_budget()
+        chunk_bytes = self._batch_bytes(stacked_batch)
+        if budget and chunk_bytes > budget:
+            # trace-time, not runtime: the whole chunk transfers (limit
+            # slicing happens inside the jit), so an oversized chunk OOMs
+            # before any compute — fail with the arithmetic instead
+            raise ValueError(
+                f"stacked chunk is {chunk_bytes / 2**30:.2f} GiB "
+                f"({n} steps x {chunk_bytes / n / 2**20:.0f} MiB/batch), "
+                f"over the {budget / 2**30:.2f} GiB chunk budget "
+                "(device bytes_limit/4; the chunk plus the prefetched "
+                "next one must leave HBM for params and activations) — "
+                "lower train.steps_per_call, or raise/disable the guard "
+                "via train.max_stacked_bytes (0 disables)"
+            )
         return self._train_multi(state, stacked_batch, limit)
 
     # -- eval ---------------------------------------------------------------
@@ -1015,12 +1073,34 @@ class Trainer:
                 batch_rows = chunk["video"].shape[1]
             else:
                 n = min(spc, steps - done)
+                group = None
+                if n > 1:
+                    group = [next(it)]
+                    if self._seq_fallback is None:
+                        budget = self._stacked_budget()
+                        per = self._batch_bytes(group[0])
+                        self._seq_fallback = bool(budget) and spc * per > budget
+                        if self._seq_fallback:
+                            import sys as _sys
+
+                            print(
+                                f"steps_per_call={spc}: a stacked chunk "
+                                f"would be {spc * per / 2**30:.2f} GiB "
+                                f"({per / 2**20:.0f} MiB/batch), over the "
+                                f"{budget / 2**30:.2f} GiB chunk budget — "
+                                "falling back to sequential single-step "
+                                "dispatch (raise train.max_stacked_bytes "
+                                "to override; 0 disables the guard)",
+                                file=_sys.stderr,
+                            )
+                    if self._seq_fallback:
+                        n = 1
                 if n == 1:
-                    batch = next(it)
+                    batch = group[0] if group else next(it)
                     state, metrics = self.train_step(state, batch)
                     batch_rows = batch["video"].shape[0]
                 else:
-                    group = [next(it) for _ in range(n)]
+                    group += [next(it) for _ in range(n - 1)]
                     stacked = {
                         k: jnp.stack([g[k] for g in group]) for k in group[0]
                     }

@@ -601,6 +601,63 @@ def test_train_steps_stacked_metrics():
     assert np.isfinite(np.asarray(metrics["loss"])).all()
 
 
+def test_stacked_bytes_guard(capsys):
+    """The steps_per_call x batch-bytes footgun is guarded at trace time
+    (TrainConfig.max_stacked_bytes): fit() degrades to sequential
+    single-step dispatch with a clear message — same final state — and a
+    direct train_steps() call raises with the computed sizes; 0 disables."""
+    import dataclasses
+    import itertools
+
+    from crossclr_tpu.data import SyntheticPairs
+
+    data = SyntheticPairs(num_pairs=128, video_dim=24, text_dim=16, seed=3)
+    vc = TowerConfig(kind="mlp", input_dim=24, embed_dim=16, hidden_dim=32,
+                     dtype=jnp.float32)
+    tc = TowerConfig(kind="mlp", input_dim=16, embed_dim=16, hidden_dim=32,
+                     dtype=jnp.float32)
+    per_batch = 32 * (24 + 16) * 4  # fp32 bytes of one 32-row batch
+    cfg = TrainConfig(loss="crossclr_intra", total_steps=10, warmup_steps=2,
+                      steps_per_call=4, max_stacked_bytes=2 * per_batch)
+    batches = list(itertools.islice(infinite_batches(data, 32, seed=0), 4))
+
+    tr = Trainer(vc, tc, cfg, mesh=None)
+    st = tr.init_state(data.video[:2], data.text[:2])
+    st, history = tr.fit(st, iter(batches), steps=4, log_every=1)
+    assert int(st.step) == 4
+    err = capsys.readouterr().err
+    assert "falling back to sequential" in err
+    assert err.count("falling back") == 1  # warned once, not per chunk
+    # sequential fallback logs at single-step granularity again
+    assert [h["step"] for h in history] == [1, 2, 3, 4]
+
+    # same final params as an unguarded sequential run
+    tr_ref = Trainer(vc, tc, dataclasses.replace(cfg, steps_per_call=1),
+                     mesh=None)
+    st_ref = tr_ref.init_state(data.video[:2], data.text[:2])
+    for b in batches:
+        st_ref, _ = tr_ref.train_step(st_ref, b)
+    for a, b in zip(jax.tree.leaves(st.params), jax.tree.leaves(st_ref.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+
+    # a direct train_steps call (the prestacked multi-host path) raises
+    # with the arithmetic instead of OOMing at transfer time
+    tr2 = Trainer(vc, tc, cfg, mesh=None)
+    st2 = tr2.init_state(data.video[:2], data.text[:2])
+    stacked = {k: np.stack([b[k] for b in batches]) for k in batches[0]}
+    with pytest.raises(ValueError, match="chunk budget"):
+        tr2.train_steps(st2, stacked)
+
+    # 0 disables the guard entirely
+    tr3 = Trainer(vc, tc, dataclasses.replace(cfg, max_stacked_bytes=0),
+                  mesh=None)
+    st3 = tr3.init_state(data.video[:2], data.text[:2])
+    st3, metrics = tr3.train_steps(st3, stacked)
+    assert int(st3.step) == 4
+    assert np.isfinite(np.asarray(metrics["loss"])).all()
+
+
 def test_steps_per_call_with_global_negatives_mesh():
     """spc > 1 composes with the shard_map global-negative step (scan over
     the sharded step inside one jit on the 8-device mesh)."""
