@@ -42,6 +42,12 @@ from crossclr_tpu.ops import cross_clr_intra_fused
 
 BASELINE_PAIRS_PER_SEC = 497.0  # torch reference fwd+bwd, bsz 4096 (BASELINE.md)
 B, D = 4096, 512
+# Regression floors (TPU only): set beneath the documented ±10-15% tunnel
+# band of the r3 measurements (default tier 3.47M pairs/s, scanned train
+# step 2.0M — BASELINE.md) so a kernel-routing or tiling regression fails
+# the driver run loudly instead of quietly shrinking BENCH_r*.json.
+FLOOR_DEFAULT_PAIRS_PER_SEC = 2.5e6
+FLOOR_SCANNED_PAIRS_PER_SEC = 1.4e6
 # Chained steps per timed dispatch.  This runtime reaches the chip through
 # a remote tunnel whose per-DISPATCH latency is ~30-40 ms; a production
 # training loop runs thousands of steps back-to-back, so the steady-state
@@ -306,6 +312,23 @@ def main():
     global_rows = _bench_global_rows(rng) if on_tpu else {}
     train_step = _bench_train_step(rng, on_tpu)
 
+    # Perf floors (TPU only): a routing/tiling regression should FAIL the
+    # driver run, not just record a smaller number.
+    floor_failures = []
+    if on_tpu:
+        default_rate = results.get("pallas_fused_default", 0.0)
+        if default_rate < FLOOR_DEFAULT_PAIRS_PER_SEC:
+            floor_failures.append(
+                f"pallas_fused_default {default_rate:.0f} pairs/s "
+                f"< floor {FLOOR_DEFAULT_PAIRS_PER_SEC:.0f}"
+            )
+        scanned_rate = train_step.get("train_step_scanned_pairs_per_sec", 0.0)
+        if scanned_rate < FLOOR_SCANNED_PAIRS_PER_SEC:
+            floor_failures.append(
+                f"train_step_scanned {scanned_rate:.0f} pairs/s "
+                f"< floor {FLOOR_SCANNED_PAIRS_PER_SEC:.0f}"
+            )
+
     pairs_per_sec = B / best_dt
     print(
         json.dumps(
@@ -322,9 +345,16 @@ def main():
                 "global_rows_4096x32768_fwdbwd_ms": global_rows,
                 **train_step,
                 **({"excluded": excluded} if excluded else {}),
+                **(
+                    {"floor_failures": floor_failures}
+                    if floor_failures
+                    else {}
+                ),
             }
         )
     )
+    if floor_failures:
+        raise SystemExit(2)
 
 
 if __name__ == "__main__":
