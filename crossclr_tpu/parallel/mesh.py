@@ -60,7 +60,12 @@ def make_mesh(
     two axes, so every PartitionSpec in the trainer/loss is unchanged.
     ``dcn=<int>`` forces a granule count; ``granule="process"`` uses
     process boundaries instead of slice indices (CPU testing, or
-    platforms that don't set ``slice_index``).
+    platforms that don't set ``slice_index``); ``granule="contiguous"``
+    splits the device list into ``dcn`` equal contiguous granules with
+    the SAME layout contract (model axis inside a granule, data axis
+    granule-major) — the single-process testing knob for forced-DCN
+    layouts, where every device shares one process/slice index and the
+    attribute-based grouping would (correctly) see only one granule.
     """
     if devices is None:
         devices = jax.devices()
@@ -72,8 +77,34 @@ def make_mesh(
     if n_data * n_model != n_dev:
         devices = devices[: n_data * n_model]
 
-    if granule not in ("slice", "process"):
-        raise ValueError(f"granule must be 'slice' or 'process', got {granule!r}")
+    if granule not in ("slice", "process", "contiguous"):
+        raise ValueError(
+            "granule must be 'slice', 'process', or 'contiguous', "
+            f"got {granule!r}"
+        )
+    if granule == "contiguous":
+        if dcn in ("auto", None):
+            raise ValueError("granule='contiguous' needs an explicit dcn=<int>")
+        n_granules = int(dcn)
+        if n_granules > 1:
+            if n_data % n_granules or n_data * n_model != len(devices):
+                raise ValueError(
+                    f"data axis {n_data} not divisible by {n_granules} DCN "
+                    "granules (or devices don't fill the mesh)"
+                )
+            per = len(devices) // n_granules
+            grid = np.concatenate(
+                [
+                    np.asarray(devices[g * per : (g + 1) * per]).reshape(
+                        n_data // n_granules, n_model
+                    )
+                    for g in range(n_granules)
+                ],
+                axis=0,
+            )
+            return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
+        grid = np.asarray(devices).reshape(n_data, n_model)
+        return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
     attr = "slice_index" if granule == "slice" else "process_index"
     n_granules = (
         _count_granules(devices, attr) if dcn == "auto" else int(dcn or 1)

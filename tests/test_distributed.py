@@ -356,6 +356,19 @@ def test_hybrid_mesh_layout_keeps_model_axis_inside_a_slice():
     plain = make_mesh(n_model=2, devices=flat)
     assert [d.id for d in plain.devices[:, 0]] == [0, 2, 4, 6]
 
+    # granule="contiguous": forced granule split for single-process
+    # testing — same layout contract (model axis inside a granule, data
+    # axis granule-major), no device attributes consulted
+    cont = make_mesh(n_model=2, devices=devs, dcn=2, granule="contiguous")
+    assert cont.devices.shape == (4, 2)
+    for row in cont.devices:
+        assert len({d.id // 4 for d in row}) == 1  # granule = id block
+    assert [row[0].id // 4 for row in cont.devices] == [0, 0, 1, 1]
+    with pytest.raises(ValueError, match="explicit dcn"):
+        make_mesh(devices=devs, granule="contiguous")
+    with pytest.raises(ValueError, match="divisible"):
+        make_mesh(n_model=2, devices=devs, dcn=3, granule="contiguous")
+
 
 @needs_multidevice
 def test_stitched_encode_is_correct_under_permuted_device_order(rng):
