@@ -142,7 +142,9 @@ def export_search(
         "with_mask": with_mask,
         "step": service.step,
         "platforms": list(exported.platforms),
-        "index_dtype": "int8" if quantized else str(service.corpus_dtype),
+        "index_dtype": (
+            "int8" if quantized else str(jnp.dtype(service.corpus_dtype))
+        ),
         # npz has no native bf16: such parts are stored as a uint16 view
         "corpus_dtypes": [str(p.dtype) for p in corpus_host],
     }

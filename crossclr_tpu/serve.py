@@ -39,51 +39,15 @@ import jax
 import jax.numpy as jnp
 
 
-class RetrievalService:
-    """Checkpoint + encoded corpus + a jitted query→top-k path.
+class _ServiceStats:
+    """Request observability shared by the live and artifact services:
+    counts + a bounded window of recent /search latencies, guarded by
+    their own lock so a metrics read never queues behind a device
+    dispatch."""
 
-    ``corpus_side``: which modality is indexed ("video" or "text");
-    queries are the OTHER modality's raw features, encoded by its tower.
-    Device work is serialized with a lock — handler threads must not
-    interleave dispatches against donated/async state.
-    """
+    _dispatch_count: int = 0
 
-    def __init__(self, trainer, state, corpus_emb, corpus_side: str,
-                 ids: list[str] | None = None,
-                 index_step: int | None = None,
-                 mesh=None,
-                 corpus_dtype=None):
-        self.trainer = trainer
-        self.state = state
-        # real row count BEFORE any shard padding — clamps k, sizes the
-        # k=0 contract, and is what healthz reports
-        self.corpus_rows = int(jnp.shape(corpus_emb)[0])
-        # mesh set => the index is row-sharded over the data axis
-        # (per-device HBM holds rows/n_dev; search merges O(k) winners
-        # per device — evaluation.sharded_retrieve_topk)
-        self.mesh = mesh
-        # index storage dtype: bfloat16 halves index HBM (search still
-        # normalizes and scores in fp32 — only the stored embeddings are
-        # rounded, a ~3-decimal-digit quantization of unit vectors)
-        self.corpus_dtype = (
-            jnp.dtype(corpus_dtype) if corpus_dtype is not None
-            else jnp.float32
-        )
-        self.corpus_emb = self._place_corpus(corpus_emb)
-        self.corpus_side = corpus_side
-        self.query_side = "text" if corpus_side == "video" else "video"
-        self.ids = ids
-        self.step = int(state.step)
-        # which checkpoint step the corpus index was ENCODED at (None =
-        # unknown, e.g. a --corpus-emb dump without a recorded step).
-        # When it trails self.step the index and query tower disagree —
-        # surfaced in /healthz and in every /reload response.
-        self.index_step = index_step
-        self._lock = threading.Lock()
-        self._search_jit = None
-        # request observability (GET /metrics): counts + a bounded window
-        # of recent /search latencies, guarded by their own lock so the
-        # metrics read never queues behind a device dispatch
+    def __init__(self):
         self._stats_lock = threading.Lock()
         self._search_count = 0
         self._error_count = 0
@@ -119,6 +83,50 @@ class RetrievalService:
                 "window": len(lats),
             }
         return out
+
+
+class RetrievalService(_ServiceStats):
+    """Checkpoint + encoded corpus + a jitted query→top-k path.
+
+    ``corpus_side``: which modality is indexed ("video" or "text");
+    queries are the OTHER modality's raw features, encoded by its tower.
+    Device work is serialized with a lock — handler threads must not
+    interleave dispatches against donated/async state.
+    """
+
+    def __init__(self, trainer, state, corpus_emb, corpus_side: str,
+                 ids: list[str] | None = None,
+                 index_step: int | None = None,
+                 mesh=None,
+                 corpus_dtype=None):
+        self.trainer = trainer
+        self.state = state
+        # real row count BEFORE any shard padding — clamps k, sizes the
+        # k=0 contract, and is what healthz reports
+        self.corpus_rows = int(jnp.shape(corpus_emb)[0])
+        # mesh set => the index is row-sharded over the data axis
+        # (per-device HBM holds rows/n_dev; search merges O(k) winners
+        # per device — evaluation.sharded_retrieve_topk)
+        self.mesh = mesh
+        # index storage dtype: bfloat16 halves index HBM (search still
+        # normalizes and scores in fp32 — only the stored embeddings are
+        # rounded, a ~3-decimal-digit quantization of unit vectors)
+        self.corpus_dtype = jnp.dtype(
+            corpus_dtype if corpus_dtype is not None else jnp.float32
+        )
+        self.corpus_emb = self._place_corpus(corpus_emb)
+        self.corpus_side = corpus_side
+        self.query_side = "text" if corpus_side == "video" else "video"
+        self.ids = ids
+        self.step = int(state.step)
+        # which checkpoint step the corpus index was ENCODED at (None =
+        # unknown, e.g. a --corpus-emb dump without a recorded step).
+        # When it trails self.step the index and query tower disagree —
+        # surfaced in /healthz and in every /reload response.
+        self.index_step = index_step
+        self._lock = threading.Lock()
+        self._search_jit = None
+        super().__init__()
 
     def reload(self, step: int | None = None) -> int:
         """Swap in a newer (or specific) checkpoint without restarting.
@@ -309,7 +317,68 @@ class RetrievalService:
     # set by build_service (single-query convenience reshaping)
     _query_ndim: int = 2
     _batcher = None
-    _dispatch_count: int = 0
+
+
+class ArtifactService(_ServiceStats):
+    """Serve an AOT-exported :class:`~crossclr_tpu.aot.SearchArtifact`
+    over the SAME HTTP surface as the live service — /search, /healthz,
+    /metrics — with **no model code, config, or checkpoint** at serving
+    time (the deployment handoff ``aot.py`` exports).  Artifacts are
+    immutable: /reload is cleanly rejected; re-export and restart to pick
+    up new weights.  ``k`` is clamped to the export-time top-k width
+    (smaller k slices the sorted columns, exactly like the live clamp to
+    the corpus size)."""
+
+    is_artifact = True
+    index_step = None
+    index_stale = False
+    index_tower_mismatch = False
+
+    def __init__(self, artifact):
+        super().__init__()
+        self.artifact = artifact
+        meta = artifact.meta
+        self.corpus_rows = int(meta["corpus_rows"])
+        self.corpus_side = meta["corpus_side"]
+        self.query_side = meta["query_side"]
+        self.step = int(meta["step"])
+        self.k_max = int(meta["k"])
+        try:
+            self.corpus_dtype = jnp.dtype(meta["index_dtype"])
+        except TypeError:
+            # version-2 artifacts exported before the index_dtype string
+            # was normalized recorded repr(type); the storage dtype list
+            # is authoritative either way
+            self.corpus_dtype = jnp.dtype(meta["corpus_dtypes"][0])
+        self.ids = artifact.ids
+        # one dispatch at a time: the deserialized module re-enters XLA
+        # through jit and the executor, same serialization contract as
+        # the live service's device lock
+        self._lock = threading.Lock()
+
+    def search(self, features, mask=None, k: int = 10):
+        features = np.asarray(features, np.float32)
+        k = int(min(k, self.k_max))
+        if k <= 0:  # the k=0 contract: empty per-query result lists
+            n = (
+                features.shape[0]
+                if features.ndim > len(self.artifact.meta["query_shape"])
+                else 1
+            )
+            out = {"indices": [[] for _ in range(n)],
+                   "scores": [[] for _ in range(n)]}
+            if self.ids is not None:
+                out["ids"] = [[] for _ in range(n)]
+            return out
+        with self._lock:
+            self._dispatch_count += 1
+            return self.artifact.search(features, mask=mask, k=k)
+
+    def reload(self, step: int | None = None) -> int:
+        raise RuntimeError(
+            "artifact services are immutable — re-export "
+            "(scripts/export_serving.py) and restart to pick up new weights"
+        )
 
 
 class _MicroBatcher:
@@ -455,6 +524,8 @@ def _make_handler(service: RetrievalService):
                 "query_side": service.query_side,
                 "step": service.step,
             }
+            if getattr(service, "is_artifact", False):
+                health["artifact"] = True
             if service.corpus_dtype != jnp.float32:
                 health["corpus_dtype"] = str(service.corpus_dtype)
             if service.index_step is not None:
@@ -750,27 +821,60 @@ def main(argv: list[str] | None = None) -> int:
         "instead of serving with a warning",
     )
     ap.add_argument("--random-params", action="store_true")
+    ap.add_argument(
+        "--artifact",
+        default=None,
+        help=".npz from `scripts/export_serving.py`: serve the AOT "
+        "artifact directly — no config, model code, or checkpoint is "
+        "loaded; /reload is rejected (artifacts are immutable)",
+    )
     ap.add_argument("overrides", nargs="*")
     args = ap.parse_args(argv)
 
-    cfg = load_config(args.config) if args.config else ExperimentConfig()
-    if args.overrides:
-        cfg = apply_overrides(cfg, args.overrides)
+    if args.artifact is not None:
+        conflicts = [
+            flag
+            for flag, given in (
+                ("--config", args.config),
+                ("--checkpoint-dir", args.checkpoint_dir),
+                ("--corpus-emb", args.corpus_emb),
+                ("--shard-corpus", args.shard_corpus),
+                ("--ema", args.ema),
+                ("--random-params", args.random_params),
+                ("--strict-index", args.strict_index),
+                ("--batch-size", args.batch_size),
+                ("--batch-window-ms", args.batch_window_ms),
+                ("overrides", args.overrides),
+            )
+            if given
+        ]
+        if conflicts:
+            raise SystemExit(
+                f"--artifact is self-contained; drop {', '.join(conflicts)} "
+                "(corpus/index/tower choices were baked at export time)"
+            )
+        from .aot import SearchArtifact
 
-    initialize_multihost()
-    service = build_service(
-        cfg,
-        args.checkpoint_dir or cfg.checkpoint_dir,
-        args.corpus,
-        batch_size=args.batch_size,
-        random_params=args.random_params,
-        corpus_emb_path=args.corpus_emb,
-        shard_corpus=args.shard_corpus,
-        use_ema=args.ema,
-        corpus_dtype=args.corpus_dtype,
-        batch_window_ms=args.batch_window_ms,
-        strict_index=args.strict_index,
-    )
+        service = ArtifactService(SearchArtifact.load(args.artifact))
+    else:
+        cfg = load_config(args.config) if args.config else ExperimentConfig()
+        if args.overrides:
+            cfg = apply_overrides(cfg, args.overrides)
+
+        initialize_multihost()
+        service = build_service(
+            cfg,
+            args.checkpoint_dir or cfg.checkpoint_dir,
+            args.corpus,
+            batch_size=args.batch_size,
+            random_params=args.random_params,
+            corpus_emb_path=args.corpus_emb,
+            shard_corpus=args.shard_corpus,
+            use_ema=args.ema,
+            corpus_dtype=args.corpus_dtype,
+            batch_window_ms=args.batch_window_ms,
+            strict_index=args.strict_index,
+        )
     httpd = ThreadingHTTPServer(
         (args.host, args.port), _make_handler(service)
     )
@@ -792,9 +896,10 @@ def main(argv: list[str] | None = None) -> int:
         pass
 
     print(
-        f"serving {service.corpus_rows} {args.corpus} rows on "
+        f"serving {service.corpus_rows} {service.corpus_side} rows on "
         f"http://{args.host}:{httpd.server_address[1]} "
-        f"(queries: raw {service.query_side} features)",
+        f"(queries: raw {service.query_side} features"
+        + (", AOT artifact)" if args.artifact else ")"),
         file=sys.stderr,
     )
     try:

@@ -229,3 +229,143 @@ def test_artifact_single_query_mask_convenience(tmp_path):
     got = art.search(q1, mask=m1)
     want = service.search(q1, m1, k=3)
     assert got["indices"] == want["indices"]
+
+
+def test_artifact_http_service_matches_live(tmp_path):
+    """`serve --artifact` surface: an ArtifactService answers /search
+    with scores identical to the live service's on the same queries,
+    /healthz and /metrics work, and /reload is cleanly rejected (400 —
+    artifacts are immutable)."""
+    import json
+    import threading
+    import urllib.error
+    import urllib.request
+    from http.server import ThreadingHTTPServer
+
+    from crossclr_tpu.serve import ArtifactService, _make_handler
+
+    service = build_service(_tiny_cfg(), None, "video", random_params=True)
+    blob, meta, corpus = export_search(service, k=6)
+    path = str(tmp_path / "art.npz")
+    save_artifact(path, blob, meta, corpus,
+                  ids=[f"clip{i}" for i in range(48)])
+
+    art_service = ArtifactService(SearchArtifact.load(path))
+    assert art_service.corpus_rows == 48 and art_service.is_artifact
+    httpd = ThreadingHTTPServer(
+        ("127.0.0.1", 0), _make_handler(art_service)
+    )
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    url = f"http://127.0.0.1:{httpd.server_address[1]}"
+
+    def post(path_, payload):
+        req = urllib.request.Request(
+            url + path_, data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"}, method="POST",
+        )
+        try:
+            with urllib.request.urlopen(req) as resp:
+                return resp.status, json.loads(resp.read())
+        except urllib.error.HTTPError as e:
+            return e.code, json.loads(e.read())
+
+    try:
+        with urllib.request.urlopen(url + "/healthz") as resp:
+            health = json.loads(resp.read())
+        assert health["status"] == "ok" and health["artifact"] is True
+        assert health["corpus_rows"] == 48
+        assert health["corpus_side"] == "video"
+        assert health["query_side"] == "text"
+
+        q = _queries(3)
+        code, got = post("/search", {"features": q.tolist(), "k": 6})
+        want = service.search(q, k=6)
+        assert code == 200
+        assert got["indices"] == want["indices"]
+        np.testing.assert_allclose(
+            np.asarray(got["scores"]), np.asarray(want["scores"]),
+            atol=2e-6,
+        )
+        assert got["ids"][0][0] == f"clip{got['indices'][0][0]}"
+
+        # k above the baked top-k width clamps (like the live clamp to
+        # the corpus size); k=0 keeps the empty-lists contract
+        code, clamped = post("/search", {"features": q.tolist(), "k": 99})
+        assert code == 200 and len(clamped["indices"][0]) == 6
+        code, empty = post("/search", {"features": q.tolist(), "k": 0})
+        assert code == 200 and empty["indices"] == [[], [], []]
+        assert empty["ids"] == [[], [], []]
+
+        # malformed request is a 400, counted as an error in /metrics
+        code, err = post("/search", {"features": "nope"})
+        assert code == 400
+
+        code, rejected = post("/reload", {})
+        assert code == 400 and "immutable" in rejected["error"]
+
+        with urllib.request.urlopen(url + "/metrics") as resp:
+            metrics = json.loads(resp.read())
+        assert metrics["search_requests"] == 4
+        assert metrics["search_errors"] == 1
+        assert metrics["search_dispatches"] == 2  # k=0 + malformed skip
+        assert "latency_ms" in metrics
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+
+
+def test_serve_cli_artifact(tmp_path):
+    """`python -m crossclr_tpu.serve --artifact art.npz` starts with no
+    config/checkpoint and serves; conflicting flags are refused."""
+    import signal as _signal
+    import subprocess
+    import sys as _sys
+    import threading
+
+    service = build_service(_tiny_cfg(), None, "video", random_params=True)
+    blob, meta, corpus = export_search(service, k=4)
+    path = str(tmp_path / "art.npz")
+    save_artifact(path, blob, meta, corpus)
+
+    code = (
+        "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+        "import sys\n"
+        "from crossclr_tpu.serve import main\n"
+        "sys.exit(main(sys.argv[1:]))\n"
+    )
+    # conflicting flags refused before any loading
+    proc = subprocess.run(
+        [_sys.executable, "-c", code, "--artifact", path,
+         "--random-params"],
+        cwd="/root/repo", capture_output=True, text=True, timeout=120,
+    )
+    assert proc.returncode != 0
+    assert "self-contained" in proc.stderr
+
+    proc = subprocess.Popen(
+        [_sys.executable, "-c", code, "--artifact", path, "--port", "0"],
+        cwd="/root/repo", stderr=subprocess.PIPE, text=True,
+    )
+    watchdog = threading.Timer(120, proc.kill)
+    watchdog.start()
+    try:
+        while True:
+            line = proc.stderr.readline()
+            if "serving" in line:
+                banner = line
+                break
+            if line == "" or proc.poll() is not None:
+                raise AssertionError(
+                    f"server died before readiness: {proc.communicate()[1]}"
+                )
+        assert "serving 48 video rows" in banner
+        assert "AOT artifact" in banner
+        proc.send_signal(_signal.SIGTERM)
+        _, rest = proc.communicate(timeout=60)
+        assert proc.returncode == 0, rest
+        assert "server stopped" in rest
+    finally:
+        watchdog.cancel()
+        if proc.poll() is None:
+            proc.kill()
