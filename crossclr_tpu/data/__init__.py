@@ -10,6 +10,7 @@ from .datasets import (
     infinite_batches,
     prefetch_to_device,
     stack_batches,
+    stacked_chunks,
     train_eval_split,
 )
 
@@ -23,5 +24,6 @@ __all__ = [
     "infinite_batches",
     "prefetch_to_device",
     "stack_batches",
+    "stacked_chunks",
     "train_eval_split",
 ]

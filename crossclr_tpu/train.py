@@ -216,9 +216,6 @@ def main(argv: list[str] | None = None) -> int:
     # the data stream fast-forwards to the restored step so a resumed run
     # continues the exact batch sequence; async H2D with 2 batches in
     # flight overlaps assembly/transfer with the running step
-    batches = infinite_batches(
-        host_data, local_batch, seed=cfg.data.seed, start_step=done
-    )
     # steps_per_call: stack chunks on the HOST before prefetch, so each
     # dispatch gets one [n, b, ...] transfer and — multi-host — the
     # stacked local shards stitch into one global chunk.  Alignment
@@ -240,15 +237,24 @@ def main(argv: list[str] | None = None) -> int:
             )
         prestacked = False
     if prestacked:
-        from .data import stack_batches
+        from .data import stacked_chunks
         from jax.sharding import NamedSharding, PartitionSpec
 
-        batches = stack_batches(batches, spc)
+        # same batch stream as stack_batches(infinite_batches(...), spc),
+        # but each chunk is assembled with ONE multithreaded gather per
+        # modality instead of spc gathers + an np.stack re-copy
+        batches = stacked_chunks(
+            host_data, local_batch, spc, seed=cfg.data.seed, start_step=done
+        )
         if sharding is not None:
             # batch axis moves to dim 1 of the stacked chunk
             sharding = NamedSharding(
                 sharding.mesh, PartitionSpec(None, *sharding.spec)
             )
+    else:
+        batches = infinite_batches(
+            host_data, local_batch, seed=cfg.data.seed, start_step=done
+        )
     # each resident chunk costs steps_per_call x the batch footprint, so
     # the stacked path keeps one chunk in flight instead of two
     it = prefetch_to_device(

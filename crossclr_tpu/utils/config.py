@@ -27,6 +27,10 @@ class DataConfig:
     # optional [N, S] key-padding masks for [N, S, D] sequence stores
     video_mask_path: str = ""
     text_mask_path: str = ""
+    # "bfloat16": the feature stores hold bf16 payloads (prepare_features
+    # --dtype bfloat16) — half the disk/gather/H2D bytes, value-identical
+    # for bf16-matmul towers
+    features_dtype: str = "float32"
     num_pairs: int = 4096
     video_dim: int = 512
     text_dim: int = 384

@@ -1,0 +1,186 @@
+"""Host input-pipeline benchmark: file-fed vs device-resident training.
+
+The headline bench (bench.py) feeds device-resident synthetic batches;
+this script proves (or disproves) that the REAL host data path — mmapped
+:class:`FeaturePairDataset` → shuffled ``gather_rows`` (native C++ pool)
+→ host chunk stacking → async ``prefetch_to_device`` — sustains the
+delivered step rate when the scanned train step reads from FILES
+(VERDICT r3 "What's missing" #3; SURVEY.md §3.1's host→device boundary
+analysis of the reference's per-step numpy-eye uploads, loss.py:66,
+102-104).
+
+Three measured tiers, same trainer/config as bench.py's scanned bench
+(flagship MLP towers, fused default-tier loss, AdamW, bsz 4096,
+steps_per_call chunks):
+
+  1. ``assembly``   — host-only: shuffled gather + stack, no device.
+  2. ``file_fed``   — the full path: assembly + H2D prefetch + train.
+  3. ``resident``   — the same dispatch on one device-resident chunk
+                      (bench.py's scanned number, re-measured here so the
+                      comparison shares a process/tunnel state).
+
+Prints ONE JSON line.  ``--dtype bfloat16`` stores the features as bf16
+(half the disk, gather, and H2D bytes) — value-identical for bf16
+towers, whose first matmul casts inputs to bf16 anyway.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def _make_store(data_dir: Path, rows: int, dim: int, name: str, dtype: str):
+    """Write (once) and mmap a feature store; returns the .npy path."""
+    path = data_dir / f"{name}_{rows}x{dim}_{dtype}.npy"
+    if not path.exists():
+        rng = np.random.default_rng(hash(name) % 2**32)
+        feats = rng.standard_normal((rows, dim)).astype(np.float32)
+        if dtype == "bfloat16":
+            from crossclr_tpu.data.native_io import f32_to_bf16
+
+            feats = f32_to_bf16(feats)
+        np.save(path, feats)
+    return path
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--rows", type=int, default=65536)
+    ap.add_argument("--batch", type=int, default=4096)
+    ap.add_argument("--spc", type=int, default=64,
+                    help="steps_per_call: steps per stacked chunk/dispatch")
+    ap.add_argument("--chunks", type=int, default=4,
+                    help="timed steady-state chunks per tier")
+    ap.add_argument("--video-dim", type=int, default=512)
+    ap.add_argument("--text-dim", type=int, default=384)
+    ap.add_argument("--dtype", choices=("float32", "bfloat16"),
+                    default="float32", help="feature storage dtype")
+    ap.add_argument("--data-dir", default="/tmp/crossclr_pipeline_bench")
+    ap.add_argument("--prefetch", type=int, default=1)
+    args = ap.parse_args(argv)
+
+    from crossclr_tpu.data import (
+        FeaturePairDataset,
+        prefetch_to_device,
+        stacked_chunks,
+    )
+    from crossclr_tpu.data.native_io import native_available
+    from crossclr_tpu.models import TowerConfig
+    from crossclr_tpu.training import TrainConfig, Trainer
+
+    data_dir = Path(args.data_dir)
+    data_dir.mkdir(parents=True, exist_ok=True)
+    vp = _make_store(data_dir, args.rows, args.video_dim, "video", args.dtype)
+    tp = _make_store(data_dir, args.rows, args.text_dim, "text", args.dtype)
+    dataset = FeaturePairDataset(vp, tp, dtype=args.dtype)
+
+    b, spc = args.batch, args.spc
+    bytes_per_pair = (args.video_dim + args.text_dim) * (
+        2 if args.dtype == "bfloat16" else 4
+    )
+    chunk_mb = spc * b * bytes_per_pair / 2**20
+
+    def stream():
+        return stacked_chunks(dataset, b, spc, seed=0)
+
+    out = {
+        "metric": "input_pipeline_pairs_per_sec",
+        "unit": "pairs/s",
+        "bsz": b,
+        "steps_per_call": spc,
+        "store_rows": args.rows,
+        "store_dtype": args.dtype,
+        "chunk_mb": round(chunk_mb, 1),
+        "native_io": native_available(),
+        "backend": jax.default_backend(),
+    }
+
+    # -- tier 1: host assembly only ------------------------------------
+    it = stream()
+    # 3-chunk warmup: page-cache fill AND glibc arena adaptation — the
+    # first ~2 chunk-sized allocations fault fresh pages at ~130 MB/s on
+    # this host; once the allocator reuses arena pages the gather runs
+    # at memory speed (measured 2.7 GB/s steady vs 8 s first-chunk)
+    for _ in range(3):
+        next(it)
+    t0 = time.perf_counter()
+    for _ in range(args.chunks):
+        c = next(it)
+        assert c["video"].shape == (spc, b, args.video_dim)
+    dt = (time.perf_counter() - t0) / args.chunks
+    out["assembly_pairs_per_sec"] = round(spc * b / dt, 1)
+    out["assembly_gb_per_sec"] = round(chunk_mb / 1024 / dt, 2)
+
+    # -- trainer (same config as bench.py's scanned bench) --------------
+    on_tpu = jax.default_backend() == "tpu"
+    video_cfg = TowerConfig(
+        kind="mlp", input_dim=args.video_dim, embed_dim=256,
+        hidden_dim=2048, dtype=jnp.bfloat16,
+    )
+    text_cfg = TowerConfig(
+        kind="mlp", input_dim=args.text_dim, embed_dim=256,
+        hidden_dim=2048, dtype=jnp.bfloat16,
+    )
+    tcfg = TrainConfig(
+        loss="crossclr_intra_fused" if on_tpu else "crossclr_intra",
+        loss_precision="default",
+        warmup_steps=5,
+        total_steps=1000,
+        steps_per_call=spc,
+        max_stacked_bytes=0,  # this bench sizes its own chunks
+    )
+    trainer = Trainer(video_cfg, text_cfg, tcfg, mesh=None)
+    it = prefetch_to_device(stream(), size=args.prefetch)
+    first = next(it)
+    state = trainer.init_state(first["video"][0, :2], first["text"][0, :2])
+
+    # -- tier 3 first: device-resident (compile + comparator) -----------
+    state, ms = trainer.train_steps(state, first)  # compile
+    float(ms["loss"][-1])
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        state, ms = trainer.train_steps(state, first)
+        float(ms["loss"][-1])  # host read fences the dispatch
+        best = min(best, time.perf_counter() - t0)
+    out["resident_pairs_per_sec"] = round(spc * b / best, 1)
+    out["resident_step_ms"] = round(best / spc * 1e3, 3)
+
+    # -- tier 2: file-fed steady state ----------------------------------
+    # the prefetcher already holds the next chunk; timing spans gather +
+    # stack + H2D + dispatch for args.chunks consecutive chunks
+    t0 = time.perf_counter()
+    n = 0
+    for chunk in it:
+        state, ms = trainer.train_steps(state, chunk)
+        float(ms["loss"][-1])
+        n += 1
+        if n >= args.chunks:
+            break
+    dt = (time.perf_counter() - t0) / args.chunks
+    if not np.isfinite(float(ms["loss"][-1])):
+        out["error"] = "non-finite loss"
+    out["file_fed_pairs_per_sec"] = round(spc * b / dt, 1)
+    out["file_fed_step_ms"] = round(dt / spc * 1e3, 3)
+    out["file_fed_vs_resident"] = round(
+        out["file_fed_pairs_per_sec"] / out["resident_pairs_per_sec"], 3
+    )
+    out["value"] = out["file_fed_pairs_per_sec"]
+
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,158 @@
+"""Host input pipeline: one-gather chunk assembly and bf16 feature stores.
+
+The reference pays two host→device boundaries per step (numpy-eye masks,
+loss.py:66,102-104); this framework's host path instead assembles
+``[n, B, ...]`` chunks with one multithreaded gather per modality
+(``stacked_chunks``) and can store features as bf16 (half the disk,
+gather, and H2D bytes — value-identical for bf16-matmul towers).
+"""
+
+import numpy as np
+import pytest
+
+from crossclr_tpu.data import (
+    FeaturePairDataset,
+    SyntheticPairs,
+    infinite_batches,
+    stack_batches,
+    stacked_chunks,
+)
+
+
+def test_stacked_chunks_equal_stack_of_batches():
+    """stacked_chunks must yield EXACTLY the stream of
+    stack_batches(infinite_batches(...)) — same shuffle, same per-batch
+    sorted indices, same epoch wrap — or a resumed run would train on
+    different data depending on which assembler built the chunk."""
+    data = SyntheticPairs(num_pairs=50, video_dim=8, text_dim=6, seed=3)
+    b, n = 8, 4  # 6 batches/epoch: a 4-batch chunk wraps epochs
+    want_it = stack_batches(infinite_batches(data, b, seed=7), n)
+    got_it = stacked_chunks(data, b, n, seed=7)
+    for _ in range(5):
+        want, got = next(want_it), next(got_it)
+        assert set(want) == set(got)
+        for k in want:
+            np.testing.assert_array_equal(got[k], want[k], err_msg=k)
+
+
+def test_stacked_chunks_resume_matches_fast_forward():
+    data = SyntheticPairs(num_pairs=64, video_dim=8, text_dim=6, seed=0)
+    b, n = 8, 3
+    full = stacked_chunks(data, b, n, seed=5)
+    chunks = [next(full) for _ in range(4)]
+    # resume after 2 chunks = start_step 6 (per-batch steps)
+    resumed = stacked_chunks(data, b, n, seed=5, start_step=2 * n)
+    for want in chunks[2:]:
+        got = next(resumed)
+        for k in want:
+            np.testing.assert_array_equal(got[k], want[k])
+
+
+def test_stacked_chunks_carries_masks():
+    data = SyntheticPairs(
+        num_pairs=32, video_dim=8, text_dim=6, video_seq_len=4,
+        text_seq_len=3, variable_lengths=True, seed=1,
+    )
+    chunk = next(stacked_chunks(data, 8, 2, seed=0))
+    assert chunk["video"].shape == (2, 8, 4, 8)
+    assert chunk["video_mask"].shape == (2, 8, 4)
+    assert chunk["text_mask"].shape == (2, 8, 3)
+    want = next(stack_batches(infinite_batches(data, 8, seed=0), 2))
+    np.testing.assert_array_equal(chunk["video_mask"], want["video_mask"])
+
+
+def test_bf16_feature_store_roundtrip(tmp_path):
+    """A bf16 store mmaps back (numpy round-trips bf16 .npy as raw
+    2-byte records) and gathers bit-identically to the host-converted
+    fp32 source."""
+    import ml_dtypes
+
+    from crossclr_tpu.data.native_io import f32_to_bf16
+
+    rng = np.random.default_rng(0)
+    v = rng.standard_normal((20, 8)).astype(np.float32)
+    t = rng.standard_normal((20, 6)).astype(np.float32)
+    vb, tb = f32_to_bf16(v), f32_to_bf16(t)
+    vp, tp = tmp_path / "v.npy", tmp_path / "t.npy"
+    np.save(vp, vb)
+    np.save(tp, tb)
+
+    ds = FeaturePairDataset(vp, tp, dtype="bfloat16")
+    assert ds.video.dtype == ml_dtypes.bfloat16
+    batch = next(infinite_batches(ds, 4, seed=0, shuffle=False))
+    assert batch["video"].dtype == ml_dtypes.bfloat16
+    np.testing.assert_array_equal(
+        batch["video"].view(np.uint16), vb[:4].view(np.uint16)
+    )
+    chunk = next(stacked_chunks(ds, 4, 2, seed=0, shuffle=False))
+    np.testing.assert_array_equal(
+        chunk["text"].view(np.uint16), tb[:8].view(np.uint16).reshape(2, 4, 6)
+    )
+
+
+def test_bf16_store_dtype_mismatches_are_loud(tmp_path):
+    rng = np.random.default_rng(0)
+    f32 = rng.standard_normal((8, 4)).astype(np.float32)
+    p32 = tmp_path / "f32.npy"
+    np.save(p32, f32)
+    pbf = tmp_path / "bf.npy"
+    np.save(pbf, f32.astype(np.float16).view(np.uint16))  # any 2-byte store
+
+    with pytest.raises(ValueError, match="not a 2-byte"):
+        FeaturePairDataset(p32, p32, dtype="bfloat16")
+    with pytest.raises(ValueError, match="bfloat16"):
+        FeaturePairDataset(pbf, pbf)  # 2-byte store without the flag
+    with pytest.raises(ValueError, match="unsupported"):
+        FeaturePairDataset(p32, p32, dtype="float16")
+
+
+def test_features_dtype_flows_from_config(tmp_path):
+    from crossclr_tpu.data import dataset_from_config
+    from crossclr_tpu.data.native_io import f32_to_bf16
+    from crossclr_tpu.utils.config import DataConfig
+
+    rng = np.random.default_rng(0)
+    v = f32_to_bf16(rng.standard_normal((10, 4)).astype(np.float32))
+    t = f32_to_bf16(rng.standard_normal((10, 3)).astype(np.float32))
+    np.save(tmp_path / "v.npy", v)
+    np.save(tmp_path / "t.npy", t)
+    ds, ids = dataset_from_config(DataConfig(
+        source="files",
+        video_path=str(tmp_path / "v.npy"),
+        text_path=str(tmp_path / "t.npy"),
+        features_dtype="bfloat16",
+    ))
+    assert ids is None and len(ds) == 10
+    assert str(ds.video.dtype) == "bfloat16"
+
+
+def test_bf16_inputs_train_identically_to_fp32_for_bf16_towers():
+    """The bf16 store claim: for towers whose first matmul casts inputs
+    to bf16, feeding pre-rounded bf16 features changes NOTHING — same
+    loss, same params after a step."""
+    import jax.numpy as jnp
+
+    from crossclr_tpu.data.native_io import f32_to_bf16
+    from crossclr_tpu.models import TowerConfig
+    from crossclr_tpu.training import TrainConfig, Trainer
+
+    data = SyntheticPairs(num_pairs=32, video_dim=12, text_dim=8, seed=0)
+    vc = TowerConfig(kind="mlp", input_dim=12, embed_dim=8, hidden_dim=16,
+                     dtype=jnp.bfloat16)
+    tc = TowerConfig(kind="mlp", input_dim=8, embed_dim=8, hidden_dim=16,
+                     dtype=jnp.bfloat16)
+    cfg = TrainConfig(total_steps=10, warmup_steps=2)
+
+    losses = []
+    for cast in (False, True):
+        trainer = Trainer(vc, tc, cfg, mesh=None)
+        batch = {
+            "video": np.asarray(data.video[:16]),
+            "text": np.asarray(data.text[:16]),
+        }
+        if cast:
+            batch = {k: f32_to_bf16(v) for k, v in batch.items()}
+        state = trainer.init_state(batch["video"][:2], batch["text"][:2])
+        state, m = trainer.train_step(state, batch)
+        losses.append(float(m["loss"]))
+    assert losses[0] == losses[1], losses
