@@ -382,6 +382,7 @@ def stacked_chunks(
     seed: int = 0,
     start_step: int = 0,
     shuffle: bool = True,
+    reuse_buffers: int = 0,
 ) -> Iterator[dict]:
     """Endless ``[n, B, ...]`` stacked chunks, assembled with ONE gather.
 
@@ -396,9 +397,26 @@ def stacked_chunks(
     ``np.stack`` of 64×4096 fp32 batches alone took 3 s for 0.5 GB).
     This is the host-side half of the ``steps_per_call`` pipeline; see
     ``Trainer.train_steps`` for the device half.
+
+    ``reuse_buffers=k`` (k ≥ 2): assemble into a ring of ``k``
+    preallocated destination buffers instead of a fresh allocation per
+    chunk.  Fresh chunk-sized allocations first-touch-fault every page
+    (measured 0.10-0.22 GB/s vs 2.5-2.9 GB/s into warm pages on a 1-core
+    host), and glibc intermittently returns the pages between chunks, so
+    steady-state assembly is ~6× slower without the ring.  CONTRACT: a
+    yielded chunk's arrays are only valid until ``k - 1`` more chunks
+    have been drawn — callers that stream each chunk straight to the
+    device (train.py holds ≤ 3: queued + in-assembly + in-transfer) pass
+    k ≥ 4; callers that retain chunks use the default fresh-allocation
+    mode.
     """
     from .native_io import gather_rows
 
+    if reuse_buffers == 1:
+        raise ValueError(
+            "reuse_buffers=1 would overwrite the chunk just yielded; "
+            "use 0 (fresh allocations) or >= 2"
+        )
     n_rows = len(dataset)
     per_epoch = n_rows // batch_size
     if per_epoch == 0:
@@ -416,11 +434,27 @@ def stacked_chunks(
             sb = 0
             e += 1
 
+    ring = (
+        [
+            {
+                k: np.empty(
+                    (n * batch_size, *src.shape[1:]), dtype=src.dtype
+                )
+                for k, src in fields.items()
+            }
+            for _ in range(reuse_buffers)
+        ]
+        if reuse_buffers
+        else None
+    )
     stream = index_stream()
+    draw = 0
     while True:
         flat = np.concatenate([next(stream) for _ in range(n)])
+        bufs = ring[draw % reuse_buffers] if ring else {}
+        draw += 1
         yield {
-            k: gather_rows(src, flat).reshape(
+            k: gather_rows(src, flat, out=bufs.get(k)).reshape(
                 n, batch_size, *src.shape[1:]
             )
             for k, src in fields.items()

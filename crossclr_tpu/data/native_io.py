@@ -102,14 +102,36 @@ def native_available() -> bool:
 
 
 def gather_rows(
-    src: np.ndarray, idx: np.ndarray, *, threads: int = _DEFAULT_THREADS
+    src: np.ndarray,
+    idx: np.ndarray,
+    *,
+    threads: int = _DEFAULT_THREADS,
+    out: np.ndarray | None = None,
 ) -> np.ndarray:
-    """``src[idx]`` as a fresh contiguous array, multithreaded when native.
+    """``src[idx]`` as a contiguous array, multithreaded when native.
 
     ``src`` may be a np.memmap; rows are copied directly out of the mapped
     pages.  Works for any 2-D dtype.
+
+    ``out``: optional preallocated destination of the exact result shape/
+    dtype (contiguous).  Reusing destinations matters on hosts where the
+    allocator returns big buffers to the OS between batches: a fresh
+    chunk-sized allocation first-touch-faults every page (~25× slower
+    than the copy itself — see scripts/bench_input_pipeline.py), and
+    glibc re-triggers that intermittently even at steady state.
     """
     lib = _load()
+    if out is not None:
+        want = (idx.shape[0], *src.shape[1:])
+        if (
+            out.shape != want
+            or out.dtype != src.dtype
+            or not out.flags.c_contiguous
+        ):
+            raise ValueError(
+                f"out must be C-contiguous {want} {src.dtype}, got "
+                f"{out.shape} {out.dtype} contiguous={out.flags.c_contiguous}"
+            )
     # each row (all trailing dims) must be one contiguous block; the ROW
     # STRIDE may differ from the row size (e.g. HostShard's [p::P] views).
     # Works for [N, D] features and [N, S, D] sequences alike.
@@ -123,9 +145,13 @@ def gather_rows(
         )
     )
     if lib is None or not inner_contiguous or row_elems == 0:
-        return np.ascontiguousarray(src[idx])
+        if out is None:
+            return np.ascontiguousarray(src[idx])
+        out[...] = src[idx]
+        return out
     idx64 = np.ascontiguousarray(idx, dtype=np.int64)
-    out = np.empty((idx64.shape[0], *src.shape[1:]), dtype=src.dtype)
+    if out is None:
+        out = np.empty((idx64.shape[0], *src.shape[1:]), dtype=src.dtype)
     row_bytes = row_elems * src.dtype.itemsize
     lib.crossclr_gather_rows(
         src.ctypes.data,

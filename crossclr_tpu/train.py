@@ -243,8 +243,13 @@ def main(argv: list[str] | None = None) -> int:
         # same batch stream as stack_batches(infinite_batches(...), spc),
         # but each chunk is assembled with ONE multithreaded gather per
         # modality instead of spc gathers + an np.stack re-copy
+        # ring of 4 destination buffers: the pipeline holds at most 3
+        # chunks (prefetch queue + in-assembly + in-transfer), and fresh
+        # chunk-sized allocations re-fault every page (~6x slower steady
+        # state, scripts/bench_input_pipeline.py)
         batches = stacked_chunks(
-            host_data, local_batch, spc, seed=cfg.data.seed, start_step=done
+            host_data, local_batch, spc, seed=cfg.data.seed, start_step=done,
+            reuse_buffers=4,
         )
         if sharding is not None:
             # batch axis moves to dim 1 of the stacked chunk

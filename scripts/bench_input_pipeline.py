@@ -92,7 +92,8 @@ def main(argv=None) -> int:
     chunk_mb = spc * b * bytes_per_pair / 2**20
 
     def stream():
-        return stacked_chunks(dataset, b, spc, seed=0)
+        # same 4-buffer destination ring as train.py's prestacked path
+        return stacked_chunks(dataset, b, spc, seed=0, reuse_buffers=4)
 
     out = {
         "metric": "input_pipeline_pairs_per_sec",
@@ -108,11 +109,10 @@ def main(argv=None) -> int:
 
     # -- tier 1: host assembly only ------------------------------------
     it = stream()
-    # 3-chunk warmup: page-cache fill AND glibc arena adaptation — the
-    # first ~2 chunk-sized allocations fault fresh pages at ~130 MB/s on
-    # this host; once the allocator reuses arena pages the gather runs
-    # at memory speed (measured 2.7 GB/s steady vs 8 s first-chunk)
-    for _ in range(3):
+    # 4-chunk warmup: page-cache fill and one first-touch pass over every
+    # ring buffer — a fresh chunk-sized destination faults each page at
+    # ~0.1 GB/s on this host vs 2.5-2.9 GB/s into warm ring pages
+    for _ in range(4):
         next(it)
     t0 = time.perf_counter()
     for _ in range(args.chunks):

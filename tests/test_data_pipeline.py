@@ -61,6 +61,43 @@ def test_stacked_chunks_carries_masks():
     np.testing.assert_array_equal(chunk["video_mask"], want["video_mask"])
 
 
+def test_stacked_chunks_ring_matches_fresh_mode():
+    """reuse_buffers must not change the stream — each ring chunk, copied
+    before the next draw (the documented validity window), equals the
+    fresh-allocation stream's chunk."""
+    data = SyntheticPairs(num_pairs=50, video_dim=8, text_dim=6, seed=3)
+    fresh = stacked_chunks(data, 8, 4, seed=7)
+    ring = stacked_chunks(data, 8, 4, seed=7, reuse_buffers=2)
+    ring_bufs = []
+    for _ in range(5):
+        got = next(ring)
+        ring_bufs.append({k: v.base for k, v in got.items()})
+        want = next(fresh)
+        for k in want:
+            np.testing.assert_array_equal(got[k], want[k], err_msg=k)
+    # the ring actually reuses: draws i and i+2 share their buffers
+    assert ring_bufs[0]["video"] is ring_bufs[2]["video"]
+    assert ring_bufs[1]["text"] is ring_bufs[3]["text"]
+    with pytest.raises(ValueError, match="reuse_buffers=1"):
+        next(stacked_chunks(data, 8, 4, reuse_buffers=1))
+
+
+def test_gather_rows_out_parameter():
+    from crossclr_tpu.data.native_io import gather_rows
+
+    rng = np.random.default_rng(0)
+    src = rng.standard_normal((30, 5)).astype(np.float32)
+    idx = np.array([3, 3, 7, 29, 0])
+    out = np.empty((5, 5), dtype=np.float32)
+    got = gather_rows(src, idx, out=out)
+    assert got is out
+    np.testing.assert_array_equal(out, src[idx])
+    with pytest.raises(ValueError, match="out must be"):
+        gather_rows(src, idx, out=np.empty((4, 5), dtype=np.float32))
+    with pytest.raises(ValueError, match="out must be"):
+        gather_rows(src, idx, out=np.empty((5, 5), dtype=np.float64))
+
+
 def test_bf16_feature_store_roundtrip(tmp_path):
     """A bf16 store mmaps back (numpy round-trips bf16 .npy as raw
     2-byte records) and gathers bit-identically to the host-converted
