@@ -47,6 +47,7 @@ def test_global_loss_matches_single_device(rng, b_global, d):
 
 
 @needs_multidevice
+@pytest.mark.quick
 def test_global_loss_gradients_match_single_device(rng):
     mesh = make_mesh()
     b, d = 64, 32
@@ -246,6 +247,7 @@ def test_global_cross_clr_embeddings_as_inputs(rng):
 
 
 @needs_multidevice
+@pytest.mark.quick
 def test_trainer_global_cross_clr_matches_single_device(rng):
     """Trainer step with loss='crossclr' + global_negatives on the 8-device
     mesh reproduces the single-device step (loss and grad norm)."""

@@ -10,6 +10,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.quick
+
 from crossclr_tpu.losses import cross_clr_intra
 from crossclr_tpu.ops import cross_clr_intra_fused, pallas_supported
 from crossclr_tpu.ops.fused_crossclr import fused_lse_pair

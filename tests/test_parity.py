@@ -10,6 +10,8 @@ import numpy as np
 import pytest
 import torch
 
+pytestmark = pytest.mark.quick
+
 from crossclr_tpu.losses import (
     CrossCLR_onlyIntraModality,
     MaxMarginCoot,

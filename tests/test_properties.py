@@ -5,6 +5,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.quick
+
 from crossclr_tpu.losses import (
     connectivity_scores,
     cross_clr,

@@ -25,6 +25,8 @@ import numpy as np
 import pytest
 import torch
 
+pytestmark = pytest.mark.quick
+
 from crossclr_tpu.losses import CrossCLR_onlyIntraModality, cross_clr_intra
 from tests.reference_oracle import oracle_crossclr_intra
 
