@@ -482,22 +482,46 @@ def stack_batches(batches: Iterator[dict], n: int) -> Iterator[dict]:
         yield {k: np.stack([g[k] for g in group]) for k in group[0]}
 
 
-def prefetch_to_device(batches: Iterator[dict], size: int = 2, sharding=None):
+def prefetch_to_device(
+    batches: Iterator[dict], size: int = 2, sharding=None, threaded: bool = True
+):
     """Keep ``size`` batches in flight on the device ahead of consumption.
 
-    ``jax.device_put`` is async, so assembling + transferring the next
-    batches overlaps with the current train step — the standard
-    host-input-pipeline recipe that keeps the TPU from stalling on H2D.
+    Single-process (default): a background thread assembles (``next``) and
+    transfers (``jax.device_put``) upcoming batches while the consumer
+    thread dispatches train steps, so steady-state throughput is
+    ``max(assembly + H2D, compute)`` instead of their sum — the recipe
+    that keeps the TPU from stalling on host input (the reference pays
+    this stall every step via its per-forward numpy-eye uploads,
+    loss.py:66,102-104).  The worker fences each transfer
+    (``block_until_ready``) before drawing the next batch, so source ring
+    buffers (``stacked_chunks(reuse_buffers=...)``) are never overwritten
+    mid-DMA.
+
+    Multi-process (or ``threaded=False``): the transfer runs on the
+    consumer thread between yields —
+    ``jax.make_array_from_process_local_data`` participates in the global
+    device layout and stays off worker threads.
+
     ``sharding``: optional NamedSharding applied to every array.
     """
     import collections
 
     import jax
 
-    queue = collections.deque()
     multi_process = jax.process_count() > 1
+    # on a host-memory destination (CPU backend) device_put is zero-copy —
+    # the "device" array ALIASES the numpy buffer, so a ring-reused source
+    # (stacked_chunks' destination ring) would be rewritten under the
+    # consumer; materialize a private copy there.  Real accelerators DMA.
+    dest_devices = (
+        sharding.device_set if sharding is not None else {jax.devices()[0]}
+    )
+    aliasing_dest = all(d.platform == "cpu" for d in dest_devices)
 
     def put(v):
+        if aliasing_dest and isinstance(v, np.ndarray):
+            v = np.array(v)
         if sharding is None:
             return jax.device_put(v)
         if multi_process:
@@ -508,18 +532,72 @@ def prefetch_to_device(batches: Iterator[dict], size: int = 2, sharding=None):
             )
         return jax.device_put(v, sharding)
 
-    def put_next() -> bool:
-        try:
-            batch = next(batches)
-        except StopIteration:
-            return False
-        queue.append({k: put(v) for k, v in batch.items()})
-        return True
+    if multi_process or not threaded:
+        queue = collections.deque()
 
-    for _ in range(size):
-        if not put_next():
-            break
-    while queue:
-        out = queue.popleft()
-        put_next()
-        yield out
+        def put_next() -> bool:
+            try:
+                batch = next(batches)
+            except StopIteration:
+                return False
+            queue.append({k: put(v) for k, v in batch.items()})
+            return True
+
+        for _ in range(size):
+            if not put_next():
+                break
+        while queue:
+            out = queue.popleft()
+            put_next()
+            yield out
+        return
+
+    import queue as queue_mod
+    import threading
+
+    q: queue_mod.Queue = queue_mod.Queue(maxsize=max(size, 1))
+    stop = threading.Event()
+    sentinel = object()
+
+    def offer(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue_mod.Full:
+                continue
+        return False
+
+    def worker():
+        try:
+            for batch in batches:
+                if stop.is_set():
+                    return
+                moved = {k: put(v) for k, v in batch.items()}
+                # fence: the source buffers may be ring-reused by the
+                # NEXT draw; don't request it until the DMA completed
+                jax.block_until_ready(moved)
+                if not offer(moved):
+                    return
+            offer(sentinel)
+        except BaseException as exc:  # noqa: BLE001 — re-raised by consumer
+            offer(exc)
+
+    thread = threading.Thread(
+        target=worker, name="crossclr-prefetch", daemon=True
+    )
+    thread.start()
+    try:
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
+        # don't leave the worker mid-device_put across interpreter
+        # shutdown (daemon threads die abruptly and can fault in the
+        # runtime); it re-checks `stop` every 0.1 s when queue-blocked
+        thread.join(timeout=10.0)

@@ -335,6 +335,9 @@ def main(argv: list[str] | None = None) -> int:
                     metrics={k: float(v) for k, v in metrics.items()},
                 )
     finally:
+        # stop the prefetch worker thread before teardown — a daemon
+        # thread mid-device_put at interpreter shutdown can fault
+        it.close()
         for sig, handler in prev_handlers.items():
             signal.signal(sig, handler)
         if ckpt is not None:

@@ -157,6 +157,24 @@ def main(argv=None) -> int:
     out["resident_pairs_per_sec"] = round(spc * b / best, 1)
     out["resident_step_ms"] = round(best / spc * 1e3, 3)
 
+    # -- tier 1b: raw H2D bandwidth for one chunk ------------------------
+    # isolates the transfer leg so the file-fed number decomposes:
+    # steady-state file-fed ≈ max(assembly, H2D, resident compute) under
+    # prefetch overlap.  On a tunneled runtime (this dev rig) H2D is
+    # ~20-30 MB/s and dominates; on a local TPU host it is PCIe/DMA.
+    dev = jax.devices()[0]
+    host_chunk = next(stream())  # host-resident numpy chunk
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        moved = jax.device_put(host_chunk, dev)
+        jax.block_until_ready(moved)
+        best = min(best, time.perf_counter() - t0)
+        del moved
+    out["h2d_gb_per_sec"] = round(chunk_mb / 1024 / best, 3)
+    out["h2d_step_ms"] = round(best / spc * 1e3, 3)
+    out["h2d_pairs_per_sec"] = round(spc * b / best, 1)
+
     # -- tier 2: file-fed steady state ----------------------------------
     # the prefetcher already holds the next chunk; timing spans gather +
     # stack + H2D + dispatch for args.chunks consecutive chunks
@@ -169,6 +187,7 @@ def main(argv=None) -> int:
         if n >= args.chunks:
             break
     dt = (time.perf_counter() - t0) / args.chunks
+    it.close()  # stop the prefetch worker before interpreter teardown
     if not np.isfinite(float(ms["loss"][-1])):
         out["error"] = "non-finite loss"
     out["file_fed_pairs_per_sec"] = round(spc * b / dt, 1)

@@ -193,3 +193,34 @@ def test_bf16_inputs_train_identically_to_fp32_for_bf16_towers():
         state, m = trainer.train_step(state, batch)
         losses.append(float(m["loss"]))
     assert losses[0] == losses[1], losses
+
+
+def test_input_pipeline_bench_script(tmp_path, capsys):
+    """The file-fed throughput harness (scripts/bench_input_pipeline.py)
+    runs end-to-end at toy shapes and reports every decomposition tier —
+    assembly, raw H2D, device-resident, and file-fed — so the BASELINE.md
+    accounting stays reproducible."""
+    import json
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "scripts"))
+    import bench_input_pipeline
+
+    rc = bench_input_pipeline.main(
+        [
+            "--rows", "256", "--batch", "32", "--spc", "2", "--chunks", "2",
+            "--video-dim", "16", "--text-dim", "12",
+            "--data-dir", str(tmp_path),
+        ]
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    for key in (
+        "assembly_pairs_per_sec",
+        "h2d_gb_per_sec",
+        "resident_pairs_per_sec",
+        "file_fed_pairs_per_sec",
+        "file_fed_vs_resident",
+    ):
+        assert out[key] > 0, (key, out)

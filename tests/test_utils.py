@@ -81,6 +81,71 @@ def test_prefetch_handles_short_iterators():
     assert len(list(prefetch_to_device(iter(one), size=4))) == 1
 
 
+def test_prefetch_threaded_safe_with_ring_buffer_reuse():
+    """The worker fences each transfer before drawing the next batch, so a
+    producer that OVERWRITES its buffers (stacked_chunks' destination
+    ring) must still deliver every chunk's original values."""
+    from crossclr_tpu.data import prefetch_to_device
+
+    buf = np.empty((4, 3), np.float32)  # single reused buffer: worst case
+
+    def producer():
+        for i in range(8):
+            buf[...] = i
+            yield {"x": buf}
+
+    out = list(prefetch_to_device(producer(), size=2))
+    assert [int(np.asarray(b["x"])[0, 0]) for b in out] == list(range(8))
+
+
+def test_prefetch_threaded_matches_unthreaded(rng):
+    from crossclr_tpu.data import prefetch_to_device
+
+    batches = [{"x": rng.standard_normal((2, 3)).astype(np.float32)}
+               for _ in range(6)]
+    threaded = list(prefetch_to_device(iter(batches), size=2))
+    plain = list(prefetch_to_device(iter(batches), size=2, threaded=False))
+    for a, b in zip(threaded, plain, strict=True):
+        np.testing.assert_array_equal(np.asarray(a["x"]), np.asarray(b["x"]))
+
+
+def test_prefetch_propagates_producer_exceptions():
+    from crossclr_tpu.data import prefetch_to_device
+
+    def producer():
+        yield {"x": np.ones(2, np.float32)}
+        raise RuntimeError("disk gone")
+
+    it = prefetch_to_device(producer(), size=2)
+    next(it)
+    with pytest.raises(RuntimeError, match="disk gone"):
+        list(it)
+
+
+def test_prefetch_early_close_does_not_hang():
+    """Closing the consumer mid-stream must stop the worker thread (no
+    deadlock on the bounded queue)."""
+    import threading
+    import time
+
+    from crossclr_tpu.data import prefetch_to_device
+
+    def producer():
+        i = 0
+        while True:  # infinite stream, as in training
+            yield {"x": np.full(2, i, np.float32)}
+            i += 1
+
+    before = threading.active_count()
+    it = prefetch_to_device(producer(), size=1)
+    next(it)
+    it.close()
+    deadline = time.time() + 5.0
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.01)
+    assert threading.active_count() <= before
+
+
 def test_infinite_batches_resume_continues_sequence():
     """start_step=k must reproduce the same stream as consuming k batches."""
     from crossclr_tpu.data import SyntheticPairs, infinite_batches
