@@ -13,6 +13,7 @@ from .datasets import (
     stacked_chunks,
     train_eval_split,
 )
+from .quantize import dequantize_batch, quantize_features
 
 __all__ = [
     "FeaturePairDataset",
@@ -20,9 +21,11 @@ __all__ = [
     "RowSubset",
     "SyntheticPairs",
     "dataset_from_config",
+    "dequantize_batch",
     "epoch_batches",
     "infinite_batches",
     "prefetch_to_device",
+    "quantize_features",
     "stack_batches",
     "stacked_chunks",
     "train_eval_split",

@@ -160,6 +160,13 @@ class FeaturePairDataset:
     files as raw 2-byte records (``|V2`` or ``uint16``), so the mmap is
     VIEWED through ``ml_dtypes.bfloat16`` here.  Value-identical for
     bf16-matmul towers, whose first layer casts inputs to bf16 anyway.
+
+    ``dtype="int8"``: per-row symmetric int8 payloads (written by
+    ``prepare_features --dtype int8``) with fp32 scales in sibling
+    ``<stem>_scale.npy`` files — 4× fewer bytes than fp32 end to end.
+    Batches then carry ``video_scale`` / ``text_scale`` ``[B]`` entries;
+    dequantization happens on DEVICE inside the jitted step (see
+    data.quantize).
     """
 
     def __init__(
@@ -179,6 +186,10 @@ class FeaturePairDataset:
             )
         self.video_mask = self._load_mask(video_mask_path, self.video, "video")
         self.text_mask = self._load_mask(text_mask_path, self.text, "text")
+        self.video_scale = self.text_scale = None
+        if dtype == "int8":
+            self.video_scale = self._load_scale(video_path, self.video, "video")
+            self.text_scale = self._load_scale(text_path, self.text, "text")
 
     @staticmethod
     def _load_feats(path, dtype, name):
@@ -188,6 +199,19 @@ class FeaturePairDataset:
                 raise ValueError(
                     f"{name} store {path} holds 2-byte records (a bf16 "
                     "store?) — pass dtype='bfloat16' (data.features_dtype)"
+                )
+            if arr.dtype == np.int8:
+                raise ValueError(
+                    f"{name} store {path} holds int8 payloads — pass "
+                    "dtype='int8' (data.features_dtype)"
+                )
+            return arr
+        if dtype == "int8":
+            if arr.dtype != np.int8:
+                raise ValueError(
+                    f"{name} store {path} has dtype {arr.dtype}, not int8 "
+                    "— re-export with prepare_features --dtype int8 (or "
+                    "fix data.features_dtype)"
                 )
             return arr
         if dtype != "bfloat16":
@@ -201,6 +225,25 @@ class FeaturePairDataset:
                 "--dtype bfloat16 (or drop data.features_dtype)"
             )
         return arr.view(ml_dtypes.bfloat16)
+
+    @staticmethod
+    def _load_scale(path, feats, name):
+        """Per-row fp32 scales for an int8 store: sibling
+        ``<stem>_scale.npy`` next to the payload file."""
+        path = Path(path)
+        scale_path = path.with_name(path.stem + "_scale.npy")
+        if not scale_path.exists():
+            raise ValueError(
+                f"int8 {name} store {path} has no scale file {scale_path} "
+                "— re-export with prepare_features --dtype int8"
+            )
+        scale = np.load(scale_path, mmap_mode="r")
+        if scale.shape != (feats.shape[0],) or scale.dtype != np.float32:
+            raise ValueError(
+                f"{scale_path} must be float32 [{feats.shape[0]}], got "
+                f"{scale.dtype} {scale.shape}"
+            )
+        return scale
 
     @staticmethod
     def _load_mask(path, feats, name):
@@ -233,7 +276,7 @@ class RowSubset:
     def __init__(self, dataset, start: int, stop: int):
         self.video = dataset.video[start:stop]
         self.text = dataset.text[start:stop]
-        for name in ("video_mask", "text_mask"):
+        for name in _AUX_FIELDS:
             m = getattr(dataset, name, None)
             setattr(self, name, None if m is None else m[start:stop])
 
@@ -275,7 +318,7 @@ class HostShard:
         usable = len(dataset) // process_count
         self.video = dataset.video[process_index::process_count][:usable]
         self.text = dataset.text[process_index::process_count][:usable]
-        for name in ("video_mask", "text_mask"):
+        for name in _AUX_FIELDS:
             m = getattr(dataset, name, None)
             setattr(
                 self,
@@ -309,9 +352,15 @@ def _epoch_indices(
         yield np.sort(order[start : start + batch_size])
 
 
+# optional per-row companions to the two feature fields, carried through
+# every view (RowSubset/HostShard) and batcher: key-padding masks for
+# ragged sequences, per-row scales for int8 stores (data.quantize)
+_AUX_FIELDS = ("video_mask", "text_mask", "video_scale", "text_scale")
+
+
 def _batch_fields(dataset) -> dict:
     fields = {"video": dataset.video, "text": dataset.text}
-    for name in ("video_mask", "text_mask"):
+    for name in _AUX_FIELDS:
         m = getattr(dataset, name, None)
         if m is not None:
             fields[name] = m

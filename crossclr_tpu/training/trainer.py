@@ -506,6 +506,13 @@ class Trainer:
 
     def init_state(self, sample_video: jax.Array, sample_text: jax.Array) -> TrainState:
         rng = jax.random.PRNGKey(self.cfg.seed)
+        # int8-store samples: init only uses the samples for shape/dtype
+        # propagation through the towers, so a plain float cast stands in
+        # for dequantization (scales never change shapes)
+        if jnp.issubdtype(jnp.asarray(sample_video).dtype, jnp.integer):
+            sample_video = jnp.asarray(sample_video, jnp.float32)
+        if jnp.issubdtype(jnp.asarray(sample_text).dtype, jnp.integer):
+            sample_text = jnp.asarray(sample_text, jnp.float32)
         params = self.model.init(rng, sample_video, sample_text)["params"]
         # criterion parameter: vestigial by default (reference-API parity,
         # loss.py:52), live when cfg.learnable_temperature — then it must
@@ -587,6 +594,8 @@ class Trainer:
     # -- the step -----------------------------------------------------------
 
     def _build_step(self):
+        from ..data.quantize import dequantize_batch
+
         cfg = self.cfg
         mesh = self.mesh
         model = self.model
@@ -748,6 +757,11 @@ class Trainer:
             return (loss, (v_emb, t_emb)), grads
 
         def step(state: TrainState, batch):
+            # int8 feature stores: dequantize ON DEVICE (H2D moved int8
+            # bytes; XLA fuses payload*scale into the first tower matmul's
+            # operand fetch).  No-op for float batches — a trace-time
+            # key check (see data.quantize)
+            batch = dequantize_batch(batch)
             # embedding_chunk is an upper bound on rows encoded at once:
             # when the per-device batch already fits (chunk >= batch, the
             # k=1 degenerate), the two-pass would recompute the towers
@@ -933,6 +947,9 @@ class Trainer:
             mesh = self.mesh
 
             def _enc(params, batch):
+                from ..data.quantize import dequantize_batch
+
+                batch = dequantize_batch(batch)  # int8 stores (see step())
                 towers = {k: v for k, v in params.items() if k != "logit_scale"}
                 return model.apply(
                     {"params": towers},

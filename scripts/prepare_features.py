@@ -186,6 +186,15 @@ def main(argv=None) -> int:
     ap.add_argument("--video-key", default="video")
     ap.add_argument("--text-key", default="text")
     ap.add_argument("--keep-sequence", action="store_true")
+    ap.add_argument(
+        "--dtype",
+        choices=("float32", "bfloat16", "int8"),
+        default="float32",
+        help="feature storage dtype (set data.features_dtype to match): "
+        "bfloat16 halves disk/gather/H2D bytes (value-identical for bf16 "
+        "towers); int8 quarters them with per-row scales in sibling "
+        "*_scale.npy files, dequantized on device (see data.quantize)",
+    )
     ap.add_argument("--out", required=True)
     args = ap.parse_args(argv)
 
@@ -215,15 +224,28 @@ def main(argv=None) -> int:
         raise SystemExit(f"row mismatch: {v.shape[0]} video vs {t.shape[0]} text")
     out = Path(args.out)
     out.mkdir(parents=True, exist_ok=True)
-    np.save(out / "video_feats.npy", v)
-    np.save(out / "text_feats.npy", t)
+    import sys
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    for feats, name in ((v, "video_feats"), (t, "text_feats")):
+        if args.dtype == "bfloat16":
+            from crossclr_tpu.data.native_io import f32_to_bf16
+
+            feats = f32_to_bf16(feats)
+        elif args.dtype == "int8":
+            from crossclr_tpu.data.quantize import quantize_features
+
+            feats, scale = quantize_features(feats)
+            np.save(out / f"{name}_scale.npy", scale)
+        np.save(out / f"{name}.npy", feats)
     for mask, name in ((vm, "video_mask.npy"), (tm, "text_mask.npy")):
         if mask is not None:
             np.save(out / name, mask)
     (out / "ids.json").write_text(json.dumps(ids))
     masked = [n for m, n in ((vm, "video"), (tm, "text")) if m is not None]
     note = f" (+ {'/'.join(masked)} masks)" if masked else ""
-    print(f"wrote {v.shape} video / {t.shape} text features to {out}{note}")
+    tag = "" if args.dtype == "float32" else f" [{args.dtype}]"
+    print(f"wrote {v.shape} video / {t.shape} text features to {out}{note}{tag}")
     return 0
 
 

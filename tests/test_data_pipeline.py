@@ -224,3 +224,161 @@ def test_input_pipeline_bench_script(tmp_path, capsys):
         "file_fed_vs_resident",
     ):
         assert out[key] > 0, (key, out)
+
+
+# -- int8 feature stores (per-row scales, device-side dequant) --------------
+
+
+def test_quantize_roundtrip_error_bound():
+    """Per-row symmetric int8: worst-case element error is scale/2 =
+    max|row|/254; all-zero rows get scale 1.0 (no zero divides)."""
+    from crossclr_tpu.data import quantize_features
+    from crossclr_tpu.data.quantize import dequantize
+
+    rng = np.random.default_rng(0)
+    x = (rng.standard_normal((16, 10)) * rng.uniform(0.1, 50, (16, 1))).astype(
+        np.float32
+    )
+    x[3] = 0.0
+    q, scale = quantize_features(x)
+    assert q.dtype == np.int8 and scale.dtype == np.float32
+    assert scale.shape == (16,) and scale[3] == 1.0
+    back = np.asarray(dequantize(q, scale))
+    bound = np.abs(x).max(axis=1, keepdims=True) / 254.0 + 1e-7
+    assert (np.abs(back - x) <= bound).all()
+
+    # sequences quantize per ROW (over S·D), not per step
+    seq = rng.standard_normal((4, 3, 5)).astype(np.float32)
+    qs, ss = quantize_features(seq)
+    assert qs.shape == seq.shape and ss.shape == (4,)
+    back = np.asarray(dequantize(qs, ss))
+    assert np.abs(back - seq).max() <= np.abs(seq).max() / 254.0 + 1e-7
+
+
+def test_int8_feature_store_roundtrip(tmp_path):
+    """int8 stores load with sibling scales; batches and stacked chunks
+    carry [B] / [n, B] scale entries; views (RowSubset/HostShard) slice
+    the scales alongside the payload."""
+    from crossclr_tpu.data import (
+        HostShard,
+        quantize_features,
+        train_eval_split,
+    )
+
+    rng = np.random.default_rng(1)
+    v = rng.standard_normal((24, 8)).astype(np.float32)
+    t = rng.standard_normal((24, 6)).astype(np.float32)
+    for arr, name in ((v, "v"), (t, "t")):
+        q, s = quantize_features(arr)
+        np.save(tmp_path / f"{name}.npy", q)
+        np.save(tmp_path / f"{name}_scale.npy", s)
+
+    ds = FeaturePairDataset(tmp_path / "v.npy", tmp_path / "t.npy", dtype="int8")
+    assert ds.video.dtype == np.int8 and ds.video_scale.shape == (24,)
+
+    batch = next(infinite_batches(ds, 4, seed=0, shuffle=False))
+    assert batch["video"].dtype == np.int8
+    assert batch["video_scale"].shape == (4,)
+    assert batch["text_scale"].shape == (4,)
+    np.testing.assert_array_equal(
+        batch["video_scale"], np.asarray(ds.video_scale[:4])
+    )
+
+    chunk = next(stacked_chunks(ds, 4, 2, seed=0, shuffle=False,
+                                reuse_buffers=2))
+    assert chunk["video"].shape == (2, 4, 8)
+    assert chunk["video_scale"].shape == (2, 4)
+
+    train, evald = train_eval_split(ds, 8)
+    assert train.video_scale.shape == (16,) and evald.video_scale.shape == (8,)
+    shard = HostShard(ds, 1, 2)
+    np.testing.assert_array_equal(
+        np.asarray(shard.video_scale), np.asarray(ds.video_scale[1::2][:12])
+    )
+
+
+def test_int8_store_errors_are_loud(tmp_path):
+    from crossclr_tpu.data import quantize_features
+
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((8, 4)).astype(np.float32)
+    q, s = quantize_features(x)
+    np.save(tmp_path / "q.npy", q)
+    np.save(tmp_path / "f.npy", x)
+
+    # int8 payload without the flag
+    with pytest.raises(ValueError, match="int8"):
+        FeaturePairDataset(tmp_path / "q.npy", tmp_path / "q.npy")
+    # flag without the scale file
+    with pytest.raises(ValueError, match="scale"):
+        FeaturePairDataset(tmp_path / "q.npy", tmp_path / "q.npy", dtype="int8")
+    # flag on a float store
+    with pytest.raises(ValueError, match="not int8"):
+        FeaturePairDataset(tmp_path / "f.npy", tmp_path / "f.npy", dtype="int8")
+    # wrong scale shape
+    np.save(tmp_path / "q_scale.npy", s[:4])
+    with pytest.raises(ValueError, match="float32"):
+        FeaturePairDataset(tmp_path / "q.npy", tmp_path / "q.npy", dtype="int8")
+
+
+def test_int8_training_matches_host_dequantized_floats():
+    """The device-side dequant contract: a train step (and encode) fed the
+    int8 payload + scales equals the same step fed host-dequantized fp32
+    features — the quantization error is in the STORE, never in where the
+    dequant runs."""
+    import jax.numpy as jnp
+
+    from crossclr_tpu.data import quantize_features
+    from crossclr_tpu.data.quantize import dequantize
+    from crossclr_tpu.models import TowerConfig
+    from crossclr_tpu.training import TrainConfig, Trainer
+
+    rng = np.random.default_rng(3)
+    v = rng.standard_normal((16, 12)).astype(np.float32)
+    t = rng.standard_normal((16, 8)).astype(np.float32)
+    qv, sv = quantize_features(v)
+    qt, st = quantize_features(t)
+
+    vc = TowerConfig(kind="mlp", input_dim=12, embed_dim=8, hidden_dim=16)
+    tc = TowerConfig(kind="mlp", input_dim=8, embed_dim=8, hidden_dim=16)
+    # full CrossCLR so the connectivity inputs ALSO flow through dequant
+    cfg = TrainConfig(loss="crossclr", total_steps=10, warmup_steps=2)
+
+    results = []
+    for quantized in (True, False):
+        trainer = Trainer(vc, tc, cfg, mesh=None)
+        if quantized:
+            batch = {"video": qv, "text": qt,
+                     "video_scale": sv, "text_scale": st}
+        else:
+            batch = {
+                "video": np.asarray(dequantize(qv, sv)),
+                "text": np.asarray(dequantize(qt, st)),
+            }
+        state = trainer.init_state(batch["video"][:2], batch["text"][:2])
+        state, m = trainer.train_step(state, batch)
+        ve, te = trainer.encode(state, batch)
+        results.append((float(m["loss"]), np.asarray(ve), np.asarray(te)))
+
+    assert results[0][0] == results[1][0], (results[0][0], results[1][0])
+    np.testing.assert_array_equal(results[0][1], results[1][1])
+    np.testing.assert_array_equal(results[0][2], results[1][2])
+
+
+def test_int8_features_dtype_flows_from_config(tmp_path):
+    from crossclr_tpu.data import dataset_from_config, quantize_features
+    from crossclr_tpu.utils.config import DataConfig
+
+    rng = np.random.default_rng(4)
+    for name, d in (("v", 4), ("t", 3)):
+        q, s = quantize_features(rng.standard_normal((10, d)).astype(np.float32))
+        np.save(tmp_path / f"{name}.npy", q)
+        np.save(tmp_path / f"{name}_scale.npy", s)
+    ds, ids = dataset_from_config(DataConfig(
+        source="files",
+        video_path=str(tmp_path / "v.npy"),
+        text_path=str(tmp_path / "t.npy"),
+        features_dtype="int8",
+    ))
+    assert ids is None and len(ds) == 10
+    assert ds.video.dtype == np.int8 and ds.text_scale.shape == (10,)

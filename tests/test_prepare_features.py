@@ -264,6 +264,43 @@ def test_h5_mixed_layout_and_missing_key_rejected(tmp_path, rng):
         ])
 
 
+def test_int8_export_through_cli_train(tmp_path, rng):
+    """prepare_features --dtype int8 → sibling *_scale.npy files → the
+    ``files`` source with data.features_dtype=int8 through a CLI train+eval
+    cycle (device-side dequant inside the jitted step)."""
+    from crossclr_tpu.train import main as train_main
+
+    v = rng.standard_normal((32, 8)).astype(np.float32)
+    t = rng.standard_normal((32, 6)).astype(np.float32)
+    np.savez(tmp_path / "f.npz", video=v, text=t)
+    out = tmp_path / "out"
+    prepare_features.main([
+        "--npz", str(tmp_path / "f.npz"), "--dtype", "int8", "--out", str(out),
+    ])
+
+    q = np.load(out / "video_feats.npy")
+    s = np.load(out / "video_feats_scale.npy")
+    assert q.dtype == np.int8 and s.shape == (32,) and s.dtype == np.float32
+    # dequantized payload within the per-row error bound of the source
+    assert np.abs(q * s[:, None] - v).max() <= np.abs(v).max() / 254.0 + 1e-7
+
+    rc = train_main([
+        "--steps", "2",
+        "data.source=files",
+        f"data.video_path={out / 'video_feats.npy'}",
+        f"data.text_path={out / 'text_feats.npy'}",
+        "data.features_dtype=int8",
+        "data.batch_size=8", "data.eval_fraction=0.25",
+        "video_tower.input_dim=8", "video_tower.embed_dim=16",
+        "video_tower.hidden_dim=32", "video_tower.dtype=float32",
+        "text_tower.input_dim=6", "text_tower.embed_dim=16",
+        "text_tower.hidden_dim=32", "text_tower.dtype=float32",
+        "train.loss=crossclr_intra", "train.warmup_steps=1",
+        "eval_every=2", "log_every=1",
+    ])
+    assert rc == 0
+
+
 def test_stale_ids_manifest_rejected(tmp_path, rng):
     """dataset_from_config fails at startup when ids.json disagrees with
     the feature store row count (stale manifest would otherwise cause
