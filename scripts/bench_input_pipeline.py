@@ -21,7 +21,9 @@ steps_per_call chunks):
 
 Prints ONE JSON line.  ``--dtype bfloat16`` stores the features as bf16
 (half the disk, gather, and H2D bytes) — value-identical for bf16
-towers, whose first matmul casts inputs to bf16 anyway.
+towers, whose first matmul casts inputs to bf16 anyway.  ``--dtype
+int8`` quarters them (per-row scales ride along as [n, B] fp32 and
+dequantize on device — data.quantize).
 """
 
 from __future__ import annotations
@@ -50,6 +52,11 @@ def _make_store(data_dir: Path, rows: int, dim: int, name: str, dtype: str):
             from crossclr_tpu.data.native_io import f32_to_bf16
 
             feats = f32_to_bf16(feats)
+        elif dtype == "int8":
+            from crossclr_tpu.data.quantize import quantize_features
+
+            feats, scale = quantize_features(feats)
+            np.save(path.with_name(path.stem + "_scale.npy"), scale)
         np.save(path, feats)
     return path
 
@@ -64,7 +71,7 @@ def main(argv=None) -> int:
                     help="timed steady-state chunks per tier")
     ap.add_argument("--video-dim", type=int, default=512)
     ap.add_argument("--text-dim", type=int, default=384)
-    ap.add_argument("--dtype", choices=("float32", "bfloat16"),
+    ap.add_argument("--dtype", choices=("float32", "bfloat16", "int8"),
                     default="float32", help="feature storage dtype")
     ap.add_argument("--data-dir", default="/tmp/crossclr_pipeline_bench")
     ap.add_argument("--prefetch", type=int, default=1)
@@ -87,8 +94,8 @@ def main(argv=None) -> int:
 
     b, spc = args.batch, args.spc
     bytes_per_pair = (args.video_dim + args.text_dim) * (
-        2 if args.dtype == "bfloat16" else 4
-    )
+        {"float32": 4, "bfloat16": 2, "int8": 1}[args.dtype]
+    ) + (8 if args.dtype == "int8" else 0)  # two fp32 scales per pair
     chunk_mb = spc * b * bytes_per_pair / 2**20
 
     def stream():

@@ -195,11 +195,13 @@ def test_bf16_inputs_train_identically_to_fp32_for_bf16_towers():
     assert losses[0] == losses[1], losses
 
 
-def test_input_pipeline_bench_script(tmp_path, capsys):
+@pytest.mark.parametrize("dtype", ["float32", "int8"])
+def test_input_pipeline_bench_script(tmp_path, capsys, dtype):
     """The file-fed throughput harness (scripts/bench_input_pipeline.py)
     runs end-to-end at toy shapes and reports every decomposition tier —
     assembly, raw H2D, device-resident, and file-fed — so the BASELINE.md
-    accounting stays reproducible."""
+    accounting stays reproducible.  int8 exercises the scale-carrying
+    stacked chunks through prefetch + the scanned step."""
     import json
     import sys
     from pathlib import Path
@@ -210,7 +212,7 @@ def test_input_pipeline_bench_script(tmp_path, capsys):
     rc = bench_input_pipeline.main(
         [
             "--rows", "256", "--batch", "32", "--spc", "2", "--chunks", "2",
-            "--video-dim", "16", "--text-dim", "12",
+            "--video-dim", "16", "--text-dim", "12", "--dtype", dtype,
             "--data-dir", str(tmp_path),
         ]
     )
