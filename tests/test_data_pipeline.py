@@ -367,6 +367,64 @@ def test_int8_training_matches_host_dequantized_floats():
     np.testing.assert_array_equal(results[0][2], results[1][2])
 
 
+def test_int8_training_under_mesh_global_negatives():
+    """int8 batches shard like float ones: the [B] scale fields take the
+    same data-axis spec as the [B, D] payloads (and [n, B] under stacked
+    chunks — P(None, data) is rank-compatible with both), and the
+    shard_map global-negative step dequantizes inside jit.  The sharded
+    int8 step must equal the single-device step fed the same payload."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    from crossclr_tpu.data import quantize_features
+    from crossclr_tpu.models import TowerConfig
+    from crossclr_tpu.parallel import data_sharding, make_mesh
+    from crossclr_tpu.training import TrainConfig, Trainer
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-virtual-device mesh")
+
+    rng = np.random.default_rng(7)
+    v = rng.standard_normal((32, 12)).astype(np.float32)
+    t = rng.standard_normal((32, 8)).astype(np.float32)
+    qv, sv = quantize_features(v)
+    qt, st = quantize_features(t)
+    batch = {"video": qv, "text": qt, "video_scale": sv, "text_scale": st}
+
+    vc = TowerConfig(kind="mlp", input_dim=12, embed_dim=8, hidden_dim=16,
+                     dtype="float32")
+    tc = TowerConfig(kind="mlp", input_dim=8, embed_dim=8, hidden_dim=16,
+                     dtype="float32")
+    cfg = TrainConfig(loss="crossclr_intra", global_negatives=True,
+                      total_steps=10, warmup_steps=2)
+
+    losses = []
+    for mesh in (make_mesh(n_data=8, n_model=1), None):
+        trainer = Trainer(vc, tc, TrainConfig(**{
+            **cfg.__dict__, "global_negatives": mesh is not None}), mesh=mesh)
+        state = trainer.init_state(batch["video"][:4], batch["text"][:4])
+        b = batch
+        if mesh is not None:
+            sh = data_sharding(mesh)
+            b = {k: jax.device_put(np.asarray(x), sh) for k, x in batch.items()}
+        state, m = trainer.train_step(state, b)
+        losses.append(float(m["loss"]))
+    np.testing.assert_allclose(losses[0], losses[1], rtol=1e-6)
+
+    # stacked chunks under the mesh: [n, B] scales take P(None, data)
+    mesh = make_mesh(n_data=8, n_model=1)
+    trainer = Trainer(vc, tc, TrainConfig(**{
+        **cfg.__dict__, "steps_per_call": 2}), mesh=mesh)
+    state = trainer.init_state(batch["video"][:4], batch["text"][:4])
+    stacked_sh = NamedSharding(mesh, PartitionSpec(None, "data"))
+    stacked = {
+        k: jax.device_put(np.stack([np.asarray(x)] * 2), stacked_sh)
+        for k, x in batch.items()
+    }
+    state, ms = trainer.train_steps(state, stacked)
+    assert np.isfinite(np.asarray(ms["loss"])).all()
+
+
 def test_int8_features_dtype_flows_from_config(tmp_path):
     from crossclr_tpu.data import dataset_from_config, quantize_features
     from crossclr_tpu.utils.config import DataConfig
