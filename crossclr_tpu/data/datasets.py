@@ -552,6 +552,16 @@ def prefetch_to_device(
     ``jax.make_array_from_process_local_data`` participates in the global
     device layout and stays off worker threads.
 
+    CPU destinations (tests, dev rigs): the worker thread does HOST work
+    only — ``jax`` is never driven from the worker.  XLA:CPU's
+    intra-process collectives rendezvous on the compute thread pool, and
+    a concurrent ``device_put`` from a second thread while the consumer
+    executes a sharded step can starve one participant — observed as a
+    fatal ``all gather Rendezvous ... Termination timeout`` abort on the
+    8-virtual-device mesh.  On CPU ``device_put`` is a zero-copy alias
+    anyway, so the consumer-side transfer costs nothing; the worker's job
+    reduces to copying batches out of reused ring buffers.
+
     ``sharding``: optional NamedSharding applied to every array.
     """
     import collections
@@ -568,9 +578,14 @@ def prefetch_to_device(
     )
     aliasing_dest = all(d.platform == "cpu" for d in dest_devices)
 
-    def put(v):
+    def host_stage(v):
+        # private copy when the destination would alias the (possibly
+        # ring-reused) source buffer; real accelerators DMA a copy out
         if aliasing_dest and isinstance(v, np.ndarray):
-            v = np.array(v)
+            return np.array(v)
+        return v
+
+    def device_stage(v):
         if sharding is None:
             return jax.device_put(v)
         if multi_process:
@@ -580,6 +595,9 @@ def prefetch_to_device(
                 sharding, np.asarray(v)
             )
         return jax.device_put(v, sharding)
+
+    def put(v):
+        return device_stage(host_stage(v))
 
     if multi_process or not threaded:
         queue = collections.deque()
@@ -622,10 +640,16 @@ def prefetch_to_device(
             for batch in batches:
                 if stop.is_set():
                     return
-                moved = {k: put(v) for k, v in batch.items()}
-                # fence: the source buffers may be ring-reused by the
-                # NEXT draw; don't request it until the DMA completed
-                jax.block_until_ready(moved)
+                moved = {k: host_stage(v) for k, v in batch.items()}
+                if not aliasing_dest:
+                    # real accelerator: transfer from the worker and fence —
+                    # the source buffers may be ring-reused by the NEXT
+                    # draw; don't request it until the DMA completed.  (On
+                    # aliasing/CPU dests jax stays off this thread entirely
+                    # — see docstring — and host_stage's copy already
+                    # detached the batch from the ring.)
+                    moved = {k: device_stage(v) for k, v in moved.items()}
+                    jax.block_until_ready(moved)
                 if not offer(moved):
                     return
             offer(sentinel)
@@ -643,6 +667,9 @@ def prefetch_to_device(
                 break
             if isinstance(item, BaseException):
                 raise item
+            if aliasing_dest:
+                # zero-copy alias of the worker's private copy
+                item = {k: device_stage(v) for k, v in item.items()}
             yield item
     finally:
         stop.set()

@@ -228,6 +228,52 @@ def test_input_pipeline_bench_script(tmp_path, capsys, dtype):
         assert out[key] > 0, (key, out)
 
 
+def test_threaded_prefetch_with_sharded_collective_step():
+    """Regression: XLA:CPU intra-process collectives rendezvous on the
+    compute thread pool — driving jax from the prefetch worker thread
+    while the consumer executes a sharded (all-gather) step starved one
+    rendezvous participant and ABORTED the process after a 40 s timeout
+    (rendezvous.cc 'Termination timeout ... Exiting').  On CPU
+    destinations the worker must therefore stay off jax entirely (host
+    copies only; the zero-copy device_put happens consumer-side).  This
+    pins the pattern in isolation; the deterministic repro of the abort
+    was test_config_cli.py::test_cli_heldout_retrieval_gate (300 CLI
+    steps), which now doubles as the regression gate."""
+    import jax
+
+    from crossclr_tpu.data import SyntheticPairs, infinite_batches, prefetch_to_device
+    from crossclr_tpu.models import TowerConfig
+    from crossclr_tpu.parallel import data_sharding, make_mesh
+    from crossclr_tpu.training import TrainConfig, Trainer
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-virtual-device mesh")
+
+    mesh = make_mesh(n_data=8, n_model=1)
+    data = SyntheticPairs(num_pairs=128, video_dim=16, text_dim=12, seed=0)
+    vc = TowerConfig(kind="mlp", input_dim=16, embed_dim=8, hidden_dim=16,
+                     dtype="float32")
+    tc = TowerConfig(kind="mlp", input_dim=12, embed_dim=8, hidden_dim=16,
+                     dtype="float32")
+    trainer = Trainer(
+        vc, tc,
+        TrainConfig(loss="crossclr_intra", global_negatives=True,
+                    total_steps=40, warmup_steps=4),
+        mesh=mesh,
+    )
+    it = prefetch_to_device(
+        infinite_batches(data, 32, seed=0), size=2,
+        sharding=data_sharding(mesh), threaded=True,
+    )
+    batch = next(it)
+    state = trainer.init_state(batch["video"][:4], batch["text"][:4])
+    for _ in range(30):
+        state, m = trainer.train_step(state, batch)
+        batch = next(it)
+    it.close()
+    assert np.isfinite(float(m["loss"]))
+
+
 # -- int8 feature stores (per-row scales, device-side dequant) --------------
 
 
