@@ -43,18 +43,20 @@ from crossclr_tpu.ops import cross_clr_intra_fused
 BASELINE_PAIRS_PER_SEC = 497.0  # torch reference fwd+bwd, bsz 4096 (BASELINE.md)
 B, D = 4096, 512
 # Regression floors (TPU only): set beneath the documented ±10-15% tunnel
-# band of the r3 measurements (default tier 3.47M pairs/s, scanned train
-# step 2.0M — BASELINE.md) so a kernel-routing or tiling regression fails
-# the driver run loudly instead of quietly shrinking BENCH_r*.json.
-FLOOR_DEFAULT_PAIRS_PER_SEC = 2.5e6
-FLOOR_SCANNED_PAIRS_PER_SEC = 1.4e6
+# band of the r4 measurements (default tier 4.25M pairs/s at K=500,
+# scanned train step 2.36M at chunk 256 — BASELINE.md) so a
+# kernel-routing or tiling regression fails the driver run loudly
+# instead of quietly shrinking BENCH_r*.json.
+FLOOR_DEFAULT_PAIRS_PER_SEC = 3.0e6
+FLOOR_SCANNED_PAIRS_PER_SEC = 1.8e6
 # Chained steps per timed dispatch.  This runtime reaches the chip through
 # a remote tunnel whose per-DISPATCH latency is ~30-40 ms; a production
 # training loop runs thousands of steps back-to-back, so the steady-state
-# rate is the amortized one.  Measured K sweep (r3, same kernels):
-# K=20 -> 3.19 ms/step, K=50 -> 1.92, K=100 -> 1.50 (asymptote: the
-# XProf-traced device-busy time is 1.14 ms/step — see BASELINE.md).
-K = 100
+# rate is the amortized one.  Measured K sweep (r4, same kernels):
+# K=100 -> 1.213 ms/step, K=200 -> 1.055, K=300 -> 1.008, K=500 -> 0.964
+# — converging on the XProf-traced 0.921 ms/step device-busy floor of
+# the symmetric kernels (see BASELINE.md); K=500 sits at 96% of it.
+K = 500
 FP32_FORWARD_TOL = 2e-5  # fp32 parity tolerance vs the torch reference
 PEAK_BF16_FLOPS = 197e12  # v5e TensorCore peak
 
@@ -204,7 +206,9 @@ def _bench_train_step(rng, on_tpu):
         loss="crossclr_intra_fused" if on_tpu else "crossclr_intra",
         loss_precision="default",
         warmup_steps=5,
-        total_steps=1000,
+        total_steps=100000,
+        max_stacked_bytes=0,  # the chunk below is built DEVICE-side and
+        # sized deliberately; the host-chunk guard doesn't apply
     )
     trainer = Trainer(video_cfg, text_cfg, tcfg, mesh=None)
     batch = {
@@ -237,12 +241,14 @@ def _bench_train_step(rng, on_tpu):
     # the steady-state pipeline rate with dispatch latency amortized.
     # The batch repeats within the chunk but the carried state differs
     # every scan iteration, so no dispatch/result can be memoized.
-    # Chunk sweep (r3): 32 -> 2.64 ms/step, 64 -> 2.06, 96 -> 1.97
-    # against a 1.63 ms/step device-busy floor that is itself at
-    # roofline (XProf: tower matmuls 0.74 ms at 91% of bf16 peak, loss
-    # kernels 0.50 at 73%, HBM-bound optimizer/norm/metrics ~0.4);
-    # 64 keeps the stacked chunk at 0.7 GB.
-    n = 64 if on_tpu else 4
+    # Chunk sweep (r4): 64 -> 2.10 ms/step, 128 -> 1.85, 192 -> 1.81,
+    # 256 -> 1.73 against a 1.63 ms/step device-busy floor that is
+    # itself at roofline (XProf: tower matmuls 0.74 ms at 91% of bf16
+    # peak, loss kernels 0.50 at 73%, HBM-bound optimizer/norm/metrics
+    # ~0.4).  256 = 3.8 GB stacked on-device chunk (this bench builds it
+    # device-side; real training guards host chunks via
+    # TrainConfig.max_stacked_bytes).
+    n = 256 if on_tpu else 4
     stacked = {k_: jnp.stack([v_] * n) for k_, v_ in batch.items()}
     state, ms = trainer.train_steps(state, stacked)
     if not np.isfinite(float(ms["loss"][-1])):
