@@ -301,6 +301,52 @@ def test_int8_export_through_cli_train(tmp_path, rng):
     assert rc == 0
 
 
+def test_int8_sequence_store_with_masks_through_cli(tmp_path, rng):
+    """--dtype int8 composes with --keep-sequence: per-row scales cover
+    the whole [S, D] row (padding zeros stay exactly zero through
+    quantize/dequant), masks ride alongside, and a masked transformer
+    tower trains from the int8 store via the CLI."""
+    from crossclr_tpu.train import main as train_main
+
+    vd, td = tmp_path / "v", tmp_path / "t"
+    vd.mkdir(), td.mkdir()
+    lengths = [3, 5, 2, 5] * 6
+    for i, s_len in enumerate(lengths):
+        np.save(vd / f"c{i:02d}.npy",
+                rng.standard_normal((s_len, 8)).astype(np.float32))
+        np.save(td / f"c{i:02d}.npy", rng.standard_normal(6).astype(np.float32))
+    out = tmp_path / "out"
+    prepare_features.main([
+        "--video-dir", str(vd), "--text-dir", str(td),
+        "--keep-sequence", "--dtype", "int8", "--out", str(out),
+    ])
+
+    q = np.load(out / "video_feats.npy")
+    mask = np.load(out / "video_mask.npy")
+    assert q.dtype == np.int8 and q.shape == (24, 5, 8)
+    assert np.all(q[mask == 0.0] == 0)  # padding exactly zero in int8 too
+    assert np.load(out / "video_feats_scale.npy").shape == (24,)
+
+    rc = train_main([
+        "--steps", "2",
+        "data.source=files",
+        f"data.video_path={out / 'video_feats.npy'}",
+        f"data.text_path={out / 'text_feats.npy'}",
+        f"data.video_mask_path={out / 'video_mask.npy'}",
+        "data.features_dtype=int8",
+        "data.batch_size=8", "data.eval_fraction=0.25",
+        "video_tower.kind=transformer", "video_tower.input_dim=8",
+        "video_tower.embed_dim=16", "video_tower.hidden_dim=32",
+        "video_tower.num_layers=1", "video_tower.num_heads=2",
+        "video_tower.max_seq_len=5", "video_tower.dtype=float32",
+        "text_tower.input_dim=6", "text_tower.embed_dim=16",
+        "text_tower.hidden_dim=32", "text_tower.dtype=float32",
+        "train.loss=crossclr_intra", "train.warmup_steps=1",
+        "eval_every=2", "log_every=1",
+    ])
+    assert rc == 0
+
+
 def test_stale_ids_manifest_rejected(tmp_path, rng):
     """dataset_from_config fails at startup when ids.json disagrees with
     the feature store row count (stale manifest would otherwise cause
