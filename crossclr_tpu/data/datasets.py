@@ -218,11 +218,17 @@ class FeaturePairDataset:
             raise ValueError(f"unsupported features dtype {dtype!r}")
         import ml_dtypes
 
-        if arr.dtype.itemsize != 2:
+        if arr.dtype == ml_dtypes.bfloat16:
+            return arr
+        # only raw 2-byte records may be VIEWED as bf16; a float16 store
+        # has the same itemsize but different bits — viewing it would
+        # silently produce garbage features (fp16 1.0 -> bf16 ~0.0078)
+        if arr.dtype.itemsize != 2 or arr.dtype.kind not in ("V", "u"):
             raise ValueError(
                 f"{name} store {path} has dtype {arr.dtype}, not a 2-byte "
                 "bf16 payload — re-export with prepare_features "
-                "--dtype bfloat16 (or drop data.features_dtype)"
+                "--dtype bfloat16 (float16 stores must be CONVERTED, "
+                "not relabeled; or drop data.features_dtype)"
             )
         return arr.view(ml_dtypes.bfloat16)
 
@@ -607,7 +613,13 @@ def prefetch_to_device(
                 batch = next(batches)
             except StopIteration:
                 return False
-            queue.append({k: put(v) for k, v in batch.items()})
+            moved = {k: put(v) for k, v in batch.items()}
+            # fence before the NEXT draw may overwrite a ring-reused
+            # source buffer (stacked_chunks' destination ring) — same
+            # hazard the threaded branch fences; the transfer overlaps
+            # the consumer's (async) compute either way
+            jax.block_until_ready(moved)
+            queue.append(moved)
             return True
 
         for _ in range(size):

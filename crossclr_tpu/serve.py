@@ -844,6 +844,13 @@ def main(argv: list[str] | None = None) -> int:
                 ("--strict-index", args.strict_index),
                 ("--batch-size", args.batch_size),
                 ("--batch-window-ms", args.batch_window_ms),
+                # default-valued flags: non-default means the user asked
+                # for something the artifact cannot change
+                ("--corpus", args.corpus != "video" and args.corpus),
+                (
+                    "--corpus-dtype",
+                    args.corpus_dtype != "float32" and args.corpus_dtype,
+                ),
                 ("overrides", args.overrides),
             )
             if given

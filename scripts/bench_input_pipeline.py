@@ -46,7 +46,12 @@ def _make_store(data_dir: Path, rows: int, dim: int, name: str, dtype: str):
     """Write (once) and mmap a feature store; returns the .npy path."""
     path = data_dir / f"{name}_{rows}x{dim}_{dtype}.npy"
     if not path.exists():
-        rng = np.random.default_rng(hash(name) % 2**32)
+        import zlib
+
+        # NOT hash(): builtin str hashing is salted per process
+        # (PYTHONHASHSEED), which would give every tier/run different
+        # store data; crc32 keeps the fp32 base identical across dtypes
+        rng = np.random.default_rng(zlib.crc32(name.encode()))
         feats = rng.standard_normal((rows, dim)).astype(np.float32)
         if dtype == "bfloat16":
             from crossclr_tpu.data.native_io import f32_to_bf16
@@ -148,8 +153,12 @@ def main(argv=None) -> int:
         max_stacked_bytes=0,  # this bench sizes its own chunks
     )
     trainer = Trainer(video_cfg, text_cfg, tcfg, mesh=None)
-    it = prefetch_to_device(stream(), size=args.prefetch)
-    first = next(it)
+    # tier-3 comparator chunk WITHOUT a prefetch worker alive: the worker
+    # would concurrently gather+transfer the next chunk on this same host
+    # and deflate the resident number (the exact denominator of
+    # file_fed_vs_resident) — create the prefetch iterator only for tier 2
+    first = jax.device_put(next(stream()))
+    jax.block_until_ready(first)
     state = trainer.init_state(first["video"][0, :2], first["text"][0, :2])
 
     # -- tier 3 first: device-resident (compile + comparator) -----------
@@ -183,8 +192,11 @@ def main(argv=None) -> int:
     out["h2d_pairs_per_sec"] = round(spc * b / best, 1)
 
     # -- tier 2: file-fed steady state ----------------------------------
-    # the prefetcher already holds the next chunk; timing spans gather +
-    # stack + H2D + dispatch for args.chunks consecutive chunks
+    # the worker starts cold (created only now, so it could not contend
+    # with the tiers above); the first chunk pays unoverlapped
+    # assembly+H2D, the rest overlap the dispatches — steady state
+    # amortizes over args.chunks consecutive chunks
+    it = prefetch_to_device(stream(), size=args.prefetch)
     t0 = time.perf_counter()
     n = 0
     for chunk in it:

@@ -334,14 +334,17 @@ def test_serve_cli_artifact(tmp_path):
         "from crossclr_tpu.serve import main\n"
         "sys.exit(main(sys.argv[1:]))\n"
     )
-    # conflicting flags refused before any loading
-    proc = subprocess.run(
-        [_sys.executable, "-c", code, "--artifact", path,
-         "--random-params"],
-        cwd="/root/repo", capture_output=True, text=True, timeout=120,
-    )
-    assert proc.returncode != 0
-    assert "self-contained" in proc.stderr
+    # conflicting flags refused before any loading — including the
+    # default-valued choices (--corpus/--corpus-dtype), which would
+    # otherwise be silently ignored in favor of what was baked at export
+    for extra in (["--random-params"], ["--corpus-dtype", "int8"],
+                  ["--corpus", "text"]):
+        proc = subprocess.run(
+            [_sys.executable, "-c", code, "--artifact", path, *extra],
+            cwd="/root/repo", capture_output=True, text=True, timeout=120,
+        )
+        assert proc.returncode != 0, extra
+        assert "self-contained" in proc.stderr, (extra, proc.stderr)
 
     proc = subprocess.Popen(
         [_sys.executable, "-c", code, "--artifact", path, "--port", "0"],

@@ -345,6 +345,17 @@ def test_int8_feature_store_roundtrip(tmp_path):
     )
 
 
+def test_float16_store_not_relabeled_as_bf16(tmp_path):
+    """A genuine float16 .npy must be REJECTED under dtype='bfloat16' —
+    viewing fp16 bits as bf16 silently produces garbage features
+    (fp16 1.0 = 0x3C00 reads as bf16 ~0.0078)."""
+    rng = np.random.default_rng(9)
+    np.save(tmp_path / "h.npy", rng.standard_normal((4, 6)).astype(np.float16))
+    with pytest.raises(ValueError, match="CONVERTED"):
+        FeaturePairDataset(tmp_path / "h.npy", tmp_path / "h.npy",
+                           dtype="bfloat16")
+
+
 def test_int8_store_errors_are_loud(tmp_path):
     from crossclr_tpu.data import quantize_features
 
