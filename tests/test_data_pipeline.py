@@ -303,6 +303,41 @@ def test_quantize_roundtrip_error_bound():
     assert np.abs(back - seq).max() <= np.abs(seq).max() / 254.0 + 1e-7
 
 
+def test_quantize_fuzz_shapes_and_distributions():
+    """Property fuzz over shapes/scales/degeneracies: payload stays in
+    [-127, 127] (never -128), scales positive fp32, reconstruction within
+    scale/2 per element, zero rows exactly preserved, and dequant is
+    dtype/shape-stable."""
+    from crossclr_tpu.data import quantize_features
+    from crossclr_tpu.data.quantize import dequantize
+
+    rng = np.random.default_rng(123)
+    for trial in range(20):
+        ndim = int(rng.integers(2, 4))
+        shape = tuple(int(rng.integers(1, 9)) for _ in range(ndim))
+        scale_mag = 10.0 ** rng.uniform(-6, 6)
+        x = (rng.standard_normal(shape) * scale_mag).astype(np.float32)
+        if trial % 4 == 0:
+            x[0] = 0.0  # degenerate all-zero row
+        if trial % 5 == 0:
+            x = np.round(x)  # ties / exact zeros inside rows
+        q, s = quantize_features(x)
+        assert q.shape == x.shape and q.dtype == np.int8
+        assert s.shape == (shape[0],) and s.dtype == np.float32
+        assert q.min() >= -127 and q.max() <= 127  # symmetric: no -128
+        assert (s > 0).all()
+        back = np.asarray(dequantize(q, s))
+        assert back.dtype == np.float32 and back.shape == x.shape
+        # 0.5 quanta + slack for the fp32 quotient's ulp at rint boundaries
+        bound = s.reshape((-1,) + (1,) * (ndim - 1)) * (0.5 + 1e-4) + 1e-30
+        assert (np.abs(back - x) <= bound).all(), (trial, shape, scale_mag)
+        zero_rows = np.abs(x).reshape(shape[0], -1).max(axis=1) == 0
+        assert (back.reshape(shape[0], -1)[zero_rows] == 0).all()
+
+    with pytest.raises(ValueError, match="expected"):
+        quantize_features(np.ones(5, np.float32))  # 1-D rejected
+
+
 def test_int8_feature_store_roundtrip(tmp_path):
     """int8 stores load with sibling scales; batches and stacked chunks
     carry [B] / [n, B] scale entries; views (RowSubset/HostShard) slice
