@@ -61,7 +61,7 @@ def main(argv=None) -> int:
         for name, kwargs in rows.items():
             trainer, state = _train(data, kwargs)
             align, acc = _probe_metrics(trainer, state, data)
-            clean = _clean_r1(trainer, state)
+            clean = _clean_r1(trainer, state, data_seed=seed)
             print(f"  {name:58s} {align:6.3f} | {acc:4.2f} | {clean:5.1f}")
     return 0
 

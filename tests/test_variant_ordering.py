@@ -97,9 +97,15 @@ def _probe_metrics(trainer, state, data):
     return align, acc
 
 
-def _clean_r1(trainer, state):
-    """Exact-pair R@1 on duplicate-free fresh pairs (collapse guard)."""
-    data_rng = np.random.default_rng(SEED)
+def _clean_r1(trainer, state, data_seed=SEED):
+    """Exact-pair R@1 on duplicate-free fresh pairs (collapse guard).
+
+    ``data_seed`` must match the seed that generated the TRAINING data:
+    the fresh pairs are drawn through the same latent→feature projections
+    (A, Bm are that rng's first two draws, exactly as in
+    ``_make_planted_data``) — clean pairs from a different latent model
+    than the towers were trained on would read as spurious collapse."""
+    data_rng = np.random.default_rng(data_seed)
     A = data_rng.standard_normal((D_LATENT, DV))
     Bm = data_rng.standard_normal((D_LATENT, DT))
     z = np.random.default_rng(SEED + 7).standard_normal((48, D_LATENT))
