@@ -28,27 +28,54 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["quantize_features", "dequantize", "dequantize_batch"]
+__all__ = [
+    "quantize_features",
+    "dequantize",
+    "dequantize_batch",
+    "symmetric_int8_rows",
+]
 
 # batch keys carrying quantization scales, and the feature key each scales
 SCALE_KEYS = {"video_scale": "video", "text_scale": "text"}
 
 
+def symmetric_int8_rows(flat, xp=np):
+    """THE per-row symmetric int8 quantizer: ``[N, K]`` → (int8 payload,
+    fp32 scales ``[N]``).  Shared by feature stores (this module) and the
+    serving/eval corpus index (``evaluation.quantize_corpus`` /
+    ``_quantize_queries``) so the guards cannot drift.
+
+    Guards: all-zero rows get scale 1.0 (payload zero either way, and
+    ``dequantize`` never multiplies with a zero scale); tiny rows floor
+    the scale at 1e-12 — ``amax/127`` for a denormal ``amax`` underflows
+    fp32 to 0.0, which would otherwise divide-by-zero and poison the
+    int8 cast.  Pass ``xp=jnp`` to trace the same math inside jit
+    (NaN checking is host-only: traced code cannot raise on values).
+    """
+    amax = xp.max(xp.abs(flat), axis=1)
+    if xp is np and not np.isfinite(amax).all():
+        bad = np.where(~np.isfinite(np.asarray(amax)))[0]
+        raise ValueError(
+            f"non-finite values in rows {bad[:8].tolist()}"
+            f"{'...' if bad.size > 8 else ''} — refusing to quantize "
+            "(rint(NaN) poisons the int8 payload silently)"
+        )
+    scale = xp.where(
+        amax > 0, xp.maximum(amax / 127.0, 1e-12), 1.0
+    ).astype(xp.float32)
+    q = xp.round(flat / scale[:, None]).astype(xp.int8)
+    return q, scale
+
+
 def quantize_features(x: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """fp32 features ``[N, D]`` / ``[N, S, D]`` → (int8 payload, fp32
-    per-row scales ``[N]``).
-
-    All-zero rows get scale 1.0 (payload is all zeros either way), so
-    ``dequantize`` never divides by or multiplies with zero scales.
+    per-row scales ``[N]``) via :func:`symmetric_int8_rows`.
     """
     x = np.asarray(x, dtype=np.float32)
     if x.ndim < 2:
         raise ValueError(f"expected [N, D] or [N, S, D] features, got {x.shape}")
-    flat = x.reshape(x.shape[0], -1)
-    amax = np.abs(flat).max(axis=1)
-    scale = np.where(amax > 0, amax / 127.0, 1.0).astype(np.float32)
-    q = np.rint(flat / scale[:, None]).astype(np.int8).reshape(x.shape)
-    return q, scale
+    q, scale = symmetric_int8_rows(x.reshape(x.shape[0], -1))
+    return q.reshape(x.shape), scale
 
 
 def dequantize(features, scale):

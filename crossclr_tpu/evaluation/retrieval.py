@@ -57,21 +57,23 @@ def quantize_corpus(corpus_emb) -> QuantizedCorpus:
     """
     import numpy as np
 
+    from ..data.quantize import symmetric_int8_rows
+
     arr = np.asarray(corpus_emb, np.float32)
     norms = np.linalg.norm(arr, axis=1, keepdims=True)
     arr = arr / np.maximum(norms, 1e-12)
-    scales = np.maximum(np.max(np.abs(arr), axis=1), 1e-12) / 127.0
-    values = np.rint(arr / scales[:, None]).astype(np.int8)
-    return QuantizedCorpus(values, scales.astype(np.float32))
+    values, scales = symmetric_int8_rows(arr)
+    return QuantizedCorpus(values, scales)
 
 
 def _quantize_queries(q: jax.Array) -> tuple[jax.Array, jax.Array]:
     """Per-row symmetric int8 quantization of normalized queries, inside
-    jit (queries are tiny; the corpus is what was quantized offline)."""
+    jit (queries are tiny; the corpus is what was quantized offline) —
+    the traced twin of ``data.quantize.symmetric_int8_rows``."""
+    from ..data.quantize import symmetric_int8_rows
+
     qn = l2_normalize(q.astype(jnp.float32), axis=1)
-    scales = jnp.maximum(jnp.max(jnp.abs(qn), axis=1), 1e-12) / 127.0
-    values = jnp.round(qn / scales[:, None]).astype(jnp.int8)
-    return values, scales
+    return symmetric_int8_rows(qn, xp=jnp)
 
 
 def _quantized_sim(

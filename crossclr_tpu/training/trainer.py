@@ -508,10 +508,17 @@ class Trainer:
         rng = jax.random.PRNGKey(self.cfg.seed)
         # int8-store samples: init only uses the samples for shape/dtype
         # propagation through the towers, so a plain float cast stands in
-        # for dequantization (scales never change shapes)
-        if jnp.issubdtype(jnp.asarray(sample_video).dtype, jnp.integer):
+        # for dequantization (scales never change shapes).  Read .dtype
+        # without jnp.asarray — that would commit the whole sample batch
+        # to the device just to inspect its dtype
+        def _is_int(x):
+            return jnp.issubdtype(
+                getattr(x, "dtype", None) or np.asarray(x).dtype, jnp.integer
+            )
+
+        if _is_int(sample_video):
             sample_video = jnp.asarray(sample_video, jnp.float32)
-        if jnp.issubdtype(jnp.asarray(sample_text).dtype, jnp.integer):
+        if _is_int(sample_text):
             sample_text = jnp.asarray(sample_text, jnp.float32)
         params = self.model.init(rng, sample_video, sample_text)["params"]
         # criterion parameter: vestigial by default (reference-API parity,

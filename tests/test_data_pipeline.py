@@ -337,6 +337,20 @@ def test_quantize_fuzz_shapes_and_distributions():
     with pytest.raises(ValueError, match="expected"):
         quantize_features(np.ones(5, np.float32))  # 1-D rejected
 
+    # denormal rows: amax/127 underflows fp32 to 0.0 — the scale floor
+    # must prevent divide-by-zero / invalid int8 casts
+    denorm = np.full((2, 4), 1.4e-45, np.float32)
+    with np.errstate(divide="raise", invalid="raise"):
+        q, s = quantize_features(denorm)
+    assert (s > 0).all() and np.isfinite(s).all()
+    assert np.isfinite(np.asarray(dequantize(q, s))).all()
+
+    # NaN rows refuse loudly instead of silently poisoning the payload
+    bad = np.ones((3, 4), np.float32)
+    bad[1, 2] = np.nan
+    with pytest.raises(ValueError, match="non-finite"):
+        quantize_features(bad)
+
 
 def test_int8_feature_store_roundtrip(tmp_path):
     """int8 stores load with sibling scales; batches and stacked chunks
