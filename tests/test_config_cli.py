@@ -191,6 +191,59 @@ def test_cli_heldout_retrieval_gate(tmp_path):
     assert float(final["eval/t2v/R@1"]) >= 90.0, final
 
 
+def test_cli_heldout_retrieval_gate_from_int8_store(tmp_path):
+    """The same proxy gate, fed from an int8 FEATURE STORE: the exact
+    correlated pairs the synthetic gate trains on, exported through
+    per-row int8 quantization (4x narrower host path) and trained via
+    the ``files`` source with device-side dequant — held-out R@1 must
+    still clear 90, i.e. the narrow store does not degrade what the
+    model learns."""
+    import csv as _csv
+
+    from crossclr_tpu.data import SyntheticPairs, quantize_features
+    from crossclr_tpu.train import main
+
+    data = SyntheticPairs(num_pairs=512, video_dim=48, text_dim=32, seed=0)
+    for arr, name in ((data.video, "v"), (data.text, "t")):
+        q, s = quantize_features(np.asarray(arr))
+        np.save(tmp_path / f"{name}.npy", q)
+        np.save(tmp_path / f"{name}_scale.npy", s)
+
+    csv_path = tmp_path / "metrics.csv"
+    rc = main(
+        [
+            "--steps", "300",
+            "--metrics-csv", str(csv_path),
+            "data.source=files",
+            f"data.video_path={tmp_path / 'v.npy'}",
+            f"data.text_path={tmp_path / 't.npy'}",
+            "data.features_dtype=int8",
+            "data.eval_fraction=0.125",  # 64 held-out rows, as the gate
+            "data.batch_size=128",
+            "video_tower.input_dim=48",
+            "video_tower.embed_dim=32",
+            "video_tower.hidden_dim=64",
+            "video_tower.dtype=float32",
+            "text_tower.input_dim=32",
+            "text_tower.embed_dim=32",
+            "text_tower.hidden_dim=64",
+            "text_tower.dtype=float32",
+            "train.learning_rate=1e-3",
+            "train.temperature=0.1",
+            "train.warmup_steps=10",
+            "eval_every=300",
+            "log_every=100",
+        ]
+    )
+    assert rc == 0
+    rows = list(_csv.DictReader(open(csv_path)))
+    eval_rows = [r for r in rows if r.get("eval/v2t/R@1")]
+    assert eval_rows, f"no eval metrics logged; keys={rows[-1].keys()}"
+    final = eval_rows[-1]
+    assert float(final["eval/v2t/R@1"]) >= 90.0, final
+    assert float(final["eval/t2v/R@1"]) >= 90.0, final
+
+
 def test_eval_cli_from_checkpoint(tmp_path, capsys):
     """python -m crossclr_tpu.eval: restore the trained checkpoint, report
     held-out retrieval metrics as one JSON line, and dump top-k retrievals
