@@ -30,6 +30,7 @@ plus the PRUNED (full-CrossCLR keep-mask) variant at the default tier.
 """
 
 import json
+import os
 import time
 
 import numpy as np
@@ -43,12 +44,30 @@ from crossclr_tpu.ops import cross_clr_intra_fused
 BASELINE_PAIRS_PER_SEC = 497.0  # torch reference fwd+bwd, bsz 4096 (BASELINE.md)
 B, D = 4096, 512
 # Regression floors (TPU only): set beneath the documented ±10-15% tunnel
-# band of the r4 measurements (default tier 4.25M pairs/s at K=500,
-# scanned train step 2.36M at chunk 256 — BASELINE.md) so a
+# band of the measurements (r4: default tier 4.25M pairs/s at K=500,
+# scanned train step 2.36M at chunk 256; r5: full-CrossCLR fused 1.52
+# ms/step, rect global default/pruned 20.9/21.2 ms — BASELINE.md) so a
 # kernel-routing or tiling regression fails the driver run loudly
 # instead of quietly shrinking BENCH_r*.json.
 FLOOR_DEFAULT_PAIRS_PER_SEC = 3.0e6
 FLOOR_SCANNED_PAIRS_PER_SEC = 1.8e6
+FLOOR_FULL_CROSSCLR_MS = 2.1  # r5 measured 1.52 (sym-pruned kernels + O(B·D) connectivity)
+FLOOR_GLOBAL_ROWS_MS = 26.0  # r4/r5 measured 20.9-21.2 for default/pruned_default
+
+
+def _floors_enabled(on_tpu: bool) -> bool:
+    """Floors are calibrated to THIS rig (v5e-class chip over the tunnel).
+    CROSSCLR_BENCH_FLOORS=1/0 forces them on/off; otherwise they enforce
+    only on the calibrated device tier, so running the bench on a
+    smaller/slower TPU records numbers instead of failing spuriously
+    (ADVICE r4)."""
+    env = os.environ.get("CROSSCLR_BENCH_FLOORS")
+    if env is not None:
+        return env.lower() not in ("0", "false", "off", "no")
+    if not on_tpu:
+        return False
+    kind = jax.devices()[0].device_kind.lower()
+    return "v5 lite" in kind or "v5e" in kind
 # Chained steps per timed dispatch.  This runtime reaches the chip through
 # a remote tunnel whose per-DISPATCH latency is ~30-40 ms; a production
 # training loop runs thousands of steps back-to-back, so the steady-state
@@ -176,6 +195,39 @@ def _bench_global_rows(rng):
             continue
         out[tier] = round(dt * 1e3, 2)
     return out
+
+
+def _bench_full_crossclr(rng):
+    """Single-chip FULL CrossCLR (paper loss: connectivity scoring +
+    pruning + positive weighting) through ops.cross_clr_fused at the
+    flagship 4096×512 shape, default tier — the per-step hot path of
+    configs/fullcrossclr_fused_ragged.json.  r5: routes the pruned keep
+    masks through the symmetric static-max kernels and scores
+    connectivity as one matrix-VECTOR product (O(B·D)); measured 1.52
+    ms/step vs r4's 2.90 (chained-scan, this methodology)."""
+    from crossclr_tpu.ops.fused_global import cross_clr_fused
+
+    k = 100
+    grad_fn = jax.value_and_grad(
+        lambda a, b: cross_clr_fused(a, b, precision="default"),
+        argnums=(0, 1),
+    )
+
+    def body(carry, _):
+        v, t = carry
+        loss, (gv, gt) = grad_fn(v, t)
+        return (v - 0.01 * gv, t - 0.01 * gt), loss
+
+    f = jax.jit(lambda v, t: jax.lax.scan(body, (v, t), None, length=k))
+    v = jnp.asarray(rng.standard_normal((B, D)), jnp.float32)
+    t = jnp.asarray(rng.standard_normal((B, D)), jnp.float32)
+    try:
+        dt, first_loss = _time_chain(f, v, t, v * 1.0000001, t, k=k)
+    except Exception as e:  # noqa: BLE001 — report, don't crash bench
+        return {"full_crossclr_fused_error": f"{type(e).__name__}: {str(e)[:80]}"}
+    if not np.isfinite(first_loss):
+        return {"full_crossclr_fused_error": f"non-finite loss {first_loss}"}
+    return {"full_crossclr_fused_ms": round(dt * 1e3, 3)}
 
 
 def _bench_train_step(rng, on_tpu):
@@ -316,12 +368,16 @@ def main():
         raise SystemExit(1)
 
     global_rows = _bench_global_rows(rng) if on_tpu else {}
+    full_crossclr = _bench_full_crossclr(rng) if on_tpu else {}
     train_step = _bench_train_step(rng, on_tpu)
 
-    # Perf floors (TPU only): a routing/tiling regression should FAIL the
-    # driver run, not just record a smaller number.
+    # Perf floors (calibrated-tier TPU only, see _floors_enabled): a
+    # routing/tiling regression should FAIL the driver run, not just
+    # record a smaller number.  All four judged hot paths are floored:
+    # the intra default tier, the scanned train step, the single-chip
+    # full-CrossCLR path, and the rect global tiers (config 5).
     floor_failures = []
-    if on_tpu:
+    if _floors_enabled(on_tpu):
         default_rate = results.get("pallas_fused_default", 0.0)
         if default_rate < FLOOR_DEFAULT_PAIRS_PER_SEC:
             floor_failures.append(
@@ -334,6 +390,19 @@ def main():
                 f"train_step_scanned {scanned_rate:.0f} pairs/s "
                 f"< floor {FLOOR_SCANNED_PAIRS_PER_SEC:.0f}"
             )
+        full_ms = full_crossclr.get("full_crossclr_fused_ms")
+        if not isinstance(full_ms, (int, float)) or full_ms > FLOOR_FULL_CROSSCLR_MS:
+            floor_failures.append(
+                f"full_crossclr_fused {full_ms} ms "
+                f"> floor {FLOOR_FULL_CROSSCLR_MS} (or errored)"
+            )
+        for tier in ("default", "pruned_default"):
+            ms = global_rows.get(tier)
+            if not isinstance(ms, (int, float)) or ms > FLOOR_GLOBAL_ROWS_MS:
+                floor_failures.append(
+                    f"global_rows {tier} {ms} ms "
+                    f"> floor {FLOOR_GLOBAL_ROWS_MS} (or errored)"
+                )
 
     pairs_per_sec = B / best_dt
     print(
@@ -349,6 +418,7 @@ def main():
                 "all_impls_pairs_per_sec": results,
                 "est_mfu": mfu,
                 "global_rows_4096x32768_fwdbwd_ms": global_rows,
+                **full_crossclr,
                 **train_step,
                 **({"excluded": excluded} if excluded else {}),
                 **(

@@ -73,6 +73,20 @@ def dataset_from_config(data_cfg):
             text_mask_path=data_cfg.text_mask_path or None,
             dtype=getattr(data_cfg, "features_dtype", None) or None,
         )
+        if dataset.video.dtype == np.float32:
+            import sys as _sys
+
+            # measured on the 1-core host: fp32 assembly 723k pairs/s vs
+            # a ~2M pairs/s device rate — the store dtype alone can starve
+            # the chip (BASELINE.md, host input pipeline)
+            print(
+                "NOTE: fp32 feature store — host batch assembly moves 2x "
+                "the bytes of a bfloat16 store and can starve the device "
+                "on few-core hosts; re-export with prepare_features "
+                "--dtype bfloat16 (value-identical for bf16 towers) or "
+                "int8 unless the towers need fp32 inputs",
+                file=_sys.stderr,
+            )
         manifest = Path(data_cfg.video_path).parent / "ids.json"
         ids = None
         if manifest.exists():
@@ -467,10 +481,13 @@ def stacked_chunks(
     """
     from .native_io import gather_rows
 
-    if reuse_buffers == 1:
+    if reuse_buffers < 0 or reuse_buffers == 1:
+        # negative values would otherwise build an empty ring and silently
+        # degrade to fresh-allocation mode; 1 would overwrite the chunk
+        # just yielded
         raise ValueError(
-            "reuse_buffers=1 would overwrite the chunk just yielded; "
-            "use 0 (fresh allocations) or >= 2"
+            f"reuse_buffers={reuse_buffers}: use 0 (fresh allocations) "
+            "or >= 2 (destination ring)"
         )
     n_rows = len(dataset)
     per_epoch = n_rows // batch_size
@@ -674,7 +691,19 @@ def prefetch_to_device(
     thread.start()
     try:
         while True:
-            item = q.get()
+            # bounded wait + liveness check: if the worker dies without
+            # delivering the sentinel or an exception (abrupt thread
+            # death), fail loudly instead of hanging the training loop
+            # on q.get() forever
+            try:
+                item = q.get(timeout=5.0)
+            except queue_mod.Empty:
+                if not thread.is_alive():
+                    raise RuntimeError(
+                        "prefetch worker thread died without delivering "
+                        "a sentinel or exception"
+                    ) from None
+                continue
             if item is sentinel:
                 break
             if isinstance(item, BaseException):

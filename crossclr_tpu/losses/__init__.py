@@ -1,6 +1,7 @@
 """CrossCLR losses: functional jnp core + reference-API criterion classes."""
 
 from .functional import (
+    connectivity_keep_and_weights,
     connectivity_scores,
     cosine_sim,
     cross_clr,
@@ -9,6 +10,8 @@ from .functional import (
     info_nce,
     l2_normalize,
     max_margin,
+    normalized_connectivity,
+    weight_effective_fraction,
 )
 from .criterion import (
     CrossCLR,
@@ -18,6 +21,7 @@ from .criterion import (
 )
 
 __all__ = [
+    "connectivity_keep_and_weights",
     "connectivity_scores",
     "cosine_sim",
     "cross_clr",
@@ -26,6 +30,8 @@ __all__ = [
     "info_nce",
     "l2_normalize",
     "max_margin",
+    "normalized_connectivity",
+    "weight_effective_fraction",
     "CrossCLR",
     "CrossCLR_onlyIntraModality",
     "InfoNCE",

@@ -108,12 +108,14 @@ class CrossCLR(_Criterion):
         negative_weight: float = 0.8,
         weight_temperature: float = 0.0035,
         prune_percent: float = 0.10,
+        weight_norm: str = "raw",
         logger: Any = None,
     ):
         self.temperature = float(temperature)
         self.negative_w = float(negative_weight)
         self.weight_temperature = float(weight_temperature)
         self.prune_percent = float(prune_percent)
+        self.weight_norm = str(weight_norm)
         self.logger = logger
         self.logit_scale = jnp.ones(())
 
@@ -136,6 +138,7 @@ class CrossCLR(_Criterion):
             negative_weight=self.negative_w,
             weight_temperature=self.weight_temperature,
             prune_percent=self.prune_percent,
+            weight_norm=self.weight_norm,
         )
 
 

@@ -50,6 +50,8 @@ __all__ = [
     "cross_clr",
     "connectivity_scores",
     "connectivity_keep_and_weights",
+    "normalized_connectivity",
+    "weight_effective_fraction",
     "masked_mean_pool",
     "pooled_unit_inputs",
     "max_margin",
@@ -220,12 +222,59 @@ def connectivity_scores(input_features: jax.Array) -> jax.Array:
     computed on input-space features (pre-encoder), per the CrossCLR paper:
     highly-connected samples are semantically entangled with many others and
     make harmful negatives.  Returns ``[B]``.
+
+    Computed as ``(x_i · Σ_j x_j − ‖x_i‖²) / (B − 1)`` — one matrix-VECTOR
+    product, O(B·D), instead of materializing the ``[B, B]`` similarity
+    matrix and row-summing it (O(B²·D)): identical math up to fp
+    association, and at the 4096×512 flagship shape the [B, B] form (two
+    HIGHEST-precision B²D matmuls per step across the modalities) cost
+    almost as much MXU time as the entire fused loss.
     """
     x = pooled_unit_inputs(input_features)
-    sim = _matmul(x, x.T)
-    b = sim.shape[0]
-    off_sum = jnp.sum(sim, axis=1) - jnp.diagonal(sim)
+    b = x.shape[0]
+    total = jnp.sum(x, axis=0)  # [D]
+    off_sum = (
+        jnp.matmul(x, total, precision=_SIM_PRECISION)
+        - jnp.sum(x * x, axis=1)
+    )
     return off_sum / jnp.maximum(b - 1, 1)
+
+
+def normalized_connectivity(conn: jax.Array, weight_norm: str) -> jax.Array:
+    """Connectivity scores as fed to the positive-weight softmax.
+
+    ``"raw"`` is the paper's formula (softmax directly on the mean-cosine
+    connectivity).  Its usable τ_w range depends on the SCALE of the
+    connectivity spread: the paper default τ_w=0.0035 assumes real
+    video/text feature statistics, and on inputs whose connectivity spread
+    is wide (≫ τ_w) the softmax degenerates to near-one-hot — the batch
+    effectively trains on one pair.  ``"standardized"`` divides out that
+    scale first (``(c − mean) / max(std, 1e-6)``), making the weighting
+    channel invariant to affine rescaling of the connectivity; pair it
+    with τ_w ≈ 1.0 (a z-score softmax).  See weight_effective_fraction
+    for the degeneracy diagnostic.
+    """
+    if weight_norm == "raw":
+        return conn
+    if weight_norm == "standardized":
+        mu = jnp.mean(conn)
+        sd = jnp.std(conn)
+        return (conn - mu) / jnp.maximum(sd, 1e-6)
+    raise ValueError(
+        f"unknown weight_norm {weight_norm!r}: expected 'raw' or 'standardized'"
+    )
+
+
+def weight_effective_fraction(weights: jax.Array) -> jax.Array:
+    """Effective-sample-size fraction of the positive weights, in (0, 1].
+
+    ``ESS = (Σw)² / Σw²`` divided by N: 1.0 means flat weights (every pair
+    contributes), → 1/N means a one-hot softmax (the batch trains on ONE
+    pair).  Used by the trainer's startup diagnostic to refuse to train
+    silently in the degenerate regime.
+    """
+    n = weights.shape[0]
+    return jnp.square(jnp.sum(weights)) / (n * jnp.sum(jnp.square(weights)))
 
 
 def connectivity_keep_and_weights(
@@ -233,23 +282,28 @@ def connectivity_keep_and_weights(
     *,
     prune_percent: float,
     weight_temperature: float,
+    weight_norm: str = "raw",
 ) -> tuple[jax.Array, jax.Array]:
     """Keep mask + mean-one positive weights from a connectivity vector.
 
     Samples above the ``1 − prune_percent`` quantile are influential →
     pruned from the negative sets (``keep = False``); weights are
-    ``softmax(conn / τ_w) · N`` so the weighted row-loss mean stays scaled
-    like a plain mean.  SINGLE source of truth for this arithmetic — the
-    jnp loss (cross_clr), the fused kernels (ops.cross_clr_fused), and the
-    global-batch path (parallel.global_cross_clr_row_terms) must all stay
-    numerically identical.
+    ``softmax(norm(conn) / τ_w) · N`` so the weighted row-loss mean stays
+    scaled like a plain mean.  ``weight_norm``: ``"raw"`` (paper formula,
+    default) or ``"standardized"`` (scale-robust z-scores — see
+    :func:`normalized_connectivity`).  SINGLE source of truth for this
+    arithmetic — the jnp loss (cross_clr), the fused kernels
+    (ops.cross_clr_fused), and the global-batch path
+    (parallel.global_cross_clr_row_terms) must all stay numerically
+    identical.
     """
     n = conn.shape[0]
     if prune_percent > 0.0:
         keep = conn <= jnp.quantile(conn, 1.0 - prune_percent)
     else:
         keep = jnp.ones((n,), dtype=bool)
-    weights = jax.nn.softmax(conn / weight_temperature) * n
+    scores = normalized_connectivity(conn, weight_norm)
+    weights = jax.nn.softmax(scores / weight_temperature) * n
     return keep, weights
 
 
@@ -299,6 +353,7 @@ def cross_clr(
     negative_weight: float = 0.8,
     weight_temperature: float = 0.0035,
     prune_percent: float = 0.10,
+    weight_norm: str = "raw",
 ) -> jax.Array:
     """Full CrossCLR: inter+intra InfoNCE with influential-sample pruning
     and connectivity-weighted positives (paper arXiv 2109.14910; NOT in the
@@ -312,6 +367,8 @@ def cross_clr(
       weight_temperature: softmax temperature for positive weights.
       prune_percent: fraction of the batch (per modality) treated as
         influential and removed from negative sets.  0 disables pruning.
+      weight_norm: "raw" (paper formula) or "standardized" (scale-robust
+        z-scored connectivity — see :func:`normalized_connectivity`).
 
     Per modality m with connectivity c^m: samples above the
     ``1 − prune_percent`` quantile of c^m are pruned from m's negative
@@ -334,11 +391,11 @@ def cross_clr(
     c_t = connectivity_scores(text_inputs)
     keep_v, w_v = connectivity_keep_and_weights(
         c_v, prune_percent=prune_percent,
-        weight_temperature=weight_temperature,
+        weight_temperature=weight_temperature, weight_norm=weight_norm,
     )
     keep_t, w_t = connectivity_keep_and_weights(
         c_t, prune_percent=prune_percent,
-        weight_temperature=weight_temperature,
+        weight_temperature=weight_temperature, weight_norm=weight_norm,
     )
 
     # video anchors: inter columns are text samples (prune by keep_t),

@@ -370,56 +370,62 @@ def _dual_bwd_kernel(
         # Pruned (full-CrossCLR) masks are ROLE-ASYMMETRIC: the same
         # logit value z[r, c] is masked by the CANDIDATE's keep when the
         # row is the anchor and by the ROW's keep when the column is the
-        # anchor, so each tile carries TWO masked variants (A = row-role,
-        # B = column-role).  Both roles' coefficient parts still sum into
-        # one matrix for the feature dots (∂z/∂feature is identical for
-        # both roles), but the dτ products must pair each part with ITS
-        # masked z — masked parts are exactly 0, so 0·(−1e9) = −0 keeps
-        # the sums finite.
+        # anchor, so each tile carries TWO masked COEFFICIENT variants
+        # (A = row-role, B = column-role).  Since r5 the masks zero the
+        # coefficients multiplicatively (exactly like the sym kernels)
+        # instead of rewriting logits to −1e9: the raw z tile serves both
+        # roles' exps and the dτ products directly (a masked part is
+        # exactly 0, and 0·z_finite = 0), which drops six live [TB, TC]
+        # masked-logit temporaries from the tile loop.  Both roles'
+        # coefficients still sum into one matrix for the feature dots
+        # (∂z/∂feature is identical for both roles).
         keep_v_row = kv_row_ref[:] > 0.5  # [TB, 1]
         keep_t_row = kt_row_ref[:] > 0.5
         keep_v_col = kv_col_ref[:] > 0.5  # [1, TC]
         keep_t_col = kt_col_ref[:] > 0.5
 
         z_vt = scale * _dot_nt(v_i, t_j, precision)
-        zA_vt = jnp.where(keep_t_col | on_diag, z_vt, _MASKED)
-        zB_vt = jnp.where(keep_v_row | on_diag, z_vt, _MASKED)
-        mA = gv_i * jnp.exp(zA_vt - lse_v_i)
-        mB = gt_j * jnp.exp(zB_vt - lse_t_j)
+        mA = jnp.where(
+            keep_t_col | on_diag, gv_i * jnp.exp(z_vt - lse_v_i), 0.0
+        )
+        mB = jnp.where(
+            keep_v_row | on_diag, gt_j * jnp.exp(z_vt - lse_t_j), 0.0
+        )
         m = mA + mB
         dv_acc = _dot(m, t_j, precision)
         dt_col_scr[j] = dt_col_scr[j] + jax.lax.dot_general(
             m, v_i, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=precision,
         )
+        ds_inter = jnp.sum(m * z_vt)
 
         z_vv = (neg_weight * scale) * _dot_nt(v_i, v_j, precision)
-        zA_vv = jnp.where(keep_v_col & ~on_diag, z_vv, _MASKED)
-        zB_vv = jnp.where(keep_v_row & ~on_diag, z_vv, _MASKED)
-        qA_v = gv_i * jnp.exp(zA_vv - lse_v_i)
-        qB_v = gv_j * jnp.exp(zB_vv - lse_v_j)
-        dv_acc = dv_acc + neg_weight * _dot(qA_v + qB_v, v_j, precision)
+        q_v = (
+            jnp.where(keep_v_col & ~on_diag,
+                      gv_i * jnp.exp(z_vv - lse_v_i), 0.0)
+            + jnp.where(keep_v_row & ~on_diag,
+                        gv_j * jnp.exp(z_vv - lse_v_j), 0.0)
+        )
+        dv_acc = dv_acc + neg_weight * _dot(q_v, v_j, precision)
         dv_scr[:] = dv_scr[:] + dv_acc
+        ds_intra = jnp.sum(q_v * z_vv)
 
         z_tt = (neg_weight * scale) * _dot_nt(t_i, t_j, precision)
-        zA_tt = jnp.where(keep_t_col & ~on_diag, z_tt, _MASKED)
-        zB_tt = jnp.where(keep_t_row & ~on_diag, z_tt, _MASKED)
-        qA_t = gt_i * jnp.exp(zA_tt - lse_t_i)
-        qB_t = gt_j * jnp.exp(zB_tt - lse_t_j)
+        q_t = (
+            jnp.where(keep_t_col & ~on_diag,
+                      gt_i * jnp.exp(z_tt - lse_t_i), 0.0)
+            + jnp.where(keep_t_row & ~on_diag,
+                        gt_j * jnp.exp(z_tt - lse_t_j), 0.0)
+        )
         dt_row_scr[:] = dt_row_scr[:] + neg_weight * _dot(
-            qA_t + qB_t, t_j, precision
+            q_t, t_j, precision
         )
 
         # dτ: inter parts belong to different loss directions (once each);
         # the A/B intra sweeps each cover every (anchor, candidate) pair
-        # exactly once more — summing both and halving counts each once
+        # exactly once more — halving counts each once
         ds_scr[0, 0] = ds_scr[0, 0] + (
-            jnp.sum(mA * zA_vt)
-            + jnp.sum(mB * zB_vt)
-            + 0.5 * (
-                jnp.sum(qA_v * zA_vv) + jnp.sum(qB_v * zB_vv)
-                + jnp.sum(qA_t * zA_tt) + jnp.sum(qB_t * zB_tt)
-            )
+            ds_inter + 0.5 * (ds_intra + jnp.sum(q_t * z_tt))
         )
     else:
         # ---- shared inter-modal tile: one logit dot, both gradients
@@ -721,15 +727,19 @@ def dual_lse_pair(
     # measured sym beating the online-max kernels at every shipped shape
     # (4096×512: 1.279 vs 1.406 ms; 1024×512: 0.366 vs 0.495;
     # 8192×512: 4.159 vs 4.830; 4096×256/384/1024: −14/−10/−12%), so
-    # every static-temperature unpruned tier routes here.  The pruned
-    # variant's role-asymmetric masks break the static-max triangle
-    # sharing: it always runs the online-max kernels.
+    # every static-temperature unpruned tier routes here.  The PRUNED
+    # (full-CrossCLR) variant routes here too since r5: the folded
+    # coefficient matrix stays symmetric under the role-asymmetric keep
+    # masks (see the sym section comment), so triangle sharing holds;
+    # masks cost only VPU multiplies.  Gated by the tighter 2·m0 ≤ 80
+    # bound (the pruned row sums have no exp(−m0) diagonal floor — only
+    # the positive at exp(−(s+m0))); traced τ and out-of-budget shapes
+    # keep the online-max dual kernels.
     use_sym = (
         static_temp
-        and not pruned
         and not explicit_tiles  # sweeps pin the online-max kernels
         and precision in (None, "highest", "default", "bf16")
-        and sym_supported(b, d, scale, negative_weight)
+        and sym_supported(b, d, scale, negative_weight, pruned=pruned)
     )
     # auto-picked tiles satisfy both rules by construction; this guards
     # explicit (sweep) tiles — divisibility AND the Mosaic lane-vector
@@ -741,22 +751,25 @@ def dual_lse_pair(
     # on TPU (DEFAULT dots round operands to bf16 in the MXU anyway) and
     # halves operand HBM traffic — measured +7% (dual) / +13% (sym) at
     # 4096×512 — while the feature GRADIENTS still leave in fp32.
-    if use_sym:
-        return _sym_lse_pair(
-            v_norm,
-            t_norm,
-            float(scale),
-            negative_weight,
-            _pick_square_tile(b, d),
-            interpret,
-            precision,
-        )
     if pruned:
         kv = jnp.asarray(keep_video, jnp.float32).reshape(b)
         kt = jnp.asarray(keep_text, jnp.float32).reshape(b)
     else:
         # dummies keep the custom_vjp signature fixed; never fed to Pallas
         kv = kt = jnp.zeros((1,), jnp.float32)
+    if use_sym:
+        return _sym_lse_pair(
+            v_norm,
+            t_norm,
+            kv,
+            kt,
+            float(scale),
+            negative_weight,
+            _pick_square_tile(b, d),
+            interpret,
+            precision,
+            pruned,
+        )
     scale_arr = jnp.asarray(scale, jnp.float32).reshape(1, 1)
     return _dual_lse_pair(
         v_norm,
@@ -793,28 +806,41 @@ def dual_lse_pair(
 # zeroed-diagonal term exp(−m0) ≥ e^-85 > fp32 tiny, so log() stays
 # finite; the wrapper gates this path to s ≤ 80 (τ ≥ 0.0125) and routes
 # smaller temperatures (and traced ones) to the online-max kernels above.
+#
+# PRUNED (full-CrossCLR) variant: the r4 routing note claimed the
+# role-asymmetric keep masks break the triangle sharing — they don't.
+# The folded coefficient matrix stays SYMMETRIC under pruning
+# (C[r,c] = g_r·e^{z−lse_r}·[keep_c] + g_c·e^{z−lse_c}·[keep_r] equals its
+# transpose because z is), so the same one-dot-per-tile schedule carries
+# over; masks enter as multiplicative 0/1 VPU factors on the exp values
+# (NOT −1e9 logits — no max bookkeeping exists here to absorb them), at
+# the cost of keeping TWO masked exp variants per intra tile (row-role vs
+# column-role sums).  Dropped candidates contribute exactly 0, identical
+# to the −inf semantics of functional._pruned_direction_rows.  Underflow:
+# the always-kept positive bounds every row sum below by
+# exp(z_pos − m0) ≥ exp(−(s + m0)) ≥ exp(−2·m0), so the wrapper gates the
+# pruned route to 2·m0 ≤ 80 — every exp argument then lives in [−80, 0]
+# and nothing flushes (fp32 flush point ≈ e^−87.3).
 # ---------------------------------------------------------------------------
 
 
 def _sym_fwd_kernel(
-    v_row_ref,
-    t_row_ref,
-    t_col_ref,
-    v_col_ref,
-    lv_row_ref,
-    lt_row_ref,
-    lv_col_ref,
-    lt_col_ref,
-    lv_row_scr,
-    lt_row_scr,
-    lv_col_scr,
-    lt_col_scr,
-    *,
+    *refs,
     scale: float,
     neg_weight: float,
     ts: int,
     precision,
+    pruned: bool,
 ):
+    if pruned:
+        (kv_row_ref, kt_row_ref, kv_col_ref, kt_col_ref,
+         v_row_ref, t_row_ref, t_col_ref, v_col_ref,
+         lv_row_ref, lt_row_ref, lv_col_ref, lt_col_ref,
+         lv_row_scr, lt_row_scr, lv_col_scr, lt_col_scr) = refs
+    else:
+        (v_row_ref, t_row_ref, t_col_ref, v_col_ref,
+         lv_row_ref, lt_row_ref, lv_col_ref, lt_col_ref,
+         lv_row_scr, lt_row_scr, lv_col_scr, lt_col_scr) = refs
     i = pl.program_id(0)
     j = pl.program_id(1)
     ni = pl.num_programs(0)
@@ -833,12 +859,30 @@ def _sym_fwd_kernel(
 
     v_i = v_row_ref[:]
     t_j = t_col_ref[:]
+    rows = i * ts + jax.lax.broadcasted_iota(jnp.int32, (ts, ts), 0)
+    cols = j * ts + jax.lax.broadcasted_iota(jnp.int32, (ts, ts), 1)
+    on_diag = rows == cols
+    if pruned:
+        keep_v_row = kv_row_ref[:] > 0.5  # [TS, 1]
+        keep_t_row = kt_row_ref[:] > 0.5
+        keep_v_col = kv_col_ref[:] > 0.5  # [1, TS]
+        keep_t_col = kt_col_ref[:] > 0.5
 
     # shared inter tile: one dot + one exp feeds both directions
     z_vt = scale * _dot_nt(v_i, t_j, precision)
     e_vt = jnp.exp(z_vt - m0)
-    lv_row = jnp.sum(e_vt, axis=1, keepdims=True)
-    lt_col_scr[j] = lt_col_scr[j] + jnp.sum(e_vt, axis=0, keepdims=True)
+    if pruned:
+        # row role (video anchors): candidates pruned by keep_t, positive
+        # diagonal always kept; column role (text anchors): by keep_v
+        lv_row = jnp.sum(
+            jnp.where(keep_t_col | on_diag, e_vt, 0.0), axis=1, keepdims=True
+        )
+        lt_col_scr[j] = lt_col_scr[j] + jnp.sum(
+            jnp.where(keep_v_row | on_diag, e_vt, 0.0), axis=0, keepdims=True
+        )
+    else:
+        lv_row = jnp.sum(e_vt, axis=1, keepdims=True)
+        lt_col_scr[j] = lt_col_scr[j] + jnp.sum(e_vt, axis=0, keepdims=True)
 
     # intra tiles only on the lower triangle (z symmetric): row sums for
     # block i, column sums of the SAME tile for block j (strictly below
@@ -848,25 +892,40 @@ def _sym_fwd_kernel(
     def _intra():
         t_i = t_row_ref[:]
         v_j = v_col_ref[:]
-        rows = i * ts + jax.lax.broadcasted_iota(jnp.int32, (ts, ts), 0)
-        cols = j * ts + jax.lax.broadcasted_iota(jnp.int32, (ts, ts), 1)
-        on_diag = rows == cols
         z_vv = (neg_weight * scale) * _dot_nt(v_i, v_j, precision)
-        z_vv = jnp.where(on_diag, 0.0, z_vv)  # parity quirk: zeroed
-        e_vv = jnp.exp(z_vv - m0)
         z_tt = (neg_weight * scale) * _dot_nt(t_i, t_j, precision)
-        z_tt = jnp.where(on_diag, 0.0, z_tt)
-        e_tt = jnp.exp(z_tt - m0)
-        lv_row_scr[:] = lv_row_scr[:] + jnp.sum(e_vv, axis=1, keepdims=True)
-        lt_row_scr[:] = lt_row_scr[:] + jnp.sum(e_tt, axis=1, keepdims=True)
+        if pruned:
+            # self column DROPPED (mask), influential columns pruned; the
+            # same exp serves both roles with role-specific masks
+            e_vv = jnp.exp(z_vv - m0)
+            e_tt = jnp.exp(z_tt - m0)
+            eA_vv = jnp.where(keep_v_col & ~on_diag, e_vv, 0.0)
+            eA_tt = jnp.where(keep_t_col & ~on_diag, e_tt, 0.0)
+        else:
+            z_vv = jnp.where(on_diag, 0.0, z_vv)  # parity quirk: zeroed
+            e_vv = jnp.exp(z_vv - m0)
+            z_tt = jnp.where(on_diag, 0.0, z_tt)
+            e_tt = jnp.exp(z_tt - m0)
+            eA_vv, eA_tt = e_vv, e_tt
+        lv_row_scr[:] = lv_row_scr[:] + jnp.sum(eA_vv, axis=1, keepdims=True)
+        lt_row_scr[:] = lt_row_scr[:] + jnp.sum(eA_tt, axis=1, keepdims=True)
 
         @pl.when(j < i)
         def _cols():
+            if pruned:
+                # column role: the transposed (upper-triangle) tile's
+                # anchors are this tile's COLUMNS — candidates are its
+                # rows, so the keep masks apply on the row axis
+                eB_vv = jnp.where(keep_v_row & ~on_diag, e_vv, 0.0)
+                eB_tt = jnp.where(keep_t_row & ~on_diag, e_tt, 0.0)
+            else:
+                eB_vv, eB_tt = e_vv, e_tt
             lv_col_scr[j] = lv_col_scr[j] + jnp.sum(
-                e_vv, axis=0, keepdims=True
+                eB_vv, axis=0, keepdims=True
             )
-            lt_col_scr_intra = jnp.sum(e_tt, axis=0, keepdims=True)
-            lt_col_scr[j] = lt_col_scr[j] + lt_col_scr_intra
+            lt_col_scr[j] = lt_col_scr[j] + jnp.sum(
+                eB_tt, axis=0, keepdims=True
+            )
 
     lv_row_scr[:] = lv_row_scr[:] + lv_row
 
@@ -881,7 +940,8 @@ def _sym_fwd_kernel(
         lt_col_ref[:] = lt_col_scr[j]
 
 
-def _sym_fwd(v_norm, t_norm, scale, neg_weight, ts, interpret, precision):
+def _sym_fwd(v_norm, t_norm, kv, kt, scale, neg_weight, ts, interpret,
+             precision, pruned):
     v_norm, t_norm = _fetch_cast(precision, v_norm, t_norm)
     b, d = v_norm.shape
     n = b // ts
@@ -891,18 +951,36 @@ def _sym_fwd(v_norm, t_norm, scale, neg_weight, ts, interpret, precision):
         neg_weight=neg_weight,
         ts=ts,
         precision=_resolve_precision(precision),
+        pruned=pruned,
     )
     row = lambda i, j: (i, 0)  # noqa: E731
     col = lambda i, j: (j, 0)  # noqa: E731
+    colT = lambda i, j: (0, j)  # noqa: E731
     # v_col feeds ONLY the lower-triangle intra tiles (the inter tile uses
     # v_row x t_col): clamping its index past the diagonal freezes the
     # window so the upper-triangle fetches — never read by the kernel
     # body — are not DMA'd at all (~half that operand's HBM traffic)
     tri = lambda i, j: (jnp.minimum(i, j), 0)  # noqa: E731
+    mask_specs = (
+        [
+            pl.BlockSpec((ts, 1), row, memory_space=pltpu.VMEM),  # kv rows
+            pl.BlockSpec((ts, 1), row, memory_space=pltpu.VMEM),  # kt rows
+            pl.BlockSpec((1, ts), colT, memory_space=pltpu.VMEM),  # kv cols
+            pl.BlockSpec((1, ts), colT, memory_space=pltpu.VMEM),  # kt cols
+        ]
+        if pruned
+        else []
+    )
+    mask_args = (
+        (kv.reshape(b, 1), kt.reshape(b, 1), kv.reshape(1, b), kt.reshape(1, b))
+        if pruned
+        else ()
+    )
     lv_row, lt_row, lv_col, lt_col = pl.pallas_call(
         kernel,
         grid=(n, n),
         in_specs=[
+            *mask_specs,
             pl.BlockSpec((ts, d), row, memory_space=pltpu.VMEM),
             pl.BlockSpec((ts, d), row, memory_space=pltpu.VMEM),
             pl.BlockSpec((ts, d), col, memory_space=pltpu.VMEM),
@@ -931,7 +1009,7 @@ def _sym_fwd(v_norm, t_norm, scale, neg_weight, ts, interpret, precision):
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(v_norm, t_norm, t_norm, v_norm)
+    )(*mask_args, v_norm, t_norm, t_norm, v_norm)
     m0 = max(scale, neg_weight * scale, 0.0)
     lse_v = m0 + jnp.log(lv_row + lv_col.reshape(b, 1))
     lse_t = m0 + jnp.log(lt_row + lt_col.reshape(b, 1))
@@ -939,32 +1017,26 @@ def _sym_fwd(v_norm, t_norm, scale, neg_weight, ts, interpret, precision):
 
 
 def _sym_bwd_kernel(
-    v_row_ref,
-    t_row_ref,
-    lse_v_row_ref,
-    lse_t_row_ref,
-    gv_row_ref,
-    gt_row_ref,
-    t_col_ref,
-    v_col_ref,
-    lse_v_colT_ref,
-    lse_t_colT_ref,
-    gv_colT_ref,
-    gt_colT_ref,
-    dv_row_ref,
-    dt_row_ref,
-    dv_col_ref,
-    dt_col_ref,
-    dv_row_scr,
-    dt_row_scr,
-    dv_col_scr,
-    dt_col_scr,
-    *,
+    *refs,
     scale: float,
     neg_weight: float,
     ts: int,
     precision,
+    pruned: bool,
 ):
+    if pruned:
+        (kv_row_ref, kt_row_ref, kv_col_ref, kt_col_ref,
+         v_row_ref, t_row_ref, lse_v_row_ref, lse_t_row_ref,
+         gv_row_ref, gt_row_ref, t_col_ref, v_col_ref,
+         lse_v_colT_ref, lse_t_colT_ref, gv_colT_ref, gt_colT_ref,
+         dv_row_ref, dt_row_ref, dv_col_ref, dt_col_ref,
+         dv_row_scr, dt_row_scr, dv_col_scr, dt_col_scr) = refs
+    else:
+        (v_row_ref, t_row_ref, lse_v_row_ref, lse_t_row_ref,
+         gv_row_ref, gt_row_ref, t_col_ref, v_col_ref,
+         lse_v_colT_ref, lse_t_colT_ref, gv_colT_ref, gt_colT_ref,
+         dv_row_ref, dt_row_ref, dv_col_ref, dt_col_ref,
+         dv_row_scr, dt_row_scr, dv_col_scr, dt_col_scr) = refs
     i = pl.program_id(0)
     j = pl.program_id(1)
     ni = pl.num_programs(0)
@@ -990,13 +1062,29 @@ def _sym_bwd_kernel(
     lse_t_j = lse_t_colT_ref[:]
     gv_j = gv_colT_ref[:]
     gt_j = gt_colT_ref[:]
+    rows = i * ts + jax.lax.broadcasted_iota(jnp.int32, (ts, ts), 0)
+    cols = j * ts + jax.lax.broadcasted_iota(jnp.int32, (ts, ts), 1)
+    on_diag = rows == cols
+    if pruned:
+        keep_v_row = kv_row_ref[:] > 0.5  # [TS, 1]
+        keep_t_row = kt_row_ref[:] > 0.5
+        keep_v_col = kv_col_ref[:] > 0.5  # [1, TS]
+        keep_t_col = kt_col_ref[:] > 0.5
 
     # shared inter tile (all grid steps): factored single exp — the
     # wrapper gates this path to scale < 80 so exp(z) stays finite
     z_vt = scale * _dot_nt(v_i, t_j, precision)
-    m = jnp.exp(z_vt) * (
-        gv_i * jnp.exp(-lse_v_i) + gt_j * jnp.exp(-lse_t_j)
-    )
+    if pruned:
+        # role-specific masks zero each role's coefficient (the folded
+        # sum stays symmetric, so the one-dot-per-tile schedule holds)
+        m = jnp.exp(z_vt) * (
+            jnp.where(keep_t_col | on_diag, gv_i * jnp.exp(-lse_v_i), 0.0)
+            + jnp.where(keep_v_row | on_diag, gt_j * jnp.exp(-lse_t_j), 0.0)
+        )
+    else:
+        m = jnp.exp(z_vt) * (
+            gv_i * jnp.exp(-lse_v_i) + gt_j * jnp.exp(-lse_t_j)
+        )
     dv_row_scr[:] = dv_row_scr[:] + _dot(m, t_j, precision)
     dt_col_scr[j] = dt_col_scr[j] + jax.lax.dot_general(
         m, v_i, (((0,), (0,)), ((), ())),
@@ -1007,19 +1095,31 @@ def _sym_bwd_kernel(
     def _intra():
         t_i = t_row_ref[:]
         v_j = v_col_ref[:]
-        rows = i * ts + jax.lax.broadcasted_iota(jnp.int32, (ts, ts), 0)
-        cols = j * ts + jax.lax.broadcasted_iota(jnp.int32, (ts, ts), 1)
-        on_diag = rows == cols
         z_vv = (neg_weight * scale) * _dot_nt(v_i, v_j, precision)
-        q_v = jnp.exp(z_vv) * (
-            gv_i * jnp.exp(-lse_v_i) + gv_j * jnp.exp(-lse_v_j)
-        )
-        q_v = jnp.where(on_diag, 0.0, q_v)  # zeroed logit: no gradient
         z_tt = (neg_weight * scale) * _dot_nt(t_i, t_j, precision)
-        q_t = jnp.exp(z_tt) * (
-            gt_i * jnp.exp(-lse_t_i) + gt_j * jnp.exp(-lse_t_j)
-        )
-        q_t = jnp.where(on_diag, 0.0, q_t)
+        if pruned:
+            # dropped candidates (masked or self) carry NO gradient
+            q_v = jnp.exp(z_vv) * (
+                jnp.where(keep_v_col & ~on_diag,
+                          gv_i * jnp.exp(-lse_v_i), 0.0)
+                + jnp.where(keep_v_row & ~on_diag,
+                            gv_j * jnp.exp(-lse_v_j), 0.0)
+            )
+            q_t = jnp.exp(z_tt) * (
+                jnp.where(keep_t_col & ~on_diag,
+                          gt_i * jnp.exp(-lse_t_i), 0.0)
+                + jnp.where(keep_t_row & ~on_diag,
+                            gt_j * jnp.exp(-lse_t_j), 0.0)
+            )
+        else:
+            q_v = jnp.exp(z_vv) * (
+                gv_i * jnp.exp(-lse_v_i) + gv_j * jnp.exp(-lse_v_j)
+            )
+            q_v = jnp.where(on_diag, 0.0, q_v)  # zeroed logit: no gradient
+            q_t = jnp.exp(z_tt) * (
+                gt_i * jnp.exp(-lse_t_i) + gt_j * jnp.exp(-lse_t_j)
+            )
+            q_t = jnp.where(on_diag, 0.0, q_t)
         dv_row_scr[:] = dv_row_scr[:] + neg_weight * _dot(q_v, v_j, precision)
         dt_row_scr[:] = dt_row_scr[:] + neg_weight * _dot(q_t, t_j, precision)
 
@@ -1049,8 +1149,8 @@ def _sym_bwd_kernel(
 
 
 def _sym_bwd(
-    v_norm, t_norm, lse_v, lse_t, g_v, g_t,
-    scale, neg_weight, ts, interpret, precision,
+    v_norm, t_norm, kv, kt, lse_v, lse_t, g_v, g_t,
+    scale, neg_weight, ts, interpret, precision, pruned,
 ):
     v_norm, t_norm = _fetch_cast(precision, v_norm, t_norm)
     b, d = v_norm.shape
@@ -1061,6 +1161,7 @@ def _sym_bwd(
         neg_weight=neg_weight,
         ts=ts,
         precision=_resolve_precision(precision),
+        pruned=pruned,
     )
     row = lambda i, j: (i, 0)  # noqa: E731
     col = lambda i, j: (j, 0)  # noqa: E731
@@ -1068,10 +1169,26 @@ def _sym_bwd(
     # v_col is triangle-only here too (dv_col accumulates only from the
     # intra V.V^T tiles) — clamp its window past the diagonal, see _sym_fwd
     tri = lambda i, j: (jnp.minimum(i, j), 0)  # noqa: E731
+    mask_specs = (
+        [
+            pl.BlockSpec((ts, 1), row, memory_space=pltpu.VMEM),  # kv rows
+            pl.BlockSpec((ts, 1), row, memory_space=pltpu.VMEM),  # kt rows
+            pl.BlockSpec((1, ts), colT, memory_space=pltpu.VMEM),  # kv cols
+            pl.BlockSpec((1, ts), colT, memory_space=pltpu.VMEM),  # kt cols
+        ]
+        if pruned
+        else []
+    )
+    mask_args = (
+        (kv.reshape(b, 1), kt.reshape(b, 1), kv.reshape(1, b), kt.reshape(1, b))
+        if pruned
+        else ()
+    )
     dv_row, dt_row, dv_col, dt_col = pl.pallas_call(
         kernel,
         grid=(n, n),
         in_specs=[
+            *mask_specs,
             pl.BlockSpec((ts, d), row, memory_space=pltpu.VMEM),
             pl.BlockSpec((ts, d), row, memory_space=pltpu.VMEM),
             pl.BlockSpec((ts, 1), row, memory_space=pltpu.VMEM),
@@ -1109,6 +1226,7 @@ def _sym_bwd(
         ),
         interpret=interpret,
     )(
+        *mask_args,
         v_norm, t_norm, lse_v, lse_t, g_v, g_t,
         t_norm, v_norm,
         lse_v.reshape(1, b), lse_t.reshape(1, b),
@@ -1117,30 +1235,38 @@ def _sym_bwd(
     return dv_row + dv_col, dt_row + dt_col
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
-def _sym_lse_pair(v_norm, t_norm, scale, neg_weight, ts, interpret, precision):
-    return _sym_fwd(v_norm, t_norm, scale, neg_weight, ts, interpret, precision)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
+def _sym_lse_pair(v_norm, t_norm, kv, kt, scale, neg_weight, ts, interpret,
+                  precision, pruned):
+    return _sym_fwd(v_norm, t_norm, kv, kt, scale, neg_weight, ts, interpret,
+                    precision, pruned)
 
 
-def _sym_lse_pair_fwd(v_norm, t_norm, scale, neg_weight, ts, interpret,
-                      precision):
+def _sym_lse_pair_fwd(v_norm, t_norm, kv, kt, scale, neg_weight, ts,
+                      interpret, precision, pruned):
     lse_v, lse_t = _sym_fwd(
-        v_norm, t_norm, scale, neg_weight, ts, interpret, precision
+        v_norm, t_norm, kv, kt, scale, neg_weight, ts, interpret, precision,
+        pruned,
     )
-    return (lse_v, lse_t), (v_norm, t_norm, lse_v, lse_t)
+    return (lse_v, lse_t), (v_norm, t_norm, kv, kt, lse_v, lse_t)
 
 
-def _sym_lse_pair_bwd(scale, neg_weight, ts, interpret, precision,
+def _sym_lse_pair_bwd(scale, neg_weight, ts, interpret, precision, pruned,
                       residuals, cotangents):
-    v_norm, t_norm, lse_v, lse_t = residuals
+    v_norm, t_norm, kv, kt, lse_v, lse_t = residuals
     g_v, g_t = cotangents
     g_v = jnp.asarray(g_v, jnp.float32).reshape(-1, 1)
     g_t = jnp.asarray(g_t, jnp.float32).reshape(-1, 1)
     dv, dt = _sym_bwd(
-        v_norm, t_norm, lse_v, lse_t, g_v, g_t,
-        scale, neg_weight, ts, interpret, precision,
+        v_norm, t_norm, kv, kt, lse_v, lse_t, g_v, g_t,
+        scale, neg_weight, ts, interpret, precision, pruned,
     )
-    return dv.astype(v_norm.dtype), dt.astype(t_norm.dtype)
+    return (
+        dv.astype(v_norm.dtype),
+        dt.astype(t_norm.dtype),
+        jnp.zeros_like(kv),  # 0/1 keep masks: no gradient
+        jnp.zeros_like(kt),
+    )
 
 
 _sym_lse_pair.defvjp(_sym_lse_pair_fwd, _sym_lse_pair_bwd)
@@ -1169,10 +1295,22 @@ def _pick_square_tile(b: int, d: int) -> int | None:
 _MAX_SYM_ACC_BYTES = 72 * 1024 * 1024
 
 
-def sym_supported(b: int, d: int, scale: float, neg_weight: float) -> bool:
+def sym_supported(
+    b: int, d: int, scale: float, neg_weight: float, pruned: bool = False
+) -> bool:
     # two accumulators, padded d; the coefficient math is the factored
     # exp(z)*exp(-lse) form, hence the _coeff_safe underflow gate on top
     # of the exp(z) bounds
+    if pruned:
+        # pruned rows have no zeroed-diagonal exp(−m0) floor — the row sum
+        # is bounded below only by the always-kept positive at
+        # exp(z_pos − m0) ≥ exp(−(s + m0)) ≥ exp(−2·m0).  Requiring
+        # 2·m0 ≤ 80 keeps EVERY kept exp argument in [−80, 0]: nothing
+        # flushes (fp32 flush ≈ e^−87.3) and log() stays finite.  Smaller
+        # temperatures take the online-max dual kernels.
+        m0 = max(scale, neg_weight * scale, 0.0)
+        if 2.0 * m0 > 80.0:
+            return False
     return (
         _pick_square_tile(b, d) is not None
         and 2 * b * _lane_pad(max(d, 1)) * 4 <= _MAX_SYM_ACC_BYTES

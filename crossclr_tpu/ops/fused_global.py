@@ -599,6 +599,7 @@ def cross_clr_fused(
     negative_weight: float = 0.8,
     weight_temperature: float = 0.0035,
     prune_percent: float = 0.10,
+    weight_norm: str = "raw",
     interpret: bool = False,
     precision: str | None = None,
 ) -> jax.Array:
@@ -629,7 +630,7 @@ def cross_clr_fused(
             video_features, text_features, video_inputs, text_inputs,
             temperature=temperature, negative_weight=negative_weight,
             weight_temperature=weight_temperature,
-            prune_percent=prune_percent,
+            prune_percent=prune_percent, weight_norm=weight_norm,
         )
 
     if video_inputs is None:
@@ -643,11 +644,11 @@ def cross_clr_fused(
     c_t = connectivity_scores(text_inputs)
     keep_v, w_v = connectivity_keep_and_weights(
         c_v, prune_percent=prune_percent,
-        weight_temperature=weight_temperature,
+        weight_temperature=weight_temperature, weight_norm=weight_norm,
     )
     keep_t, w_t = connectivity_keep_and_weights(
         c_t, prune_percent=prune_percent,
-        weight_temperature=weight_temperature,
+        weight_temperature=weight_temperature, weight_norm=weight_norm,
     )
 
     kw = dict(

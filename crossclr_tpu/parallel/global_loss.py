@@ -251,6 +251,7 @@ def global_cross_clr_row_terms(
     negative_weight: float,
     weight_temperature: float,
     prune_percent: float,
+    weight_norm: str = "raw",
     candidate_chunk: int | None = None,
     use_fused: bool = False,
     interpret: bool | None = None,
@@ -289,11 +290,13 @@ def global_cross_clr_row_terms(
     xt_all = jax.lax.all_gather(xt, axis, tiled=True)
 
     def conn(x_loc_, x_all_):
-        sims = jnp.matmul(
-            x_loc_, x_all_.T, precision=jax.lax.Precision.HIGHEST
-        )
+        # matrix-VECTOR form (x_i · Σ_j x_j − ‖x_i‖²) — same O(B·D)
+        # reformulation as functional.connectivity_scores; the [b_loc, n]
+        # similarity block never materializes
+        total = jnp.sum(x_all_, axis=0)  # [D]
+        dot = jnp.matmul(x_loc_, total, precision=jax.lax.Precision.HIGHEST)
         self_sim = jnp.sum(x_loc_ * x_loc_, axis=1)
-        return (jnp.sum(sims, axis=1) - self_sim) / jnp.maximum(n - 1, 1)
+        return (dot - self_sim) / jnp.maximum(n - 1, 1)
 
     c_v_all = jax.lax.all_gather(conn(xv, xv_all), axis, tiled=True)  # [n]
     c_t_all = jax.lax.all_gather(conn(xt, xt_all), axis, tiled=True)
@@ -302,11 +305,11 @@ def global_cross_clr_row_terms(
 
     keep_v, w_v_all = connectivity_keep_and_weights(
         c_v_all, prune_percent=prune_percent,
-        weight_temperature=weight_temperature,
+        weight_temperature=weight_temperature, weight_norm=weight_norm,
     )
     keep_t, w_t_all = connectivity_keep_and_weights(
         c_t_all, prune_percent=prune_percent,
-        weight_temperature=weight_temperature,
+        weight_temperature=weight_temperature, weight_norm=weight_norm,
     )
     w_v_loc = jax.lax.dynamic_slice(w_v_all, (offset,), (b_loc,))
     w_t_loc = jax.lax.dynamic_slice(w_t_all, (offset,), (b_loc,))
@@ -365,6 +368,7 @@ def global_cross_clr(
     negative_weight: float = 0.8,
     weight_temperature: float = 0.0035,
     prune_percent: float = 0.10,
+    weight_norm: str = "raw",
     candidate_chunk: int | None = None,
     use_fused: bool = False,
     interpret: bool | None = None,
@@ -408,6 +412,7 @@ def global_cross_clr(
             negative_weight=negative_weight,
             weight_temperature=weight_temperature,
             prune_percent=prune_percent,
+            weight_norm=weight_norm,
             candidate_chunk=candidate_chunk,
             use_fused=use_fused,
             interpret=interpret,

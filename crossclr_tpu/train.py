@@ -45,6 +45,15 @@ def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--config", default=None, help="ExperimentConfig JSON path")
     ap.add_argument("--steps", type=int, default=None, help="override total steps")
+    ap.add_argument(
+        "--stop-after",
+        type=int,
+        default=None,
+        help="run at most this many steps THIS invocation, then checkpoint "
+        "and exit cleanly; unlike --steps the LR schedule keeps "
+        "train.total_steps as its horizon, so a later resume continues "
+        "the same schedule (bounded time slices / preemption rehearsal)",
+    )
     ap.add_argument("--metrics-csv", default=None)
     ap.add_argument(
         "--tensorboard-dir",
@@ -213,6 +222,10 @@ def main(argv: list[str] | None = None) -> int:
     # -- train --------------------------------------------------------------
     steps = cfg.train.total_steps
     done = int(state.step)
+    if args.stop_after is not None:
+        # bounded invocation: stop (and checkpoint, below) after N more
+        # steps while the schedule keeps total_steps as its horizon
+        steps = min(steps, done + args.stop_after)
     # the data stream fast-forwards to the restored step so a resumed run
     # continues the exact batch sequence; async H2D with 2 batches in
     # flight overlaps assembly/transfer with the running step

@@ -45,6 +45,14 @@ class TrainConfig:
     negative_weight: float = 0.8  # loss.py:50 default
     weight_temperature: float = 0.0035
     prune_percent: float = 0.10
+    # positive-weight normalization for the full-CrossCLR losses: "raw"
+    # (the paper's softmax(conn/τ_w), whose usable τ_w range depends on
+    # the connectivity SCALE of the dataset) or "standardized" (z-scored
+    # connectivity — scale-robust; pair with weight_temperature ≈ 1.0).
+    # fit() measures the weights' effective-sample-size fraction on the
+    # first batch and warns loudly when the softmax is near-one-hot —
+    # see losses.functional.normalized_connectivity.
+    weight_norm: str = "raw"
     margin: float = 0.1  # loss.py:23 default
     learning_rate: float = 1e-4
     # "adamw" (default) or "lamb": LAMB (You et al. 2020, public
@@ -233,6 +241,7 @@ def make_loss_fn(cfg: TrainConfig, mesh: Mesh | None = None) -> Callable:
                 negative_weight=cfg.negative_weight,
                 weight_temperature=cfg.weight_temperature,
                 prune_percent=cfg.prune_percent,
+                weight_norm=cfg.weight_norm,
                 interpret=jax.default_backend() != "tpu",
                 precision=cfg.loss_precision,
             )
@@ -245,6 +254,7 @@ def make_loss_fn(cfg: TrainConfig, mesh: Mesh | None = None) -> Callable:
             negative_weight=cfg.negative_weight,
             weight_temperature=cfg.weight_temperature,
             prune_percent=cfg.prune_percent,
+            weight_norm=cfg.weight_norm,
         )
     if cfg.loss == "info_nce":
         return lambda v, t, vr=None, tr=None, temperature=None: F.info_nce(
@@ -295,6 +305,7 @@ def _global_cross_clr_loss(
         negative_weight=cfg.negative_weight,
         weight_temperature=cfg.weight_temperature,
         prune_percent=cfg.prune_percent,
+        weight_norm=cfg.weight_norm,
         candidate_chunk=cfg.global_candidate_chunk,
         use_fused=cfg.loss == "crossclr_fused",
         precision=cfg.loss_precision,
@@ -501,6 +512,65 @@ class Trainer:
         self._encode_one: dict = {}
         # once-per-fit decision: stacked chunks over budget -> sequential
         self._seq_fallback: bool | None = None
+
+    # -- diagnostics ---------------------------------------------------------
+
+    def weight_degeneracy_check(
+        self, batch: dict, *, max_rows: int = 4096
+    ) -> dict[str, float] | None:
+        """Effective-sample-size fraction of the full-CrossCLR positive
+        weights on a real batch (per modality, in (0, 1]; 1.0 = flat,
+        → 1/B = one-hot).  Returns None for losses without a weighting
+        channel.  Runs the SAME connectivity/weight arithmetic as the loss
+        (losses.functional.connectivity_keep_and_weights) on up to
+        ``max_rows`` rows — a distributional diagnostic, cheap enough to
+        run once at fit() startup even for 32k batches."""
+        if self.cfg.loss not in ("crossclr", "crossclr_fused"):
+            return None
+        fracs = {}
+        for name in ("video", "text"):
+            x = jnp.asarray(batch[name][:max_rows], jnp.float32)
+            mask = batch.get(f"{name}_mask")
+            if mask is not None:
+                mask = jnp.asarray(mask[:max_rows])
+            conn = F.connectivity_scores(F.masked_mean_pool(x, mask))
+            _, w = F.connectivity_keep_and_weights(
+                conn,
+                prune_percent=self.cfg.prune_percent,
+                weight_temperature=self.cfg.weight_temperature,
+                weight_norm=getattr(self.cfg, "weight_norm", "raw"),
+            )
+            fracs[name] = float(F.weight_effective_fraction(w))
+        return fracs
+
+    # ESS fraction below this on the first batch = the weight softmax is
+    # spending most of the batch's gradient on a handful of pairs
+    _WEIGHT_ESS_WARN = 0.02
+
+    def _warn_if_degenerate_weights(self, batch: dict) -> None:
+        try:
+            fracs = self.weight_degeneracy_check(batch)
+        except Exception:  # noqa: BLE001 — a diagnostic must not kill fit
+            return
+        if not fracs or min(fracs.values()) >= self._WEIGHT_ESS_WARN:
+            return
+        if jax.process_index() != 0:
+            return
+        import sys as _sys
+
+        detail = ", ".join(f"{k} ESS={v:.4f}" for k, v in fracs.items())
+        print(
+            "WARNING: the full-CrossCLR positive-weight softmax is "
+            f"near-one-hot on the first batch ({detail}; 1.0 = flat "
+            "weights): weight_temperature="
+            f"{self.cfg.weight_temperature} is far below this data's "
+            "connectivity spread, so most pairs contribute almost no "
+            "gradient.  Raise train.weight_temperature, or set "
+            'train.weight_norm="standardized" (z-scored connectivity) '
+            "with weight_temperature ~ 1.0 for a scale-robust weighting "
+            "channel.",
+            file=_sys.stderr,
+        )
 
     # -- init ---------------------------------------------------------------
 
@@ -1072,6 +1142,24 @@ class Trainer:
         final one to the remaining step count."""
         history = []
         it = iter(batches)
+        if self.cfg.loss in ("crossclr", "crossclr_fused") and steps > 0:
+            # one-time weighting-channel diagnostic on the first batch —
+            # a degenerate (near-one-hot) positive-weight softmax should
+            # warn loudly instead of silently training on one pair
+            try:
+                first = next(it)
+            except StopIteration:
+                first = None
+            if first is not None:
+                import itertools as _itertools
+
+                diag = (
+                    {k: v[0] for k, v in first.items()}
+                    if prestacked
+                    else first
+                )
+                self._warn_if_degenerate_weights(diag)
+                it = _itertools.chain([first], it)
         if step_offset is None:
             step_offset = int(state.step)
         spc = max(1, getattr(self.cfg, "steps_per_call", 1))

@@ -189,11 +189,17 @@ def main(argv=None) -> int:
     ap.add_argument(
         "--dtype",
         choices=("float32", "bfloat16", "int8"),
-        default="float32",
-        help="feature storage dtype (set data.features_dtype to match): "
-        "bfloat16 halves disk/gather/H2D bytes (value-identical for bf16 "
-        "towers); int8 quarters them with per-row scales in sibling "
-        "*_scale.npy files, dequantized on device (see data.quantize)",
+        default="bfloat16",
+        help="feature storage dtype (set data.features_dtype to match). "
+        "Default bfloat16: halves disk/gather/H2D bytes vs float32 and is "
+        "value-identical for bf16 towers — on the measured 1-core host an "
+        "fp32 store assembles at 723k pairs/s vs a ~2M pairs/s device "
+        "rate and STARVES the chip, while bf16/int8 keep up "
+        "(BASELINE.md, host input pipeline).  int8 quarters the bytes "
+        "with per-row scales in sibling *_scale.npy files, dequantized "
+        "on device (see data.quantize).  float32 is for towers that "
+        "genuinely need fp32 inputs; the trainer prints a throughput "
+        "warning when it detects an fp32 store.",
     )
     ap.add_argument("--out", required=True)
     args = ap.parse_args(argv)

@@ -223,7 +223,10 @@ def test_symmetric_static_max_kernel_matches_jnp(rng, tau, w):
     want_v = _lse_jnp_direction(v, t, s, w)
     want_t = _lse_jnp_direction(t, v, s, w)
     ts = 32 if INTERPRET else 128
-    got_v, got_t = _sym_lse_pair(v, t, s, w, ts, INTERPRET, None)
+    # unpruned: the keep-mask args are unused dummies (see dual_lse_pair)
+    kd = jnp.zeros((1,), jnp.float32)
+    got_v, got_t = _sym_lse_pair(v, t, kd, kd, s, w, ts, INTERPRET, None,
+                                 False)
     np.testing.assert_allclose(np.asarray(got_v), np.asarray(want_v),
                                rtol=2e-5, atol=2e-5)
     np.testing.assert_allclose(np.asarray(got_t), np.asarray(want_t),
@@ -235,7 +238,8 @@ def test_symmetric_static_max_kernel_matches_jnp(rng, tau, w):
         )
 
     def sym_fn(v_, t_):
-        lv, lt = _sym_lse_pair(v_, t_, s, w, ts, INTERPRET, None)
+        lv, lt = _sym_lse_pair(v_, t_, kd, kd, s, w, ts, INTERPRET, None,
+                               False)
         return jnp.sum(wv * lv) + jnp.sum(lt)
 
     gw = jax.grad(ref_fn, argnums=(0, 1))(v, t)
@@ -259,6 +263,78 @@ def test_sym_gate_excludes_extreme_temperatures():
     assert sym_supported(4096, 512, 1.0 / 0.03, 0.8)
     assert not sym_supported(4096, 512, 1.0 / 0.01, 0.8)  # s = 100 > 80
     assert not sym_supported(4096, 512, -1.0, 0.8)
+    # pruned rows have no exp(−m0) diagonal floor: the tighter 2·m0 ≤ 80
+    # gate applies (the always-kept positive sits at exp(−(s+m0)))
+    assert sym_supported(4096, 512, 1.0 / 0.03, 0.8, pruned=True)
+    assert not sym_supported(4096, 512, 1.0 / 0.02, 0.8, pruned=True)
+
+
+@pytest.mark.parametrize("tau", [0.03, 0.05])
+def test_sym_pruned_matches_online_dual(rng, tau):
+    """The r5 pruned symmetric static-max route (full-CrossCLR keep masks
+    as multiplicative 0/1 factors on the shared-exp triangle schedule)
+    must agree with the online-max dual kernels — values AND gradients.
+    Explicit tiles pin the online route (dual_lse_pair skips sym for
+    sweeps), so both kernels run on identical inputs."""
+    from crossclr_tpu.losses.functional import l2_normalize
+    from crossclr_tpu.ops.fused_dual import dual_lse_pair, sym_supported
+
+    b, d = (64, 32) if INTERPRET else (256, 128)
+    v, t = _pair(rng, b, d)
+    v, t = l2_normalize(v, 1), l2_normalize(t, 1)
+    mask_rng = np.random.default_rng(11)
+    keep_v = jnp.asarray(mask_rng.random(b) > 0.2)
+    keep_t = jnp.asarray(mask_rng.random(b) > 0.2)
+    assert sym_supported(b, d, 1.0 / tau, 0.8, pruned=True)
+    kw = dict(temperature=tau, negative_weight=0.8, interpret=INTERPRET,
+              keep_video=keep_v, keep_text=keep_t)
+    tiles = (32, 32) if INTERPRET else (128, 128)
+
+    def loss(fn_kw):
+        def f(v_, t_):
+            lv, lt = dual_lse_pair(v_, t_, **kw, **fn_kw)
+            return jnp.sum(lv) + 0.5 * jnp.sum(lt), (lv, lt)
+        return f
+
+    (s_sum, (s_lv, s_lt)), s_grads = jax.value_and_grad(
+        loss({}), argnums=(0, 1), has_aux=True)(v, t)
+    (o_sum, (o_lv, o_lt)), o_grads = jax.value_and_grad(
+        loss(dict(tiles=tiles)), argnums=(0, 1), has_aux=True)(v, t)
+    np.testing.assert_allclose(np.asarray(s_lv), np.asarray(o_lv),
+                               rtol=3e-5, atol=3e-5)
+    np.testing.assert_allclose(np.asarray(s_lt), np.asarray(o_lt),
+                               rtol=3e-5, atol=3e-5)
+    for gs, go in zip(s_grads, o_grads):
+        err = float(jnp.max(jnp.abs(gs - go)))
+        scale_ = float(jnp.max(jnp.abs(go))) + 1e-12
+        assert err / scale_ < 1e-4, (err, scale_)
+
+
+def test_sym_pruned_fully_pruned_row_keeps_positive(rng):
+    """A row whose every candidate is pruned still has its positive: the
+    lse must equal s·⟨v_i, t_i⟩ exactly (no underflow to −inf) on the
+    static-max path."""
+    from crossclr_tpu.losses.functional import l2_normalize
+    from crossclr_tpu.ops.fused_dual import dual_lse_pair
+
+    b, d = (64, 32) if INTERPRET else (256, 128)
+    v, t = _pair(rng, b, d)
+    v, t = l2_normalize(v, 1), l2_normalize(t, 1)
+    none = jnp.zeros((b,), bool)  # prune EVERYTHING prunable
+    lv, lt = dual_lse_pair(
+        v, t, temperature=0.03, negative_weight=0.8, interpret=INTERPRET,
+        keep_video=none, keep_text=none,
+    )
+    pos = jnp.sum(v * t, axis=1, keepdims=True) / 0.03
+    # tolerance: the kernel computes m0 + log(exp(z_pos − m0)) with
+    # |z_pos − m0| up to 2s ≈ 67 — the fp32 round trip carries a few ulp
+    # at that magnitude (eps(67) ≈ 7.6e-6; measured 7.2e-5 max on the
+    # compiled TPU VPU exp/log).  The assertion pins "the positive
+    # survives exactly — no underflow to −inf", not transcendental ulps.
+    np.testing.assert_allclose(np.asarray(lv), np.asarray(pos),
+                               rtol=1e-5, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(lt), np.asarray(pos),
+                               rtol=1e-5, atol=5e-4)
 
 
 def test_default_tier_routes_to_sym_with_bf16_fetch(rng, monkeypatch):

@@ -178,3 +178,63 @@ def test_fuzz_cross_clr_fused(case, rng):
             np.asarray(g), np.asarray(wnt), rtol=3e-4, atol=3e-5,
             err_msg=f"{name} {tag}",
         )
+
+
+@pytest.mark.parametrize("case", range(4))
+def test_fuzz_sym_pruned(case, rng):
+    """Static-τ full-CrossCLR masks through the SYMMETRIC static-max route
+    (r5): auto tiles + static temperature inside the 2·m0 ≤ 80 gate make
+    dual_lse_pair pick the sym-pruned kernels; every random (b, d, τ, w,
+    mask draw) must match the −inf-masked jnp lse — values and gradients.
+    """
+    from crossclr_tpu.ops.fused_dual import dual_lse_pair, sym_supported
+
+    r = np.random.default_rng(4000 + case)
+    b = int(r.choice((64, 96, 128)))
+    d = int(r.choice((16, 32, 100)))
+    tau = float(r.uniform(0.026, 0.5))
+    w = float(r.uniform(0.0, 1.0))
+    v = l2_normalize(jnp.asarray(r.standard_normal((b, d)), jnp.float32), 1)
+    t = l2_normalize(jnp.asarray(r.standard_normal((b, d)), jnp.float32), 1)
+    keep_v = jnp.asarray(r.random(b) > r.uniform(0.0, 0.5))
+    keep_t = jnp.asarray(r.random(b) > r.uniform(0.0, 0.5))
+    assert sym_supported(b, d, 1.0 / tau, w, pruned=True)
+
+    def ref(v_, t_):
+        eye = jnp.eye(b, dtype=bool)
+        ninf = -jnp.inf
+        hi = jax.lax.Precision.HIGHEST
+
+        def lse(anchor, other, keep_inter, keep_intra):
+            inter = jnp.where(
+                keep_inter[None] | eye,
+                jnp.matmul(anchor, other.T, precision=hi) / tau, ninf,
+            )
+            intra = jnp.where(
+                keep_intra[None] & ~eye,
+                w * jnp.matmul(anchor, anchor.T, precision=hi) / tau, ninf,
+            )
+            return jax.scipy.special.logsumexp(
+                jnp.concatenate([inter, intra], 1), axis=1
+            )
+
+        return jnp.sum(lse(v_, t_, keep_t, keep_v)) + 0.5 * jnp.sum(
+            lse(t_, v_, keep_v, keep_t)
+        )
+
+    def fused(v_, t_):
+        lv, lt = dual_lse_pair(
+            v_, t_, temperature=tau, negative_weight=w, interpret=True,
+            keep_video=keep_v, keep_text=keep_t,
+        )
+        return jnp.sum(lv) + 0.5 * jnp.sum(lt)
+
+    tag = f"b={b} d={d} tau={tau:.3f} w={w:.3f}"
+    fv, fg = jax.value_and_grad(fused, argnums=(0, 1))(v, t)
+    rv, rg = jax.value_and_grad(ref, argnums=(0, 1))(v, t)
+    np.testing.assert_allclose(float(fv), float(rv), rtol=3e-5, err_msg=tag)
+    for g, wnt, name in zip(fg, rg, ("d_v", "d_t")):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(wnt), rtol=3e-4, atol=3e-5,
+            err_msg=f"{name} {tag}",
+        )

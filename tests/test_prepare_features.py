@@ -21,7 +21,8 @@ def test_npz_roundtrip(tmp_path, rng):
     t = rng.standard_normal((10, 6)).astype(np.float32)
     np.savez(tmp_path / "f.npz", video=v, text=t)
     out = tmp_path / "out"
-    prepare_features.main(["--npz", str(tmp_path / "f.npz"), "--out", str(out)])
+    prepare_features.main(["--npz", str(tmp_path / "f.npz"),
+                           "--dtype", "float32", "--out", str(out)])
     got_v = np.load(out / "video_feats.npy")
     got_t = np.load(out / "text_feats.npy")
     np.testing.assert_allclose(got_v, v.mean(axis=1), rtol=1e-6)
@@ -36,7 +37,8 @@ def test_pickle_dict_alignment(tmp_path, rng):
     with open(tmp_path / "f.pkl", "wb") as fh:
         pickle.dump({"video": video, "text": text}, fh)
     out = tmp_path / "out"
-    prepare_features.main(["--pickle", str(tmp_path / "f.pkl"), "--out", str(out)])
+    prepare_features.main(["--pickle", str(tmp_path / "f.pkl"),
+                           "--dtype", "float32", "--out", str(out)])
     got_ids = json.loads((out / "ids.json").read_text())
     assert got_ids == ["clip_a", "clip_b"]  # intersection, sorted
     got_v = np.load(out / "video_feats.npy")
@@ -51,7 +53,8 @@ def test_dir_pairing_feeds_dataset(tmp_path, rng):
         np.save(td / f"clip{i}.npy", rng.standard_normal(6).astype(np.float32))
     out = tmp_path / "out"
     prepare_features.main(
-        ["--video-dir", str(vd), "--text-dir", str(td), "--out", str(out)]
+        ["--video-dir", str(vd), "--text-dir", str(td),
+         "--dtype", "float32", "--out", str(out)]
     )
     from crossclr_tpu.data import FeaturePairDataset
 
@@ -75,7 +78,7 @@ def test_ragged_sequences_padded_with_masks(tmp_path, rng):
     out = tmp_path / "out"
     prepare_features.main([
         "--video-dir", str(vd), "--text-dir", str(td),
-        "--keep-sequence", "--out", str(out),
+        "--keep-sequence", "--dtype", "float32", "--out", str(out),
     ])
 
     v = np.load(out / "video_mask.npy")
@@ -136,7 +139,7 @@ def test_realistic_archive_through_cli_train_eval(tmp_path, rng):
     out = tmp_path / "prepared"
     prepare_features.main([
         "--video-dir", str(vd), "--text-dir", str(td),
-        "--keep-sequence", "--out", str(out),
+        "--keep-sequence", "--dtype", "float32", "--out", str(out),
     ])
 
     ids = json.loads((out / "ids.json").read_text())
@@ -183,7 +186,8 @@ def test_h5_aligned_datasets(tmp_path, rng):
     with h5py.File(tmp_path / "f.h5", "w") as fh:
         fh["video"], fh["text"] = v, t
     out = tmp_path / "out"
-    prepare_features.main(["--h5", str(tmp_path / "f.h5"), "--out", str(out)])
+    prepare_features.main(["--h5", str(tmp_path / "f.h5"),
+                           "--dtype", "float32", "--out", str(out)])
     np.testing.assert_allclose(
         np.load(out / "video_feats.npy"), v.mean(axis=1), rtol=1e-6
     )
@@ -213,7 +217,7 @@ def test_h5_ragged_groups_through_cli_train(tmp_path, rng):
     prepare_features.main([
         "--h5", str(tmp_path / "vid.h5"), "--text-h5", str(tmp_path / "txt.h5"),
         "--video-key", "/", "--text-key", "/",
-        "--keep-sequence", "--out", str(out),
+        "--keep-sequence", "--dtype", "float32", "--out", str(out),
     ])
 
     ids = json.loads((out / "ids.json").read_text())
@@ -242,6 +246,28 @@ def test_h5_ragged_groups_through_cli_train(tmp_path, rng):
         "eval_every=2", "log_every=1",
     ])
     assert rc == 0
+
+
+def test_default_store_dtype_is_bf16(tmp_path, rng):
+    """r5: bfloat16 is the prepared-store default — on the measured 1-core
+    host an fp32 store assembles at 723k pairs/s vs ~2M delivered compute
+    and starves the chip (BASELINE.md); a user following the README must
+    not build a starving store by accident.  The bf16 store must round-trip
+    through the train CLI with data.features_dtype=bfloat16."""
+    v = rng.standard_normal((10, 8)).astype(np.float32)
+    t = rng.standard_normal((10, 6)).astype(np.float32)
+    np.savez(tmp_path / "f.npz", video=v, text=t)
+    out = tmp_path / "out"
+    prepare_features.main(["--npz", str(tmp_path / "f.npz"), "--out", str(out)])
+    got = np.load(out / "video_feats.npy")
+    # bf16 payloads round-trip through np.save as raw 2-byte records
+    assert got.dtype.itemsize == 2 and got.dtype.kind in ("V", "u")
+    import ml_dtypes
+
+    np.testing.assert_allclose(
+        got.view(ml_dtypes.bfloat16).astype(np.float32), v,
+        rtol=8e-3, atol=8e-3,
+    )
 
 
 def test_h5_mixed_layout_and_missing_key_rejected(tmp_path, rng):
