@@ -59,8 +59,11 @@ class TowerConfig:
     #             one chip; requires a mesh on the owning DualEncoder.
     #             Long LOCAL shards automatically run the flash kernels
     #             per ring block (ring-of-flash) where supported.
-    # flash/ring apply dropout to the attention OUTPUT (probability
-    # dropout cannot be fused into an online softmax).
+    # flash applies true attention-PROBABILITY dropout inside the online
+    # softmax (a stateless hash mask regenerated per tile by all three
+    # kernels — ops/flash_attention.py); ring applies dropout to the
+    # attention OUTPUT instead (the hash keys on local block indices,
+    # which repeat across ring devices).
     attention: str = "xla"
     # ring attention per-block math: "auto" (flash kernels when the local
     # shape supports them, else jnp), "jnp", or "flash"; ring_interpret
@@ -134,7 +137,19 @@ class _MHA(nn.Module):
         if cfg.attention == "flash":
             from ..ops.flash_attention import flash_attention
 
-            out = flash_attention(q, k, v, mask)
+            if cfg.dropout > 0 and train:
+                # true probability dropout, matching the xla path's
+                # nn.MultiHeadDotProductAttention(dropout_rate=...); the
+                # kernels' hash mask wants a fresh <2^23 scalar per step
+                seed = jax.random.randint(
+                    self.make_rng("dropout"), (), 0, 1 << 23
+                )
+                out = flash_attention(
+                    q, k, v, mask, dropout_rate=cfg.dropout,
+                    dropout_seed=seed,
+                )
+            else:
+                out = flash_attention(q, k, v, mask)
         elif cfg.attention == "ring":
             from ..parallel.ring_attention import sequence_parallel_attention
 
@@ -150,7 +165,10 @@ class _MHA(nn.Module):
         else:
             raise ValueError(f"unknown attention impl {cfg.attention!r}")
         out = jnp.swapaxes(out, 1, 2).astype(cfg.dtype)
-        if cfg.dropout > 0:
+        if cfg.dropout > 0 and cfg.attention == "ring":
+            # ring path only: output-dropout substitute for probability
+            # dropout (see the TowerConfig comment); flash already
+            # dropped probabilities inside the kernel
             out = nn.Dropout(cfg.dropout, deterministic=not train)(out)
         return nn.DenseGeneral(
             features=cfg.embed_dim, axis=(-2, -1), dtype=cfg.dtype, name="out"

@@ -26,11 +26,21 @@ arrays so every in-kernel view is natively 2D — no 1D iota/reshape traps.
 
 Key padding masks are supported (``[B, S]``, 1 = valid); masked logits
 are −inf so their probability is exactly zero, and fully-masked query
-rows emit zeros instead of NaN.  Attention-probability dropout is NOT
-supported on this path (it cannot be fused into an online softmax) —
-towers using it apply dropout to the attention OUTPUT instead
-(models/encoders.py:_MHA), which regularizes but is not the XLA path's
-probability dropout.
+rows emit zeros instead of NaN.
+
+Attention-PROBABILITY dropout (r5) rides the online softmax after all:
+the dropout mask is a stateless counter-based hash of the GLOBAL
+``(bh, query, key)`` indices (murmur-style integer mixing of index
+grids — no PRNG state, no [S, S] mask in HBM), so the forward, dq, and
+transposed dk/dv kernels each regenerate the identical mask from their
+own tile's index grids, in either orientation, with ~10 VPU integer ops
+per tile.  Semantics match torch's ``dropout(softmax(s)) @ v``: the
+kept unnormalized probabilities aggregate the values while the softmax
+DENOMINATOR keeps every term (dropout zeroes normalized probabilities,
+it does not renormalize), and the usual ``delta = rowsum(do∘out)``
+backward identity survives because ``out`` already contains the mask.
+The seed is a traced SMEM scalar — one compiled kernel serves every
+training step's fresh mask.
 
 Off-TPU the public entry runs the same math in jnp (or the kernel under
 ``interpret=True`` for tests).
@@ -107,13 +117,59 @@ def _adapt_nomask(kernel, mask_pos: int):
     return wrapped
 
 
+def _hash_keep(q_idx, k_idx, bh_term, seed, rate: float):
+    """Stateless dropout keep-mask from GLOBAL (query, key) index grids.
+
+    A murmur3-finalizer-style integer mix of the indices (plus a per-
+    (batch·head) term and the traced step seed) → uniform [0, 1) →
+    ``keep = u ≥ rate``.  Orientation-independent by construction: the
+    transposed dk/dv kernel computes the same element mask from its own
+    [bk, bq] index grids.  Not cryptographic — dropout needs decorrelated
+    bits, not unpredictability; the finalizer's avalanche is ample (and
+    the mask is regenerated bit-identically by all three kernels, which
+    the exactness tests pin against a jnp oracle using this same
+    function)."""
+    u = (
+        q_idx.astype(jnp.uint32) * jnp.uint32(0x9E3779B1)
+        + k_idx.astype(jnp.uint32) * jnp.uint32(0x85EBCA77)
+        + bh_term
+        + seed
+    )
+    u = u ^ (u >> 16)
+    u = u * jnp.uint32(0x85EBCA6B)
+    u = u ^ (u >> 13)
+    u = u * jnp.uint32(0xC2B2AE35)
+    u = u ^ (u >> 16)
+    # top-24-bit uniform; via int32 (always non-negative after the shift)
+    # because Mosaic has no uint32->float32 cast
+    unif = (u >> 8).astype(jnp.int32).astype(jnp.float32) * (1.0 / (1 << 24))
+    return unif >= rate
+
+
 # ---------------------------------------------------------------------------
 # forward
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref, m_scr, l_scr,
-                acc_scr, *, scale: float, precision):
+_BH_PRIME = 0x27D4EB2F  # per-(batch·head) decorrelation term for _hash_keep
+
+
+def _tile_keep(seed_ref, bq: int, bk: int, dropout: float):
+    """Dropout keep-mask for THIS grid tile from global indices — shared
+    by the forward and dq kernels (query rows × key cols orientation)."""
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+    q_idx = i * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
+    k_idx = j * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+    bh_term = (b + 1).astype(jnp.uint32) * jnp.uint32(_BH_PRIME)
+    seed = seed_ref[0, 0].astype(jnp.int32).astype(jnp.uint32)
+    return _hash_keep(q_idx, k_idx, bh_term, seed, dropout)
+
+
+def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref,
+                m_scr, l_scr, acc_scr, *, scale: float, precision,
+                dropout: float):
     j = pl.program_id(2)
     nj = pl.num_programs(2)
 
@@ -137,9 +193,17 @@ def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref, m_scr, l_scr,
     m_new = jnp.maximum(m_new, _MAX_FLOOR)  # all-masked block: stay finite
     alpha = jnp.exp(m_prev - m_new)
     p = jnp.exp(s - m_new)  # exp(-inf - finite) = 0 for masked keys
+    # the softmax DENOMINATOR keeps every term (torch dropout zeroes
+    # normalized probabilities without renormalizing); only the value
+    # aggregation sees the mask
     l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
+    if dropout > 0.0:
+        bq, bk = p.shape
+        p_v = jnp.where(_tile_keep(seed_ref, bq, bk, dropout), p, 0.0)
+    else:
+        p_v = p
     acc_scr[:] = acc_scr[:] * alpha + jnp.dot(
-        p, v_ref[0].astype(jnp.float32),
+        p_v, v_ref[0].astype(jnp.float32),
         preferred_element_type=jnp.float32, precision=precision,
     )
     m_scr[:] = m_new
@@ -149,15 +213,22 @@ def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref, m_scr, l_scr,
         l = l_scr[:]
         # fully-masked query rows: emit 0, lse = floor (p was 0 everywhere)
         safe_l = jnp.where(l > 0, l, 1.0)
-        o_ref[0] = (acc_scr[:] / safe_l).astype(o_ref.dtype)
+        inv_keep = 1.0 / (1.0 - dropout) if dropout > 0.0 else 1.0
+        o_ref[0] = (acc_scr[:] * (inv_keep / safe_l)).astype(o_ref.dtype)
         lse_ref[0] = m_scr[:] + jnp.log(safe_l)
 
 
-def _flash_fwd(q, k, v, mask_row, scale, bq, bk, interpret, precision):
+def _seed_spec():
+    return pl.BlockSpec((1, 1), lambda *_: (0, 0), memory_space=pltpu.SMEM)
+
+
+def _flash_fwd(q, k, v, mask_row, seed_arr, scale, bq, bk, interpret,
+               precision, dropout):
     bh, s, dh = q.shape
     grid = (bh, s // bq, s // bk)
     kernel = functools.partial(_fwd_kernel, scale=scale,
-                               precision=_resolve_precision(precision))
+                               precision=_resolve_precision(precision),
+                               dropout=dropout)
     row3 = lambda b, i, j: (b, i, 0)  # noqa: E731
     col3 = lambda b, i, j: (b, j, 0)  # noqa: E731
     in_specs = [
@@ -166,6 +237,11 @@ def _flash_fwd(q, k, v, mask_row, scale, bq, bk, interpret, precision):
         pl.BlockSpec((1, bk, dh), col3, memory_space=pltpu.VMEM),
     ]
     args = [q, k, v]
+    if dropout > 0.0:
+        in_specs.insert(0, _seed_spec())
+        args.insert(0, seed_arr)
+    else:
+        kernel = _adapt_nomask(kernel, 0)  # no seed operand
     if mask_row is not None:
         in_specs.append(
             pl.BlockSpec((1, 1, bk), lambda b, i, j: (b, 0, j),
@@ -173,7 +249,7 @@ def _flash_fwd(q, k, v, mask_row, scale, bq, bk, interpret, precision):
         )
         args.append(mask_row)
     else:
-        kernel = _adapt_nomask(kernel, 3)
+        kernel = _adapt_nomask(kernel, 4 if dropout > 0.0 else 3)
     out, lse = pl.pallas_call(
         kernel,
         grid=grid,
@@ -205,8 +281,9 @@ def _flash_fwd(q, k, v, mask_row, scale, bq, bk, interpret, precision):
 # ---------------------------------------------------------------------------
 
 
-def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, mask_ref,
-               dq_ref, acc_scr, *, scale: float, precision):
+def _dq_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+               mask_ref, dq_ref, acc_scr, *, scale: float, precision,
+               dropout: float):
     j = pl.program_id(2)
     nj = pl.num_programs(2)
 
@@ -228,6 +305,12 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, mask_ref,
         (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
         precision=precision,
     )
+    if dropout > 0.0:
+        # dP flows only through kept entries (scaled 1/(1−r)); delta =
+        # rowsum(do∘out) already carries the mask via out
+        bq, bk = p.shape
+        keep = _tile_keep(seed_ref, bq, bk, dropout)
+        dp = jnp.where(keep, dp * (1.0 / (1.0 - dropout)), 0.0)
     ds = p * (dp - delta_ref[0])  # delta: [bq, 1]
     acc_scr[:] = acc_scr[:] + jnp.dot(
         ds, k.astype(jnp.float32),
@@ -239,8 +322,9 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, mask_ref,
         dq_ref[0] = (scale * acc_scr[:]).astype(dq_ref.dtype)
 
 
-def _dkv_kernel(k_ref, v_ref, q_ref, do_ref, lseT_ref, deltaT_ref, mask_ref,
-                dk_ref, dv_ref, dk_scr, dv_scr, *, scale: float, precision):
+def _dkv_kernel(seed_ref, k_ref, v_ref, q_ref, do_ref, lseT_ref, deltaT_ref,
+                mask_ref, dk_ref, dv_ref, dk_scr, dv_scr, *, scale: float,
+                precision, dropout: float):
     # grid (bh, key block, query block) — everything transposed: [bk, bq]
     # score tiles, per-row factors as (1, bq) lane vectors, the key-side
     # mask pre-shaped (bk, 1) — no in-kernel relayouts anywhere
@@ -262,14 +346,37 @@ def _dkv_kernel(k_ref, v_ref, q_ref, do_ref, lseT_ref, deltaT_ref, mask_ref,
     if mask_ref is not None:
         sT = jnp.where(mask_ref[0] > 0.5, sT, _NEG_INF)  # mask: [bk, 1]
     pT = jnp.exp(sT - lseT_ref[0])  # lseT: [1, bq]
+    if dropout > 0.0:
+        # the SAME element mask as the forward, regenerated here in
+        # transposed orientation from this tile's own index grids (the
+        # hash is a pure function of global (query, key) indices)
+        bk_, bq_ = pT.shape
+        b = pl.program_id(0)
+        jq = pl.program_id(2)  # query-block position in THIS grid
+        jk = pl.program_id(1)  # key-block position
+        k_idx = jk * bk_ + jax.lax.broadcasted_iota(jnp.int32, (bk_, bq_), 0)
+        q_idx = jq * bq_ + jax.lax.broadcasted_iota(jnp.int32, (bk_, bq_), 1)
+        bh_term = (b + 1).astype(jnp.uint32) * jnp.uint32(_BH_PRIME)
+        seed = seed_ref[0, 0].astype(jnp.int32).astype(jnp.uint32)
+        keepT = _hash_keep(q_idx, k_idx, bh_term, seed, dropout)
+        inv = 1.0 / (1.0 - dropout)
+        pT_v = jnp.where(keepT, pT * inv, 0.0)  # P̂ᵀ for dv
+        dpT = jax.lax.dot_general(
+            v_ref[0].astype(jnp.float32), do,
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=precision,
+        )
+        dpT = jnp.where(keepT, dpT * inv, 0.0)
+    else:
+        pT_v = pT
+        dpT = jax.lax.dot_general(
+            v_ref[0].astype(jnp.float32), do,
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=precision,
+        )  # [bk, bq]
     dv_scr[:] = dv_scr[:] + jnp.dot(
-        pT, do, preferred_element_type=jnp.float32, precision=precision
+        pT_v, do, preferred_element_type=jnp.float32, precision=precision
     )
-    dpT = jax.lax.dot_general(
-        v_ref[0].astype(jnp.float32), do,
-        (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-        precision=precision,
-    )  # [bk, bq]
     dsT = pT * (dpT - deltaT_ref[0])
     dk_scr[:] = dk_scr[:] + jnp.dot(
         dsT, q.astype(jnp.float32),
@@ -282,8 +389,8 @@ def _dkv_kernel(k_ref, v_ref, q_ref, do_ref, lseT_ref, deltaT_ref, mask_ref,
         dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
 
 
-def _flash_bwd(q, k, v, mask_row, out, lse, do, scale, bq, bk, interpret,
-               precision):
+def _flash_bwd(q, k, v, mask_row, seed_arr, out, lse, do, scale, bq, bk,
+               interpret, precision, dropout):
     prec = _resolve_precision(precision)
     bh, s, dh = q.shape
     delta = jnp.sum(
@@ -295,7 +402,8 @@ def _flash_bwd(q, k, v, mask_row, out, lse, do, scale, bq, bk, interpret,
     row3 = lambda b, i, j: (b, i, 0)  # noqa: E731
     col3 = lambda b, i, j: (b, j, 0)  # noqa: E731
 
-    dq_kernel = functools.partial(_dq_kernel, scale=scale, precision=prec)
+    dq_kernel = functools.partial(_dq_kernel, scale=scale, precision=prec,
+                                  dropout=dropout)
     in_specs = [
         pl.BlockSpec((1, bq, dh), row3, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, bk, dh), col3, memory_space=pltpu.VMEM),
@@ -305,6 +413,11 @@ def _flash_bwd(q, k, v, mask_row, out, lse, do, scale, bq, bk, interpret,
         pl.BlockSpec((1, bq, 1), row3, memory_space=pltpu.VMEM),
     ]
     args = [q, k, v, do, lse, delta]
+    if dropout > 0.0:
+        in_specs.insert(0, _seed_spec())
+        args.insert(0, seed_arr)
+    else:
+        dq_kernel = _adapt_nomask(dq_kernel, 0)
     if mask_row is not None:
         in_specs.append(
             pl.BlockSpec((1, 1, bk), lambda b, i, j: (b, 0, j),
@@ -312,7 +425,7 @@ def _flash_bwd(q, k, v, mask_row, out, lse, do, scale, bq, bk, interpret,
         )
         args.append(mask_row)
     else:
-        dq_kernel = _adapt_nomask(dq_kernel, 6)
+        dq_kernel = _adapt_nomask(dq_kernel, 7 if dropout > 0.0 else 6)
     dq = pl.pallas_call(
         dq_kernel,
         grid=(bh, s // bq, s // bk),
@@ -330,7 +443,8 @@ def _flash_bwd(q, k, v, mask_row, out, lse, do, scale, bq, bk, interpret,
     # transposed-orientation kernel: grid (bh, key, query)
     key3 = lambda b, j, i: (b, j, 0)  # noqa: E731
     qry3 = lambda b, j, i: (b, i, 0)  # noqa: E731
-    dkv_kernel = functools.partial(_dkv_kernel, scale=scale, precision=prec)
+    dkv_kernel = functools.partial(_dkv_kernel, scale=scale, precision=prec,
+                                   dropout=dropout)
     lse_t = lse.reshape(bh, 1, s)
     delta_t = delta.reshape(bh, 1, s)
     in_specs = [
@@ -344,6 +458,11 @@ def _flash_bwd(q, k, v, mask_row, out, lse, do, scale, bq, bk, interpret,
                      memory_space=pltpu.VMEM),
     ]
     args = [k, v, q, do, lse_t, delta_t]
+    if dropout > 0.0:
+        in_specs.insert(0, _seed_spec())
+        args.insert(0, seed_arr)
+    else:
+        dkv_kernel = _adapt_nomask(dkv_kernel, 0)
     if mask_row is not None:
         # key mask pre-shaped [bh, s, 1] so the in-kernel view is (bk, 1)
         in_specs.append(
@@ -351,7 +470,7 @@ def _flash_bwd(q, k, v, mask_row, out, lse, do, scale, bq, bk, interpret,
         )
         args.append(mask_row.reshape(bh, s, 1))
     else:
-        dkv_kernel = _adapt_nomask(dkv_kernel, 6)
+        dkv_kernel = _adapt_nomask(dkv_kernel, 7 if dropout > 0.0 else 6)
     dk, dv = pl.pallas_call(
         dkv_kernel,
         grid=(bh, s // bk, s // bq),
@@ -382,36 +501,62 @@ def _flash_bwd(q, k, v, mask_row, out, lse, do, scale, bq, bk, interpret,
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
-def _flash(q, k, v, mask_row, scale, bq, bk, interpret, precision):
-    out, _ = _flash_fwd(q, k, v, mask_row, scale, bq, bk, interpret,
-                        precision)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
+def _flash(q, k, v, mask_row, seed_arr, scale, bq, bk, interpret, precision,
+           dropout):
+    out, _ = _flash_fwd(q, k, v, mask_row, seed_arr, scale, bq, bk,
+                        interpret, precision, dropout)
     return out
 
 
-def _flash_vjp_fwd(q, k, v, mask_row, scale, bq, bk, interpret, precision):
-    out, lse = _flash_fwd(q, k, v, mask_row, scale, bq, bk, interpret,
-                          precision)
-    return out, (q, k, v, mask_row, out, lse)
+def _flash_vjp_fwd(q, k, v, mask_row, seed_arr, scale, bq, bk, interpret,
+                   precision, dropout):
+    out, lse = _flash_fwd(q, k, v, mask_row, seed_arr, scale, bq, bk,
+                          interpret, precision, dropout)
+    return out, (q, k, v, mask_row, seed_arr, out, lse)
 
 
-def _flash_vjp_bwd(scale, bq, bk, interpret, precision, residuals, do):
-    q, k, v, mask_row, out, lse = residuals
+def _flash_vjp_bwd(scale, bq, bk, interpret, precision, dropout, residuals,
+                   do):
+    q, k, v, mask_row, seed_arr, out, lse = residuals
     dq, dk, dv = _flash_bwd(
-        q, k, v, mask_row, out, lse, do, scale, bq, bk, interpret,
-        precision,
+        q, k, v, mask_row, seed_arr, out, lse, do, scale, bq, bk, interpret,
+        precision, dropout,
     )
     dmask = None if mask_row is None else jnp.zeros_like(mask_row)
-    return dq, dk, dv, dmask
+    return dq, dk, dv, dmask, jnp.zeros_like(seed_arr)  # fp32 seed: no grad
 
 
 _flash.defvjp(_flash_vjp_fwd, _flash_vjp_bwd)
 
 
-def mha_reference(q, k, v, mask=None, *, scale=None):
+def dropout_keep_mask(b, h, s, seed, rate):
+    """The flash kernels' exact attention-dropout mask, materialized in
+    jnp as ``[B, H, S, S]`` — the oracle/fallback companion of the
+    in-kernel `_hash_keep` (identical bits, so the jnp path and the
+    kernels compute the SAME dropped attention)."""
+    q_idx = jnp.arange(s, dtype=jnp.int32)[:, None] * jnp.ones(
+        (1, s), jnp.int32
+    )
+    k_idx = jnp.arange(s, dtype=jnp.int32)[None, :] * jnp.ones(
+        (s, 1), jnp.int32
+    )
+    bh = jnp.arange(b * h, dtype=jnp.int32) + 1
+    bh_term = (bh.astype(jnp.uint32) * jnp.uint32(_BH_PRIME))[:, None, None]
+    seed_u = jnp.asarray(seed, jnp.int32).astype(jnp.uint32)
+    keep = _hash_keep(
+        q_idx[None], k_idx[None], bh_term, seed_u, rate
+    )  # [BH, S, S]
+    return keep.reshape(b, h, s, s)
+
+
+def mha_reference(q, k, v, mask=None, *, scale=None, dropout_rate=0.0,
+                  dropout_seed=0):
     """Plain jnp multi-head attention over ``[B, H, S, Dh]``; the fallback
     path and the test oracle for the kernels.  ``mask``: ``[B, S]`` key
-    padding (1 = valid)."""
+    padding (1 = valid).  ``dropout_rate`` > 0 applies the kernels' exact
+    hash-mask attention-probability dropout (torch semantics: normalized
+    probabilities zeroed, survivors scaled 1/(1−rate))."""
     if scale is None:
         scale = q.shape[-1] ** -0.5
     s = scale * jnp.einsum(
@@ -425,6 +570,10 @@ def mha_reference(q, k, v, mask=None, *, scale=None):
         any_valid = jnp.any(key_mask, axis=-1, keepdims=True)
         s = jnp.where(any_valid, s, 0.0)
     p = jax.nn.softmax(s, axis=-1)
+    if dropout_rate > 0.0:
+        b, h, sq, _ = p.shape
+        keep = dropout_keep_mask(b, h, sq, dropout_seed, dropout_rate)
+        p = jnp.where(keep, p * (1.0 / (1.0 - dropout_rate)), 0.0)
     out = jnp.einsum(
         "bhqk,bhkd->bhqd", p, v.astype(jnp.float32),
         precision=jax.lax.Precision.HIGHEST,
@@ -469,6 +618,8 @@ def flash_attention(
     use_pallas: bool | None = None,
     interpret: bool = False,
     precision: str | None = None,
+    dropout_rate: float = 0.0,
+    dropout_seed: jax.Array | int = 0,
 ) -> jax.Array:
     """Blockwise attention.  ``q/k/v``: ``[B, H, S, Dh]``; ``mask``:
     optional ``[B, S]`` key-padding mask (1 = valid).  Returns
@@ -476,19 +627,34 @@ def flash_attention(
     custom VJP); scores never materialize beyond ``[bq, bk]`` tiles.
     ``precision``: None/"default" = fast MXU passes (training towers are
     bf16 anyway); "highest" = fp32-exact dots for comparisons.
+    ``dropout_rate``: attention-PROBABILITY dropout (torch semantics:
+    normalized probabilities zeroed, survivors scaled 1/(1−rate)); the
+    mask is a stateless hash of the global (bh, query, key) indices and
+    ``dropout_seed`` (traced — may be a fresh per-step scalar without
+    recompiling; only the low 23 bits are used).  The jnp fallback applies
+    the bit-identical mask, so both paths drop the same entries.
     """
     b, h, s, dh = q.shape
+    if not 0.0 <= dropout_rate < 1.0:
+        raise ValueError(f"dropout_rate must be in [0, 1), got {dropout_rate}")
+    dropout_rate = float(dropout_rate)
     if scale is None:
         scale = dh**-0.5
     if use_pallas is None:
         use_pallas = flash_supported(s) or interpret
     blocks = _pick_blocks(s)
     if not use_pallas or blocks is None:
-        return mha_reference(q, k, v, mask, scale=scale)
+        return mha_reference(q, k, v, mask, scale=scale,
+                             dropout_rate=dropout_rate,
+                             dropout_seed=dropout_seed)
     bq, bk = blocks
     qf, kf, vf, mask_row = fold_heads(q, k, v, mask)
+    # fp32 SMEM scalar: exact for < 2^24 and keeps the custom_vjp tangent
+    # story trivial (int operands would need float0 cotangents)
+    seed_arr = jnp.asarray(dropout_seed, jnp.float32).reshape(1, 1)
     out = _flash(
-        qf, kf, vf, mask_row, float(scale), bq, bk, interpret, precision
+        qf, kf, vf, mask_row, seed_arr, float(scale), bq, bk, interpret,
+        precision, dropout_rate,
     )
     if (-dh) % 128:
         out = out[:, :, :dh]

@@ -135,16 +135,19 @@ def _ring_fwd_flash(q, k, v, mask, axis, scale, interpret, precision):
     perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
     qf, kf, vf, mrow = fold_heads(q, k, v, mask)
 
-    o_blk, lse = _flash_fwd(qf, kf, vf, mrow, scale, bq, bk, interpret,
-                            precision)
+    # dropout=0.0 on the ring path: the hash mask keys on LOCAL block
+    # indices, which repeat across devices — ring towers regularize with
+    # output dropout instead (models/encoders.py)
+    o_blk, lse = _flash_fwd(qf, kf, vf, mrow, None, scale, bq, bk,
+                            interpret, precision, 0.0)
     o = o_blk.astype(jnp.float32)
     if n_dev > 1:
 
         def body(carry, _):
             o, lse, k_b, v_b, m_b = carry
             k_b, v_b, m_b = _rotate((k_b, v_b, m_b), axis, perm)
-            o_b, lse_b = _flash_fwd(qf, k_b, v_b, m_b, scale, bq, bk,
-                                    interpret, precision)
+            o_b, lse_b = _flash_fwd(qf, k_b, v_b, m_b, None, scale, bq, bk,
+                                    interpret, precision, 0.0)
             o, lse = _merge_partials(o, lse, o_b, lse_b)
             return (o, lse, k_b, v_b, m_b), None
 
@@ -169,8 +172,8 @@ def _ring_bwd_flash(q, k, v, mask, o_fold, lse, dout, axis, scale,
     # with the GLOBAL (out, lse) the flash backward's p = exp(s − lse) is
     # the globally-normalized probability restricted to this block, so
     # every block call yields its exact dq/dK/dV contribution
-    dq_b, dk_t, dv_t = _flash_bwd(qf, kf, vf, mrow, o_fold, lse, do,
-                                  scale, bq, bk, interpret, precision)
+    dq_b, dk_t, dv_t = _flash_bwd(qf, kf, vf, mrow, None, o_fold, lse, do,
+                                  scale, bq, bk, interpret, precision, 0.0)
     dq = dq_b.astype(jnp.float32)
     dk_t = dk_t.astype(jnp.float32)
     dv_t = dv_t.astype(jnp.float32)
@@ -182,8 +185,8 @@ def _ring_bwd_flash(q, k, v, mask, o_fold, lse, dout, axis, scale,
                 (k_b, v_b, m_b, dk_t, dv_t), axis, perm
             )
             dq_b, dk_b, dv_b = _flash_bwd(
-                qf, k_b, v_b, m_b, o_fold, lse, do, scale, bq, bk,
-                interpret, precision,
+                qf, k_b, v_b, m_b, None, o_fold, lse, do, scale, bq, bk,
+                interpret, precision, 0.0,
             )
             dq = dq + dq_b.astype(jnp.float32)
             dk_t = dk_t + dk_b.astype(jnp.float32)

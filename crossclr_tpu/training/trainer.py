@@ -488,8 +488,9 @@ class Trainer:
                     print(
                         f"{name}: attention='flash' cannot run under GSPMD "
                         "on a multi-device mesh; using 'xla' (identical "
-                        "values). For sequence parallelism use "
-                        "attention='ring'.",
+                        "values; dropout masks are drawn differently but "
+                        "both are iid Bernoulli). For sequence parallelism "
+                        "use attention='ring'.",
                         file=_sys.stderr,
                     )
                 return _dc.replace(cfg_, attention="xla")

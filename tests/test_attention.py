@@ -72,6 +72,143 @@ def test_flash_gradients_match_reference(rng, masked):
                                    rtol=rtol, atol=atol)
 
 
+@pytest.mark.parametrize("masked", [False, True])
+def test_flash_dropout_matches_oracle(rng, masked):
+    """Attention-probability dropout: the kernel's in-tile hash mask must
+    reproduce the jnp oracle (which materializes the SAME mask via
+    dropout_keep_mask) bit-for-bit in which entries it drops."""
+    q, k, v = _qkv(rng)
+    mask = None
+    if masked:
+        mask = jnp.asarray(rng.random((2, 64)) > 0.3, jnp.float32)
+        mask = mask.at[1, :].set(0.0)  # fully-masked row stays zero
+    want = mha_reference(q, k, v, mask, dropout_rate=0.3, dropout_seed=7)
+    got = flash_attention(q, k, v, mask, use_pallas=True,
+                          interpret=INTERPRET, precision="highest",
+                          dropout_rate=0.3, dropout_seed=7)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+    if masked:
+        assert np.all(np.asarray(got)[1] == 0.0)
+
+
+@pytest.mark.parametrize("masked", [False, True])
+def test_flash_dropout_gradients_match_oracle(rng, masked):
+    """dq/dk/dv under probability dropout: the dq and transposed dk/dv
+    kernels each regenerate the forward's mask from their own tile index
+    grids; autodiff through the oracle (same mask) is ground truth."""
+    q, k, v = _qkv(rng, s=32)
+    mask = (
+        jnp.asarray(rng.random((2, 32)) > 0.3, jnp.float32) if masked else None
+    )
+
+    def loss(fn):
+        return lambda *a: jnp.sum(jnp.sin(fn(*a)))
+
+    want = jax.grad(
+        loss(lambda q_, k_, v_: mha_reference(
+            q_, k_, v_, mask, dropout_rate=0.25, dropout_seed=11)),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    got = jax.grad(
+        loss(lambda q_, k_, v_: flash_attention(
+            q_, k_, v_, mask, use_pallas=True, interpret=INTERPRET,
+            precision="highest", dropout_rate=0.25, dropout_seed=11)),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    rtol, atol = (5e-3, 2e-4) if ON_TPU else (1e-4, 1e-5)
+    for g_w, g_g in zip(want, got):
+        assert np.all(np.isfinite(np.asarray(g_g)))
+        np.testing.assert_allclose(np.asarray(g_g), np.asarray(g_w),
+                                   rtol=rtol, atol=atol)
+
+
+def test_flash_dropout_mask_statistics():
+    """The hash mask behaves like iid Bernoulli(1-rate): drop fraction
+    within 3 sigma at every rate, different seeds decorrelate, and the
+    per-(batch*head) term decorrelates heads."""
+    from crossclr_tpu.ops.flash_attention import dropout_keep_mask
+
+    b, h, s = 2, 4, 128
+    n = b * h * s * s
+    for rate in (0.1, 0.5, 0.9):
+        keep = np.asarray(dropout_keep_mask(b, h, s, 3, rate))
+        frac = 1.0 - keep.mean()
+        sigma = (rate * (1 - rate) / n) ** 0.5
+        assert abs(frac - rate) < 3.5 * sigma, (rate, frac)
+    k1 = np.asarray(dropout_keep_mask(b, h, s, 1, 0.5))
+    k2 = np.asarray(dropout_keep_mask(b, h, s, 2, 0.5))
+    agree = (k1 == k2).mean()
+    assert 0.45 < agree < 0.55  # independent masks agree ~50% at rate 0.5
+    heads = np.asarray(dropout_keep_mask(1, 2, s, 1, 0.5))
+    agree_h = (heads[0, 0] == heads[0, 1]).mean()
+    assert 0.45 < agree_h < 0.55
+
+
+def test_flash_dropout_zero_rate_is_identity(rng):
+    q, k, v = _qkv(rng)
+    base = flash_attention(q, k, v, use_pallas=True, interpret=INTERPRET,
+                           precision="highest")
+    got = flash_attention(q, k, v, use_pallas=True, interpret=INTERPRET,
+                          precision="highest", dropout_rate=0.0,
+                          dropout_seed=123)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(base))
+    with pytest.raises(ValueError, match="dropout_rate"):
+        flash_attention(q, k, v, dropout_rate=1.0)
+
+
+def test_flash_dropout_seed_is_traced(rng):
+    """One compiled kernel serves every step's fresh mask: the seed is a
+    traced SMEM scalar, so new seeds hit the jit cache."""
+    q, k, v = _qkv(rng, s=32)
+    f = jax.jit(
+        lambda seed: flash_attention(
+            q, k, v, use_pallas=True, interpret=INTERPRET,
+            dropout_rate=0.5, dropout_seed=seed,
+        )
+    )
+    o1 = f(jnp.asarray(1, jnp.int32))
+    o2 = f(jnp.asarray(2, jnp.int32))
+    assert f._cache_size() == 1
+    assert not np.array_equal(np.asarray(o1), np.asarray(o2))
+
+
+def test_tower_flash_probability_dropout(rng):
+    """The flash tower path applies probability dropout under train=True
+    (rng-keyed, so two rng keys differ) and is deterministic/identical to
+    the dropout-free tower at eval."""
+    from crossclr_tpu.models import TowerConfig, TransformerTower
+
+    cfg = TowerConfig(
+        kind="transformer", input_dim=20, embed_dim=32, hidden_dim=48,
+        num_heads=4, max_seq_len=16, dtype=jnp.float32, attention="flash",
+        dropout=0.4,
+    )
+    cfg_nodrop = TowerConfig(
+        kind="transformer", input_dim=20, embed_dim=32, hidden_dim=48,
+        num_heads=4, max_seq_len=16, dtype=jnp.float32, attention="flash",
+    )
+    x = jnp.asarray(rng.standard_normal((4, 16, 20)), jnp.float32)
+    mask = jnp.asarray(rng.random((4, 16)) > 0.2, jnp.float32)
+
+    tower = TransformerTower(cfg)
+    params = tower.init(jax.random.PRNGKey(0), x, mask)["params"]
+    out_eval = tower.apply({"params": params}, x, mask)
+    out_plain = TransformerTower(cfg_nodrop).apply({"params": params}, x, mask)
+    np.testing.assert_array_equal(np.asarray(out_eval), np.asarray(out_plain))
+
+    t1 = tower.apply({"params": params}, x, mask, train=True,
+                     rngs={"dropout": jax.random.PRNGKey(1)})
+    t2 = tower.apply({"params": params}, x, mask, train=True,
+                     rngs={"dropout": jax.random.PRNGKey(2)})
+    t1b = tower.apply({"params": params}, x, mask, train=True,
+                      rngs={"dropout": jax.random.PRNGKey(1)})
+    assert np.all(np.isfinite(np.asarray(t1)))
+    assert not np.array_equal(np.asarray(t1), np.asarray(out_eval))
+    assert not np.array_equal(np.asarray(t1), np.asarray(t2))
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t1b))
+
+
 def test_flash_supported_shapes():
     assert flash_supported(64, backend="tpu")
     assert flash_supported(4096, backend="tpu")
