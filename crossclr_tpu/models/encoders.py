@@ -59,11 +59,11 @@ class TowerConfig:
     #             one chip; requires a mesh on the owning DualEncoder.
     #             Long LOCAL shards automatically run the flash kernels
     #             per ring block (ring-of-flash) where supported.
-    # flash applies true attention-PROBABILITY dropout inside the online
-    # softmax (a stateless hash mask regenerated per tile by all three
-    # kernels — ops/flash_attention.py); ring applies dropout to the
-    # attention OUTPUT instead (the hash keys on local block indices,
-    # which repeat across ring devices).
+    # flash AND ring apply true attention-PROBABILITY dropout (a stateless
+    # hash mask on GLOBAL (bh, query, key) indices regenerated per tile by
+    # all three kernels — ops/flash_attention.py; each ring step passes
+    # its block's global window offsets, so the sequence-sharded mask
+    # equals the single-chip one).
     attention: str = "xla"
     # ring attention per-block math: "auto" (flash kernels when the local
     # shape supports them, else jnp), "jnp", or "flash"; ring_interpret
@@ -134,22 +134,21 @@ class _MHA(nn.Module):
         q, k, v = (
             jnp.swapaxes(proj(n), 1, 2) for n in ("query", "key", "value")
         )
+        # true probability dropout on both kernel paths, matching the xla
+        # path's nn.MultiHeadDotProductAttention(dropout_rate=...); the
+        # kernels' hash mask wants a fresh <2^23 scalar per step
+        drop = dict(dropout_rate=0.0, dropout_seed=0)
+        if cfg.dropout > 0 and train:
+            drop = dict(
+                dropout_rate=cfg.dropout,
+                dropout_seed=jax.random.randint(
+                    self.make_rng("dropout"), (), 0, 1 << 23
+                ),
+            )
         if cfg.attention == "flash":
             from ..ops.flash_attention import flash_attention
 
-            if cfg.dropout > 0 and train:
-                # true probability dropout, matching the xla path's
-                # nn.MultiHeadDotProductAttention(dropout_rate=...); the
-                # kernels' hash mask wants a fresh <2^23 scalar per step
-                seed = jax.random.randint(
-                    self.make_rng("dropout"), (), 0, 1 << 23
-                )
-                out = flash_attention(
-                    q, k, v, mask, dropout_rate=cfg.dropout,
-                    dropout_seed=seed,
-                )
-            else:
-                out = flash_attention(q, k, v, mask)
+            out = flash_attention(q, k, v, mask, **drop)
         elif cfg.attention == "ring":
             from ..parallel.ring_attention import sequence_parallel_attention
 
@@ -161,15 +160,11 @@ class _MHA(nn.Module):
             out = sequence_parallel_attention(
                 q, k, v, mask, mesh=self.mesh, axis=self.seq_axis or "model",
                 block_impl=cfg.ring_block_impl, interpret=cfg.ring_interpret,
+                **drop,
             )
         else:
             raise ValueError(f"unknown attention impl {cfg.attention!r}")
         out = jnp.swapaxes(out, 1, 2).astype(cfg.dtype)
-        if cfg.dropout > 0 and cfg.attention == "ring":
-            # ring path only: output-dropout substitute for probability
-            # dropout (see the TowerConfig comment); flash already
-            # dropped probabilities inside the kernel
-            out = nn.Dropout(cfg.dropout, deterministic=not train)(out)
         return nn.DenseGeneral(
             features=cfg.embed_dim, axis=(-2, -1), dtype=cfg.dtype, name="out"
         )(out)

@@ -40,7 +40,13 @@ DENOMINATOR keeps every term (dropout zeroes normalized probabilities,
 it does not renormalize), and the usual ``delta = rowsum(do∘out)``
 backward identity survives because ``out`` already contains the mask.
 The seed is a traced SMEM scalar — one compiled kernel serves every
-training step's fresh mask.
+training step's fresh mask.  The SMEM operand also carries traced GLOBAL
+(query, key) index offsets, so a caller whose q/k tiles are a WINDOW of
+a longer logical sequence (the ring-of-flash path, where each device
+owns queries ``[my·s_loc, …)`` and visits key blocks owned by other
+devices) regenerates the exact mask a single-chip run over the full
+sequence would use — ring attention therefore supports true probability
+dropout too (parallel/ring_attention.py).
 
 Off-TPU the public entry runs the same math in jnp (or the kernel under
 ``interpret=True`` for tests).
@@ -156,12 +162,17 @@ _BH_PRIME = 0x27D4EB2F  # per-(batch·head) decorrelation term for _hash_keep
 
 def _tile_keep(seed_ref, bq: int, bk: int, dropout: float):
     """Dropout keep-mask for THIS grid tile from global indices — shared
-    by the forward and dq kernels (query rows × key cols orientation)."""
+    by the forward and dq kernels (query rows × key cols orientation).
+    ``seed_ref`` is the (1, 3) SMEM operand ``[seed, q_offset, k_offset]``
+    (offsets are 0 except under ring attention, where they place this
+    call's tiles inside the full logical sequence)."""
     b = pl.program_id(0)
     i = pl.program_id(1)
     j = pl.program_id(2)
-    q_idx = i * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
-    k_idx = j * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+    q_off = seed_ref[0, 1].astype(jnp.int32)
+    k_off = seed_ref[0, 2].astype(jnp.int32)
+    q_idx = q_off + i * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
+    k_idx = k_off + j * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
     bh_term = (b + 1).astype(jnp.uint32) * jnp.uint32(_BH_PRIME)
     seed = seed_ref[0, 0].astype(jnp.int32).astype(jnp.uint32)
     return _hash_keep(q_idx, k_idx, bh_term, seed, dropout)
@@ -219,7 +230,21 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref,
 
 
 def _seed_spec():
-    return pl.BlockSpec((1, 1), lambda *_: (0, 0), memory_space=pltpu.SMEM)
+    # (1, 3) SMEM row: [seed, q_offset, k_offset] — see _tile_keep
+    return pl.BlockSpec((1, 3), lambda *_: (0, 0), memory_space=pltpu.SMEM)
+
+
+def seed_operand(seed, q_offset=0, k_offset=0):
+    """Build the kernels' (1, 3) fp32 SMEM dropout operand.  fp32 is
+    exact for values < 2^24 and keeps the custom_vjp tangent story
+    trivial (int operands would need float0 cotangents); seeds use only
+    the low 23 bits, offsets are sequence positions."""
+    row = jnp.stack([
+        jnp.asarray(seed, jnp.float32).reshape(()),
+        jnp.asarray(q_offset, jnp.float32).reshape(()),
+        jnp.asarray(k_offset, jnp.float32).reshape(()),
+    ])
+    return row.reshape(1, 3)
 
 
 def _flash_fwd(q, k, v, mask_row, seed_arr, scale, bq, bk, interpret,
@@ -354,8 +379,12 @@ def _dkv_kernel(seed_ref, k_ref, v_ref, q_ref, do_ref, lseT_ref, deltaT_ref,
         b = pl.program_id(0)
         jq = pl.program_id(2)  # query-block position in THIS grid
         jk = pl.program_id(1)  # key-block position
-        k_idx = jk * bk_ + jax.lax.broadcasted_iota(jnp.int32, (bk_, bq_), 0)
-        q_idx = jq * bq_ + jax.lax.broadcasted_iota(jnp.int32, (bk_, bq_), 1)
+        q_off = seed_ref[0, 1].astype(jnp.int32)
+        k_off = seed_ref[0, 2].astype(jnp.int32)
+        k_idx = (k_off + jk * bk_
+                 + jax.lax.broadcasted_iota(jnp.int32, (bk_, bq_), 0))
+        q_idx = (q_off + jq * bq_
+                 + jax.lax.broadcasted_iota(jnp.int32, (bk_, bq_), 1))
         bh_term = (b + 1).astype(jnp.uint32) * jnp.uint32(_BH_PRIME)
         seed = seed_ref[0, 0].astype(jnp.int32).astype(jnp.uint32)
         keepT = _hash_keep(q_idx, k_idx, bh_term, seed, dropout)
@@ -530,15 +559,18 @@ def _flash_vjp_bwd(scale, bq, bk, interpret, precision, dropout, residuals,
 _flash.defvjp(_flash_vjp_fwd, _flash_vjp_bwd)
 
 
-def dropout_keep_mask(b, h, s, seed, rate):
+def dropout_keep_mask(b, h, s, seed, rate, sk=None, q_offset=0, k_offset=0):
     """The flash kernels' exact attention-dropout mask, materialized in
-    jnp as ``[B, H, S, S]`` — the oracle/fallback companion of the
+    jnp as ``[B, H, S, Sk]`` — the oracle/fallback companion of the
     in-kernel `_hash_keep` (identical bits, so the jnp path and the
-    kernels compute the SAME dropped attention)."""
-    q_idx = jnp.arange(s, dtype=jnp.int32)[:, None] * jnp.ones(
-        (1, s), jnp.int32
+    kernels compute the SAME dropped attention).  ``q_offset``/
+    ``k_offset`` place a rectangular window inside a longer logical
+    sequence (the ring path's per-block view)."""
+    sk = s if sk is None else sk
+    q_idx = (q_offset + jnp.arange(s, dtype=jnp.int32))[:, None] * jnp.ones(
+        (1, sk), jnp.int32
     )
-    k_idx = jnp.arange(s, dtype=jnp.int32)[None, :] * jnp.ones(
+    k_idx = (k_offset + jnp.arange(sk, dtype=jnp.int32))[None, :] * jnp.ones(
         (s, 1), jnp.int32
     )
     bh = jnp.arange(b * h, dtype=jnp.int32) + 1
@@ -546,8 +578,8 @@ def dropout_keep_mask(b, h, s, seed, rate):
     seed_u = jnp.asarray(seed, jnp.int32).astype(jnp.uint32)
     keep = _hash_keep(
         q_idx[None], k_idx[None], bh_term, seed_u, rate
-    )  # [BH, S, S]
-    return keep.reshape(b, h, s, s)
+    )  # [BH, S, Sk]
+    return keep.reshape(b, h, s, sk)
 
 
 def mha_reference(q, k, v, mask=None, *, scale=None, dropout_rate=0.0,
@@ -649,9 +681,7 @@ def flash_attention(
                              dropout_seed=dropout_seed)
     bq, bk = blocks
     qf, kf, vf, mask_row = fold_heads(q, k, v, mask)
-    # fp32 SMEM scalar: exact for < 2^24 and keeps the custom_vjp tangent
-    # story trivial (int operands would need float0 cotangents)
-    seed_arr = jnp.asarray(dropout_seed, jnp.float32).reshape(1, 1)
+    seed_arr = seed_operand(dropout_seed)
     out = _flash(
         qf, kf, vf, mask_row, seed_arr, float(scale), bq, bk, interpret,
         precision, dropout_rate,

@@ -45,6 +45,20 @@ Per-block work has two implementations (``block_impl``):
 
 ``"auto"`` (the default) picks flash when the kernels support the local
 shape on this backend, else jnp.
+
+Attention-probability dropout (``dropout_rate`` > 0) rides both block
+implementations: the stateless hash mask from ``ops.flash_attention``
+keys on GLOBAL (batch·head, query, key) indices, and each ring step
+passes its block's (q_offset, k_offset) window position, so the sharded
+run drops exactly the entries a single-chip run over the full sequence
+would (pinned against ``mha_reference`` in tests).  Dropout zeroes
+normalized probabilities without renormalizing (torch semantics), which
+is precisely why it composes with the ring: the softmax DENOMINATOR
+keeps every term, so the (out, lse) merge across disjoint key blocks is
+unchanged, and ``delta = rowsum(do∘out)`` stays exact because ``out``
+already carries the mask.  NOTE the mask keys on the LOCAL batch index:
+under a data-sharded batch each dp shard draws its own (still iid)
+mask — sequence sharding is what's bit-reproducible here.
 """
 
 from __future__ import annotations
@@ -78,30 +92,51 @@ def _rotate(arrs, axis, perm):
     )
 
 
-def _online_block(qf, k_blk, v_blk, mask_blk, scale, m, l, acc):
-    """Fold one K/V block into the online-softmax accumulators."""
+def _block_keep(qf, seed, dropout, q_off, k_off, sk):
+    """[B,H,sq,sk] keep mask for one ring block — the kernels' exact hash
+    mask (ops.flash_attention) windowed at this block's global offsets.
+    None when dropout is off."""
+    if dropout <= 0.0:
+        return None
+    from ..ops.flash_attention import dropout_keep_mask
+
+    b, h, sq, _ = qf.shape
+    return dropout_keep_mask(
+        b, h, sq, seed, dropout, sk=sk, q_offset=q_off, k_offset=k_off
+    )
+
+
+def _online_block(qf, k_blk, v_blk, mask_blk, scale, m, l, acc, keep=None):
+    """Fold one K/V block into the online-softmax accumulators.  ``keep``
+    (probability-dropout mask) zeroes value-aggregation terms only — the
+    denominator ``l`` keeps every term (torch dropout semantics); the
+    survivor 1/(1−r) scaling is applied once at the end by the caller."""
     s = _block_scores(qf, k_blk, scale, mask_blk)  # [B,H,sq,sk]
     m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
     m_new = jnp.maximum(m_new, _MAX_FLOOR)
     alpha = jnp.exp(m - m_new)
     p = jnp.exp(s - m_new)
     l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    p_v = p if keep is None else jnp.where(keep, p, 0.0)
     acc_new = acc * alpha + jnp.einsum(
-        "bhqk,bhkd->bhqd", p, v_blk.astype(jnp.float32)
+        "bhqk,bhkd->bhqd", p_v, v_blk.astype(jnp.float32)
     )
     return m_new, l_new, acc_new
 
 
 def _grad_block(qf, do, delta, lse, k_blk, v_blk, mask_blk, scale,
-                dq_acc, dk_blk, dv_blk):
+                dq_acc, dk_blk, dv_blk, keep=None, inv_keep=1.0):
     """Accumulate one block's contribution to dq (local) and dk/dv (the
     block's travelling accumulators).  ``p = exp(s − lse)`` re-forms the
-    exact normalized probabilities from the saved forward statistics."""
+    exact normalized probabilities from the saved forward statistics.
+    Under dropout, dP flows only through kept entries (scaled 1/(1−r)) —
+    ``delta`` already carries the mask via the saved ``out``."""
     s = _block_scores(qf, k_blk, scale, mask_blk)
     p = jnp.exp(s - lse)  # masked → exp(−inf)=0; normalized rows
-    dv_blk = dv_blk + jnp.einsum("bhqk,bhqd->bhkd", p, do)
+    pd = p if keep is None else jnp.where(keep, p * inv_keep, 0.0)
+    dv_blk = dv_blk + jnp.einsum("bhqk,bhqd->bhkd", pd, do)
     dp = jnp.einsum("bhqd,bhkd->bhqk", do, v_blk.astype(jnp.float32))
-    ds = p * (dp - delta) * scale
+    ds = (pd * dp - p * delta) * scale
     dq_acc = dq_acc + jnp.einsum("bhqk,bhkd->bhqd", ds, k_blk.astype(jnp.float32))
     dk_blk = dk_blk + jnp.einsum("bhqk,bhqd->bhkd", ds, qf)
     return dq_acc, dk_blk, dv_blk
@@ -127,66 +162,87 @@ def _merge_partials(o, lse, o_blk, lse_blk):
     return o, m + jnp.log(a + b)
 
 
-def _ring_fwd_flash(q, k, v, mask, axis, scale, interpret, precision):
-    from ..ops.flash_attention import _flash_fwd, _pick_blocks, fold_heads
+def _ring_fwd_flash(q, k, v, mask, seed, axis, scale, interpret, precision,
+                    dropout):
+    from ..ops.flash_attention import (
+        _flash_fwd, _pick_blocks, fold_heads, seed_operand,
+    )
 
-    bq, bk = _pick_blocks(q.shape[2])
+    s_loc = q.shape[2]
+    bq, bk = _pick_blocks(s_loc)
     n_dev = jax.lax.psum(1, axis)
+    me = jax.lax.axis_index(axis)
     perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
     qf, kf, vf, mrow = fold_heads(q, k, v, mask)
 
-    # dropout=0.0 on the ring path: the hash mask keys on LOCAL block
-    # indices, which repeat across devices — ring towers regularize with
-    # output dropout instead (models/encoders.py)
-    o_blk, lse = _flash_fwd(qf, kf, vf, mrow, None, scale, bq, bk,
-                            interpret, precision, 0.0)
+    # the kernels' hash mask keys on GLOBAL indices via the traced SMEM
+    # (q_offset, k_offset) operands: my queries sit at me·s_loc, and at
+    # ring step t the visiting K/V block belongs to device (me − t) mod n
+    def seed_arr(t):
+        if dropout <= 0.0:
+            return None
+        k_off = ((me - t) % n_dev) * s_loc
+        return seed_operand(seed, me * s_loc, k_off)
+
+    o_blk, lse = _flash_fwd(qf, kf, vf, mrow, seed_arr(0), scale, bq, bk,
+                            interpret, precision, dropout)
     o = o_blk.astype(jnp.float32)
     if n_dev > 1:
 
-        def body(carry, _):
+        def body(carry, t):
             o, lse, k_b, v_b, m_b = carry
             k_b, v_b, m_b = _rotate((k_b, v_b, m_b), axis, perm)
-            o_b, lse_b = _flash_fwd(qf, k_b, v_b, m_b, None, scale, bq, bk,
-                                    interpret, precision, 0.0)
+            o_b, lse_b = _flash_fwd(qf, k_b, v_b, m_b, seed_arr(t), scale,
+                                    bq, bk, interpret, precision, dropout)
             o, lse = _merge_partials(o, lse, o_b, lse_b)
             return (o, lse, k_b, v_b, m_b), None
 
         (o, lse, _, _, _), _ = jax.lax.scan(
-            body, (o, lse, kf, vf, mrow), None, length=n_dev - 1
+            body, (o, lse, kf, vf, mrow), jnp.arange(1, n_dev)
         )
     # o and lse stay in the folded/padded layout for the backward
     return o, lse
 
 
-def _ring_bwd_flash(q, k, v, mask, o_fold, lse, dout, axis, scale,
-                    interpret, precision):
-    from ..ops.flash_attention import _flash_bwd, _pick_blocks, fold_heads
+def _ring_bwd_flash(q, k, v, mask, o_fold, lse, dout, seed, axis, scale,
+                    interpret, precision, dropout):
+    from ..ops.flash_attention import (
+        _flash_bwd, _pick_blocks, fold_heads, seed_operand,
+    )
 
     b, h, s, dh = q.shape
     bq, bk = _pick_blocks(s)
     n_dev = jax.lax.psum(1, axis)
+    me = jax.lax.axis_index(axis)
     perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
     qf, kf, vf, mrow = fold_heads(q, k, v, mask)
     do = fold_heads(dout, dout, dout, None)[0]  # fold+pad dout alone
 
+    def seed_arr(t):  # same global offsets as the forward ring step t
+        if dropout <= 0.0:
+            return None
+        k_off = ((me - t) % n_dev) * s
+        return seed_operand(seed, me * s, k_off)
+
     # with the GLOBAL (out, lse) the flash backward's p = exp(s − lse) is
     # the globally-normalized probability restricted to this block, so
     # every block call yields its exact dq/dK/dV contribution
-    dq_b, dk_t, dv_t = _flash_bwd(qf, kf, vf, mrow, None, o_fold, lse, do,
-                                  scale, bq, bk, interpret, precision, 0.0)
+    dq_b, dk_t, dv_t = _flash_bwd(qf, kf, vf, mrow, seed_arr(0), o_fold,
+                                  lse, do, scale, bq, bk, interpret,
+                                  precision, dropout)
     dq = dq_b.astype(jnp.float32)
     dk_t = dk_t.astype(jnp.float32)
     dv_t = dv_t.astype(jnp.float32)
     if n_dev > 1:
 
-        def body(carry, _):
+        def body(carry, t):
             dq, k_b, v_b, m_b, dk_t, dv_t = carry
             k_b, v_b, m_b, dk_t, dv_t = _rotate(
                 (k_b, v_b, m_b, dk_t, dv_t), axis, perm
             )
             dq_b, dk_b, dv_b = _flash_bwd(
-                qf, k_b, v_b, m_b, None, o_fold, lse, do, scale, bq, bk,
-                interpret, precision, 0.0,
+                qf, k_b, v_b, m_b, seed_arr(t), o_fold, lse, do, scale,
+                bq, bk, interpret, precision, dropout,
             )
             dq = dq + dq_b.astype(jnp.float32)
             dk_t = dk_t + dk_b.astype(jnp.float32)
@@ -194,7 +250,7 @@ def _ring_bwd_flash(q, k, v, mask, o_fold, lse, dout, axis, scale,
             return (dq, k_b, v_b, m_b, dk_t, dv_t), None
 
         (dq, _, _, _, dk_t, dv_t), _ = jax.lax.scan(
-            body, (dq, kf, vf, mrow, dk_t, dv_t), None, length=n_dev - 1
+            body, (dq, kf, vf, mrow, dk_t, dv_t), jnp.arange(1, n_dev)
         )
     # carry the travelling dK/dV accumulators the last hop home
     dk_t, dv_t = _rotate((dk_t, dv_t), axis, perm)
@@ -210,17 +266,25 @@ def _ring_bwd_flash(q, k, v, mask, o_fold, lse, dout, axis, scale,
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
-def _ring_core(q, k, v, mask, axis, scale, impl, interpret, precision):
-    out, _ = _ring_core_fwd(q, k, v, mask, axis, scale, impl, interpret,
-                            precision)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
+def _ring_core(q, k, v, mask, seed, axis, scale, impl, interpret, precision,
+               dropout):
+    out, _ = _ring_core_fwd(q, k, v, mask, seed, axis, scale, impl,
+                            interpret, precision, dropout)
     return out
 
 
-def _ring_fwd(q, k, v, mask, axis, scale):
+def _ring_fwd(q, k, v, mask, seed, axis, scale, dropout):
     n_dev = jax.lax.psum(1, axis)
+    me = jax.lax.axis_index(axis)
+    s_loc = q.shape[2]
     perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
     qf = q.astype(jnp.float32)
+
+    def keep(t):  # this ring step's dropout window (None when off)
+        return _block_keep(
+            qf, seed, dropout, me * s_loc, ((me - t) % n_dev) * s_loc, s_loc
+        )
 
     # own block first, then n_dev − 1 (rotate → attend) steps: the K/V
     # blocks do NOT need to complete the circle in the forward, so the
@@ -228,25 +292,26 @@ def _ring_fwd(q, k, v, mask, axis, scale):
     zeros_row = jnp.zeros_like(qf[..., :1])
     m, l, acc = _online_block(
         qf, k, v, mask, scale,
-        zeros_row + _MAX_FLOOR, zeros_row, jnp.zeros_like(qf),
+        zeros_row + _MAX_FLOOR, zeros_row, jnp.zeros_like(qf), keep(0),
     )
     if n_dev > 1:
 
-        def body(carry, _):
+        def body(carry, t):
             m, l, acc, k_blk, v_blk, mask_blk = carry
             k_blk, v_blk, mask_blk = _rotate(
                 (k_blk, v_blk, mask_blk), axis, perm
             )
             m, l, acc = _online_block(
-                qf, k_blk, v_blk, mask_blk, scale, m, l, acc
+                qf, k_blk, v_blk, mask_blk, scale, m, l, acc, keep(t)
             )
             return (m, l, acc, k_blk, v_blk, mask_blk), None
 
         (m, l, acc, _, _, _), _ = jax.lax.scan(
-            body, (m, l, acc, k, v, mask), None, length=n_dev - 1
+            body, (m, l, acc, k, v, mask), jnp.arange(1, n_dev)
         )
     safe_l = jnp.where(l > 0, l, 1.0)
-    out = acc / safe_l
+    inv_keep = 1.0 / (1.0 - dropout) if dropout > 0.0 else 1.0
+    out = acc * (inv_keep / safe_l)
     if mask is not None:
         # rows whose ENTIRE global key set is masked emit zeros; l is the
         # exact full-sequence softmax denominator, so l == 0 detects them
@@ -254,35 +319,44 @@ def _ring_fwd(q, k, v, mask, axis, scale):
     return out, m, l
 
 
-def _ring_core_fwd(q, k, v, mask, axis, scale, impl, interpret, precision):
+def _ring_core_fwd(q, k, v, mask, seed, axis, scale, impl, interpret,
+                   precision, dropout):
     if impl == "flash":
         b, h, s, dh = q.shape
-        o_fold, lse = _ring_fwd_flash(q, k, v, mask, axis, scale,
-                                      interpret, precision)
+        o_fold, lse = _ring_fwd_flash(q, k, v, mask, seed, axis, scale,
+                                      interpret, precision, dropout)
         out = o_fold[:, :, :dh].reshape(b, h, s, dh)
-        return out, (q, k, v, mask, o_fold, lse)
-    out, m, l = _ring_fwd(q, k, v, mask, axis, scale)
-    return out, (q, k, v, mask, out, m, l)
+        return out, (q, k, v, mask, seed, o_fold, lse)
+    out, m, l = _ring_fwd(q, k, v, mask, seed, axis, scale, dropout)
+    return out, (q, k, v, mask, seed, out, m, l)
 
 
-def _ring_core_bwd(axis, scale, impl, interpret, precision, residuals,
-                   dout):
+def _ring_core_bwd(axis, scale, impl, interpret, precision, dropout,
+                   residuals, dout):
     if impl == "flash":
-        q, k, v, mask, o_fold, lse = residuals
+        q, k, v, mask, seed, o_fold, lse = residuals
         dq, dk, dv = _ring_bwd_flash(
-            q, k, v, mask, o_fold, lse, dout, axis, scale, interpret,
-            precision,
+            q, k, v, mask, o_fold, lse, dout, seed, axis, scale, interpret,
+            precision, dropout,
         )
         d_mask = None if mask is None else jnp.zeros_like(mask)
-        return dq, dk, dv, d_mask
-    q, k, v, mask, out, m, l = residuals
+        return dq, dk, dv, d_mask, jnp.zeros_like(seed)
+    q, k, v, mask, seed, out, m, l = residuals
     n_dev = jax.lax.psum(1, axis)
+    me = jax.lax.axis_index(axis)
+    s_loc = q.shape[2]
     perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
     qf = q.astype(jnp.float32)
     do = dout.astype(jnp.float32)
     safe_l = jnp.where(l > 0, l, 1.0)
     lse = m + jnp.log(safe_l)  # fully-masked rows: m = _MAX_FLOOR → p = 0
     delta = jnp.sum(do * out, axis=-1, keepdims=True)
+    inv_keep = 1.0 / (1.0 - dropout) if dropout > 0.0 else 1.0
+
+    def keep(t):  # regenerated bit-identically to the forward's step t
+        return _block_keep(
+            qf, seed, dropout, me * s_loc, ((me - t) % n_dev) * s_loc, s_loc
+        )
 
     # derive the accumulators from the inputs so their varying-mesh-axes
     # type matches the scan body outputs under shard_map (fresh constants
@@ -291,11 +365,12 @@ def _ring_core_bwd(axis, scale, impl, interpret, precision, residuals,
     dk0 = jnp.zeros_like(k, dtype=jnp.float32)
     dv0 = jnp.zeros_like(v, dtype=jnp.float32)
     dq, dk_blk, dv_blk = _grad_block(
-        qf, do, delta, lse, k, v, mask, scale, dq, dk0, dv0
+        qf, do, delta, lse, k, v, mask, scale, dq, dk0, dv0,
+        keep(0), inv_keep,
     )
     if n_dev > 1:
 
-        def body(carry, _):
+        def body(carry, t):
             dq_acc, k_blk, v_blk, mask_blk, dk_blk, dv_blk = carry
             # dK/dV accumulators travel WITH their K/V blocks
             k_blk, v_blk, mask_blk, dk_blk, dv_blk = _rotate(
@@ -303,12 +378,12 @@ def _ring_core_bwd(axis, scale, impl, interpret, precision, residuals,
             )
             dq_acc, dk_blk, dv_blk = _grad_block(
                 qf, do, delta, lse, k_blk, v_blk, mask_blk, scale,
-                dq_acc, dk_blk, dv_blk,
+                dq_acc, dk_blk, dv_blk, keep(t), inv_keep,
             )
             return (dq_acc, k_blk, v_blk, mask_blk, dk_blk, dv_blk), None
 
         (dq, _, _, _, dk_blk, dv_blk), _ = jax.lax.scan(
-            body, (dq, k, v, mask, dk_blk, dv_blk), None, length=n_dev - 1
+            body, (dq, k, v, mask, dk_blk, dv_blk), jnp.arange(1, n_dev)
         )
     # the blocks have visited all n_dev devices and sit one hop short of
     # home: one final rotation carries ONLY the gradients back
@@ -319,6 +394,7 @@ def _ring_core_bwd(axis, scale, impl, interpret, precision, residuals,
         dk_blk.astype(k.dtype),
         dv_blk.astype(v.dtype),
         d_mask,
+        jnp.zeros_like(seed),  # fp32 seed carrier: no gradient
     )
 
 
@@ -346,6 +422,8 @@ def ring_attention(
     block_impl: str = "auto",
     interpret: bool = False,
     precision: str | None = None,
+    dropout_rate: float = 0.0,
+    dropout_seed=0,
 ) -> jax.Array:
     """Attention with sequence sharded over ``axis`` — call inside shard_map.
 
@@ -360,6 +438,11 @@ def ring_attention(
     block (small shards), ``"auto"`` picks flash whenever the kernels
     support the local shape on this backend.  ``interpret``/``precision``
     apply to the flash kernels only.
+
+    ``dropout_rate`` > 0 applies attention-probability dropout with the
+    flash kernels' global-index hash mask — the sharded result equals the
+    single-chip run with the same ``dropout_seed`` (a python int or a
+    traced scalar; fresh per step for training).
     """
     if scale is None:
         scale = q.shape[-1] ** -0.5
@@ -373,8 +456,9 @@ def ring_attention(
                 f"tile (multiples of 8); got s_local={q.shape[2]}. Use "
                 f"block_impl='jnp' or 'auto'."
             )
-    out = _ring_core(q, k, v, mask, axis, float(scale), impl, interpret,
-                     precision)
+    seed = jnp.asarray(dropout_seed, jnp.float32)
+    out = _ring_core(q, k, v, mask, seed, axis, float(scale), impl,
+                     interpret, precision, float(dropout_rate))
     return out.astype(q.dtype)
 
 
@@ -390,6 +474,8 @@ def sequence_parallel_attention(
     block_impl: str = "auto",
     interpret: bool = False,
     precision: str | None = None,
+    dropout_rate: float = 0.0,
+    dropout_seed=0,
 ) -> jax.Array:
     """Standalone wrapper: exact attention over globally-shaped
     ``[B, H, S, Dh]`` inputs with the SEQUENCE dim sharded over ``axis``.
@@ -430,8 +516,9 @@ def sequence_parallel_attention(
         P(bspec, None, axis, None),
         P(bspec, None, axis, None),
         P(bspec, None, axis, None),
+        P(),  # dropout seed: replicated scalar
     ]
-    args = [q, k, v]
+    args = [q, k, v, jnp.asarray(dropout_seed, jnp.float32)]
     if mask is not None:
         in_specs.append(P(bspec, axis))
         args.append(mask)
@@ -444,10 +531,11 @@ def sequence_parallel_attention(
         check_vma=(impl != "flash"),
     )
     def _sharded(*local):
-        m = local[3] if len(local) > 3 else None
+        m = local[4] if len(local) > 4 else None
         return ring_attention(
             local[0], local[1], local[2], m, axis=axis, scale=scale,
             block_impl=impl, interpret=interpret, precision=precision,
+            dropout_rate=dropout_rate, dropout_seed=local[3],
         )
 
     return _sharded(*args)

@@ -464,3 +464,110 @@ def test_trainer_sequence_parallel_matches_single_device(rng, block_impl):
     np.testing.assert_allclose(
         float(m_sp["loss"]), float(m_1["loss"]), rtol=2e-5, atol=2e-5
     )
+
+def test_dropout_keep_mask_window_offsets():
+    """dropout_keep_mask with (q_offset, k_offset) is exactly the
+    corresponding window of the full-sequence mask — the property the
+    ring path relies on to reproduce the single-chip mask per block."""
+    from crossclr_tpu.ops.flash_attention import dropout_keep_mask
+
+    b, h, s = 2, 3, 64
+    full = np.asarray(dropout_keep_mask(b, h, s, 9, 0.35))
+    for qo, ko, sq, sk in ((0, 32, 16, 16), (48, 0, 16, 64), (8, 40, 8, 24)):
+        win = np.asarray(
+            dropout_keep_mask(b, h, sq, 9, 0.35, sk=sk, q_offset=qo,
+                              k_offset=ko)
+        )
+        np.testing.assert_array_equal(
+            win, full[:, :, qo:qo + sq, ko:ko + sk]
+        )
+
+
+@needs_multidevice
+@pytest.mark.parametrize("impl", ["jnp", "flash"])
+def test_ring_dropout_matches_full(rng, impl):
+    """Sequence-sharded probability dropout drops EXACTLY the entries a
+    single-chip run would: each ring step keys the hash mask on its
+    block's global (q_offset, k_offset) window."""
+    from crossclr_tpu.parallel import make_mesh, sequence_parallel_attention
+
+    mesh = make_mesh(n_data=1, n_model=8)
+    q, k, v = _qkv(rng)
+    mask = jnp.asarray(rng.random((2, 64)) > 0.3, jnp.float32)
+    mask = mask.at[1, :].set(0.0)  # fully-masked row stays zero
+    want = mha_reference(q, k, v, mask, dropout_rate=0.3, dropout_seed=7)
+    got = sequence_parallel_attention(
+        q, k, v, mask, mesh=mesh, axis="model", block_impl=impl,
+        interpret=INTERPRET, dropout_rate=0.3, dropout_seed=7,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+    assert np.all(np.asarray(got)[1] == 0.0)
+
+
+@needs_multidevice
+@pytest.mark.parametrize("impl", ["jnp", "flash"])
+def test_ring_dropout_gradients_match_full(rng, impl):
+    """Both ring backwards (jnp blocks and the flash kernels) regenerate
+    the forward's global dropout mask; gradients must equal autodiff
+    through the dense oracle with the same seed."""
+    from crossclr_tpu.parallel import make_mesh, sequence_parallel_attention
+
+    mesh = make_mesh(n_data=1, n_model=8)
+    q, k, v = _qkv(rng)
+    mask = jnp.asarray(rng.random((2, 64)) > 0.2, jnp.float32)
+
+    def loss(fn):
+        return lambda *a: jnp.sum(jnp.sin(fn(*a)))
+
+    want = jax.grad(
+        loss(lambda q_, k_, v_: mha_reference(
+            q_, k_, v_, mask, dropout_rate=0.25, dropout_seed=11)),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    got = jax.grad(
+        loss(lambda q_, k_, v_: sequence_parallel_attention(
+            q_, k_, v_, mask, mesh=mesh, axis="model", block_impl=impl,
+            interpret=INTERPRET, dropout_rate=0.25, dropout_seed=11)),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    for g_w, g_g in zip(want, got):
+        assert np.all(np.isfinite(np.asarray(g_g)))
+        np.testing.assert_allclose(np.asarray(g_g), np.asarray(g_w),
+                                   rtol=1e-4, atol=1e-5)
+
+
+@needs_multidevice
+def test_tower_ring_dropout_matches_flash_tower(rng):
+    """Ring towers now apply TRUE probability dropout: with identical
+    params and dropout rng, the ring tower's train-mode output equals the
+    flash tower's bit pattern of dropped attention entries (both draw the
+    same seed and hash the same global indices)."""
+    from crossclr_tpu.models import TowerConfig, TransformerTower
+    from crossclr_tpu.parallel import make_mesh
+
+    mesh = make_mesh(n_data=1, n_model=8)
+    common = dict(kind="transformer", input_dim=20, embed_dim=32,
+                  hidden_dim=48, num_heads=4, max_seq_len=16,
+                  dtype=jnp.float32, dropout=0.35)
+    cfg_flash = TowerConfig(attention="flash", **common)
+    cfg_ring = TowerConfig(attention="ring", **common)
+    x = jnp.asarray(rng.standard_normal((4, 16, 20)), jnp.float32)
+    mask = jnp.asarray(rng.random((4, 16)) > 0.2, jnp.float32)
+
+    tower_flash = TransformerTower(cfg_flash)
+    params = tower_flash.init(jax.random.PRNGKey(0), x, mask)["params"]
+    t_flash = tower_flash.apply({"params": params}, x, mask, train=True,
+                                rngs={"dropout": jax.random.PRNGKey(5)})
+
+    tower_ring = TransformerTower(cfg_ring, mesh, "model")
+    t_ring = tower_ring.apply({"params": params}, x, mask, train=True,
+                              rngs={"dropout": jax.random.PRNGKey(5)})
+    np.testing.assert_allclose(np.asarray(t_ring), np.asarray(t_flash),
+                               rtol=1e-5, atol=1e-5)
+    # and eval mode stays dropout-free/deterministic
+    e_ring = tower_ring.apply({"params": params}, x, mask)
+    e_flash = tower_flash.apply({"params": params}, x, mask)
+    np.testing.assert_allclose(np.asarray(e_ring), np.asarray(e_flash),
+                               rtol=1e-5, atol=1e-5)
+    assert not np.array_equal(np.asarray(t_ring), np.asarray(e_ring))
