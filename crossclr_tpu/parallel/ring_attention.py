@@ -444,6 +444,8 @@ def ring_attention(
     single-chip run with the same ``dropout_seed`` (a python int or a
     traced scalar; fresh per step for training).
     """
+    if not 0.0 <= dropout_rate < 1.0:
+        raise ValueError(f"dropout_rate must be in [0, 1), got {dropout_rate}")
     if scale is None:
         scale = q.shape[-1] ** -0.5
     impl = _resolve_block_impl(block_impl, q.shape[2], interpret)
