@@ -55,6 +55,16 @@ class TrainConfig:
     weight_norm: str = "raw"
     margin: float = 0.1  # loss.py:23 default
     learning_rate: float = 1e-4
+    # ZeRO-1: shard the optimizer moments (and the EMA tree) over the
+    # DATA mesh axis instead of replicating them — the scaling-book
+    # optimizer-state-sharding recipe.  Each moment leaf gets the data
+    # axis on its first divisible dim (composes with the tensor-parallel
+    # specs, which shard a different dim over `model`); the update stays
+    # elementwise so only the weight application pays an all-gather,
+    # which XLA/GSPMD inserts.  Cuts optimizer HBM by ~n_data× (AdamW
+    # moments are 2× params in fp32 — the dominant state for big towers).
+    # Numerics are exactly the replicated step's (tested).
+    zero1: bool = False
     # "adamw" (default) or "lamb": LAMB (You et al. 2020, public
     # technique) layer-wise-rescales the adam update by ‖param‖/‖update‖,
     # the standard optimizer for very large batches — the 32k global-
@@ -451,6 +461,23 @@ def _tp_spec_for_param(path: tuple, value) -> P:
     return P()
 
 
+def _zero1_spec(base: P, value, n_data: int) -> P:
+    """ZeRO-1 PartitionSpec for one optimizer-moment / EMA leaf: ``base``
+    (the parameter's tensor-parallel spec, or P()) with the DATA axis
+    added on the first dim it divides that isn't already sharded.  Leaves
+    with no qualifying dim (scalars like logit_scale, tiny biases) stay
+    on ``base`` — replicating them costs nothing."""
+    shape = getattr(value, "shape", ())
+    if not shape or n_data <= 1:
+        return base
+    parts = list(base) + [None] * (len(shape) - len(base))
+    for i, dim in enumerate(shape):
+        if parts[i] is None and dim >= n_data and dim % n_data == 0:
+            parts[i] = DATA_AXIS
+            return P(*parts)
+    return base
+
+
 class Trainer:
     """Owns model init, the jitted sharded train step, and eval encoding.
 
@@ -614,23 +641,71 @@ class Trainer:
                 ema_params=jax.tree.map(jnp.copy, params)
             )
         if self.mesh is not None:
-            if self.mesh.shape[MODEL_AXIS] > 1:
-                state = self._shard_state_tp(state)
-            else:
-                state = jax.device_put(state, NamedSharding(self.mesh, P()))
+            state = self._place_state(state)
         return state
 
-    def _shard_state_tp(self, state: TrainState) -> TrainState:
-        """Place params (and matching optimizer moments) with tensor-parallel
-        PartitionSpecs over the model axis; everything else replicated."""
-        mesh = self.mesh
+    def _state_specs(self, params) -> tuple[Any, Any]:
+        """(param_specs, moment_specs) pytrees for a params-structured tree.
 
-        param_specs = jax.tree_util.tree_map_with_path(
-            lambda path, v: _tp_spec_for_param(
-                tuple(getattr(p, "key", getattr(p, "idx", p)) for p in path), v
-            ),
-            state.params,
-        )
+        ``param_specs``: tensor-parallel PartitionSpecs over the model axis
+        when it is active, else replicated.  ``moment_specs``: what the
+        optimizer moments and the EMA tree get — the param specs, plus
+        (under ``TrainConfig.zero1``) the DATA axis on each leaf's first
+        divisible unsharded dim (ZeRO-1 optimizer-state sharding).  Uses
+        only leaf shapes, so it works on tracers inside the jitted step."""
+        mesh = self.mesh
+        if mesh.shape[MODEL_AXIS] > 1:
+            param_specs = jax.tree_util.tree_map_with_path(
+                lambda path, v: _tp_spec_for_param(
+                    tuple(
+                        getattr(p, "key", getattr(p, "idx", p)) for p in path
+                    ),
+                    v,
+                ),
+                params,
+            )
+        else:
+            param_specs = jax.tree.map(lambda _: P(), params)
+        n_data = mesh.shape[DATA_AXIS] if self.cfg.zero1 else 1
+        if n_data > 1:
+            moment_specs = jax.tree.map(
+                lambda s, v: _zero1_spec(s, v, n_data), param_specs, params
+            )
+        else:
+            moment_specs = param_specs
+        return param_specs, moment_specs
+
+    @staticmethod
+    def _map_param_structured(opt_state, params, fn, fallback=None):
+        """Apply ``fn`` to every subtree of the optax state whose pytree
+        structure equals the params' (the moment trees — adam/lamb mu and
+        nu); ``fallback`` (optional) to any other array leaf."""
+        params_structure = jax.tree.structure(params)
+
+        def walk(node):
+            if jax.tree.structure(node) == params_structure:
+                return fn(node)
+            if isinstance(node, tuple):  # includes optax NamedTuple states
+                placed = [walk(child) for child in node]
+                return (
+                    type(node)(*placed)
+                    if hasattr(node, "_fields")
+                    else tuple(placed)
+                )
+            if fallback is not None and hasattr(node, "shape"):
+                return fallback(node)
+            return node
+
+        return walk(opt_state)
+
+    def _place_state(self, state: TrainState) -> TrainState:
+        """Place the TrainState on the mesh: params with tensor-parallel
+        PartitionSpecs (model axis active) or replicated; optimizer
+        moments and the EMA tree with the same specs, data-axis-sharded on
+        top under ZeRO-1 (TrainConfig.zero1); every other leaf (step,
+        optimizer counters) replicated."""
+        mesh = self.mesh
+        param_specs, moment_specs = self._state_specs(state.params)
 
         def place(tree, specs):
             return jax.tree.map(
@@ -639,33 +714,25 @@ class Trainer:
                 specs,
             )
 
-        params = place(state.params, param_specs)
-
-        # optimizer moments (adam mu/nu) mirror the param tree; shard them
-        # identically or every apply_gradients inserts resharding copies.
-        # Walk the optax state structure and place any subtree whose pytree
-        # structure equals the params'.
-        params_structure = jax.tree.structure(state.params)
-
-        def place_opt(node):
-            if jax.tree.structure(node) == params_structure:
-                return place(node, param_specs)
-            if isinstance(node, tuple):  # includes optax NamedTuple states
-                placed = [place_opt(child) for child in node]
-                return type(node)(*placed) if hasattr(node, "_fields") else tuple(
-                    placed
-                )
-            if hasattr(node, "shape"):
-                return jax.device_put(node, NamedSharding(mesh, P()))
-            return node
-
-        opt_state = place_opt(state.opt_state)
-        state = state.replace(params=params, opt_state=opt_state)
+        # moments mirror the param tree; shard them deliberately or every
+        # apply_gradients inserts resharding copies
+        opt_state = self._map_param_structured(
+            state.opt_state,
+            state.params,
+            lambda node: place(node, moment_specs),
+            fallback=lambda v: jax.device_put(v, NamedSharding(mesh, P())),
+        )
+        state = state.replace(
+            params=place(state.params, param_specs),
+            opt_state=opt_state,
+            step=jax.device_put(state.step, NamedSharding(mesh, P())),
+        )
         if state.ema_params is not None:
-            # the EMA tree mirrors params — shard it identically or every
-            # step's EMA update inserts resharding copies
+            # the EMA tree mirrors params — shard it like the moments (it
+            # is consumed only at eval/serve boundaries, where GSPMD
+            # gathers on demand) or every step's EMA update reshards
             state = state.replace(
-                ema_params=place(state.ema_params, param_specs)
+                ema_params=place(state.ema_params, moment_specs)
             )
         return state
 
@@ -834,7 +901,13 @@ class Trainer:
                 grads[name] = jax.tree.map(jnp.add, d_params[name], g)
             return (loss, (v_emb, t_emb)), grads
 
-        def step(state: TrainState, batch):
+        def compute_grads(params, step_no, batch):
+            """Loss + parameter gradients + embedding-norm metrics.  Under
+            use_global this is the shard_map body (each device sees its
+            batch rows; psum makes loss/grads the true global ones) —
+            crucially it touches only the PARAMS, never the optimizer
+            moments, so ZeRO-1-sharded moments stay out of the shard_map
+            and the optimizer update below runs under GSPMD."""
             # int8 feature stores: dequantize ON DEVICE (H2D moved int8
             # bytes; XLA fuses payload*scale into the first tower matmul's
             # operand fetch).  No-op for float batches — a trace-time
@@ -849,12 +922,12 @@ class Trainer:
                 "video"
             ].shape[0]:
                 (loss, (v_emb, t_emb)), grads = value_and_grad_two_pass(
-                    state.params, batch, state.step
+                    params, batch, step_no
                 )
             else:
                 (loss, (v_emb, t_emb)), grads = jax.value_and_grad(
                     loss_for_batch, has_aux=True
-                )(state.params, batch, state.step)
+                )(params, batch, step_no)
             if use_global:
                 # inside shard_map each device holds only its batch rows'
                 # loss/gradient contribution; the true values are their sums
@@ -862,6 +935,53 @@ class Trainer:
                 grads = jax.tree.map(
                     lambda g: jax.lax.psum(g, DATA_AXIS), grads
                 )
+            v_norm = jnp.mean(jnp.linalg.norm(v_emb, axis=1))
+            t_norm = jnp.mean(jnp.linalg.norm(t_emb, axis=1))
+            if use_global:
+                v_norm = jax.lax.pmean(v_norm, DATA_AXIS)
+                t_norm = jax.lax.pmean(t_norm, DATA_AXIS)
+            return loss, grads, {
+                "video_emb_norm": v_norm, "text_emb_norm": t_norm,
+            }
+
+        zero1_on = (
+            mesh is not None and cfg.zero1 and mesh.shape[DATA_AXIS] > 1
+        )
+
+        def constrain_zero1(new_state):
+            """Pin the updated moments/EMA to their ZeRO-1 shardings so
+            GSPMD keeps them data-sharded across steps (and scan
+            iterations) instead of electing to replicate them."""
+            if not zero1_on:
+                return new_state
+            _, moment_specs = self._state_specs(new_state.params)
+
+            def cons(tree, specs):
+                return jax.tree.map(
+                    lambda v, s: jax.lax.with_sharding_constraint(
+                        v, NamedSharding(mesh, s)
+                    ),
+                    tree,
+                    specs,
+                )
+
+            new_state = new_state.replace(
+                opt_state=self._map_param_structured(
+                    new_state.opt_state,
+                    new_state.params,
+                    lambda node: cons(node, moment_specs),
+                )
+            )
+            if new_state.ema_params is not None:
+                new_state = new_state.replace(
+                    ema_params=cons(new_state.ema_params, moment_specs)
+                )
+            return new_state
+
+        def finish(state: TrainState, loss, grads, aux):
+            """Optimizer + EMA update from replicated gradients — always
+            under plain jit/GSPMD so sharded moments work in every
+            layout."""
             gnorm = optax.global_norm(grads)
             new_state = state.apply_gradients(grads=grads)
             if cfg.learnable_temperature:
@@ -888,17 +1008,8 @@ class Trainer:
                         new_state.params,
                     )
                 )
-            v_norm = jnp.mean(jnp.linalg.norm(v_emb, axis=1))
-            t_norm = jnp.mean(jnp.linalg.norm(t_emb, axis=1))
-            if use_global:
-                v_norm = jax.lax.pmean(v_norm, DATA_AXIS)
-                t_norm = jax.lax.pmean(t_norm, DATA_AXIS)
-            metrics = {
-                "loss": loss,
-                "grad_norm": gnorm,
-                "video_emb_norm": v_norm,
-                "text_emb_norm": t_norm,
-            }
+            new_state = constrain_zero1(new_state)
+            metrics = {"loss": loss, "grad_norm": gnorm, **aux}
             if cfg.learnable_temperature:
                 # stored value is already clamped above
                 metrics["logit_scale"] = new_state.params["logit_scale"]
@@ -907,20 +1018,27 @@ class Trainer:
                 )
             return new_state, metrics
 
+        def step(state: TrainState, batch):
+            loss, grads, aux = compute_grads(state.params, state.step, batch)
+            return finish(state, loss, grads, aux)
+
         if use_global:
             # shard_map so lax.all_gather/psum see the data axis; params
-            # replicated, batch sharded on leading dim
+            # and step replicated, batch sharded on leading dim.  Only the
+            # gradient computation runs inside — the optimizer update
+            # (finish) stays under GSPMD, see compute_grads docstring.
             batch_spec = P(DATA_AXIS)
+            grads_inner = jax.shard_map(
+                compute_grads,
+                mesh=mesh,
+                in_specs=(P(), P(), batch_spec),
+                out_specs=(P(), P(), P()),
+                check_vma=False,
+            )
 
             def sharded_step(state, batch):
-                inner = jax.shard_map(
-                    step,
-                    mesh=mesh,
-                    in_specs=(P(), batch_spec),
-                    out_specs=(P(), P()),
-                    check_vma=False,
-                )
-                return inner(state, batch)
+                loss, grads, aux = grads_inner(state.params, state.step, batch)
+                return finish(state, loss, grads, aux)
 
             self._raw_step = sharded_step
         else:
