@@ -152,7 +152,7 @@ def main(argv: list[str] | None = None) -> int:
             )
         state = CheckpointManager(ckpt_dir).restore(state, step=args.step)
     if args.ema:
-        state = state.as_ema()
+        state = trainer.ema_state(state)
 
     v_emb, t_emb = _encode_split(trainer, state, data, batch_size)
 

@@ -654,7 +654,7 @@ def build_service(cfg, checkpoint_dir: str | None, corpus_side: str,
         # encode queries (and, without --corpus-emb, the corpus) with the
         # EMA parameters; requires train.ema_decay so the restore
         # template carried the EMA tree
-        state = state.as_ema()
+        state = trainer.ema_state(state)
 
     if corpus_emb_path is not None:
         with np.load(corpus_emb_path, allow_pickle=False) as npz:
@@ -744,7 +744,7 @@ def build_service(cfg, checkpoint_dir: str | None, corpus_side: str,
             finally:
                 fresh.close()
             if use_ema:
-                new_state = new_state.as_ema()
+                new_state = trainer.ema_state(new_state)
             if corpus_emb_path is not None:
                 # precomputed index: keep it (only the query tower moves)
                 # — its encode step stays put, so reload()/healthz flag

@@ -324,7 +324,9 @@ def main(argv: list[str] | None = None) -> int:
             # host array / one device batch (matters for eval_fraction=0,
             # where the "split" is the whole — possibly mmapped — dataset)
             eval_state = (
-                state.as_ema() if cfg.train.eval_with_ema else state
+                trainer.ema_state(state)
+                if cfg.train.eval_with_ema
+                else state
             )
             v_emb, t_emb = _encode_split(
                 trainer, eval_state, eval_data, local_batch

@@ -676,14 +676,22 @@ class Trainer:
         return param_specs, moment_specs
 
     @staticmethod
-    def _map_param_structured(opt_state, params, fn, fallback=None):
+    def _map_param_structured(opt_state, params, fn, fallback=None,
+                              require: str | None = None):
         """Apply ``fn`` to every subtree of the optax state whose pytree
         structure equals the params' (the moment trees — adam/lamb mu and
-        nu); ``fallback`` (optional) to any other array leaf."""
+        nu); ``fallback`` (optional) to any other array leaf.  Recurses
+        through tuples (optax NamedTuple states), lists, and dicts (e.g.
+        ``inject_hyperparams`` wraps the inner state under a dict-bearing
+        node).  ``require``: if set and ``fn`` never fired, raise — a
+        silent miss here would make ZeRO-1 a no-op with no warning."""
         params_structure = jax.tree.structure(params)
+        hits = 0
 
         def walk(node):
+            nonlocal hits
             if jax.tree.structure(node) == params_structure:
+                hits += 1
                 return fn(node)
             if isinstance(node, tuple):  # includes optax NamedTuple states
                 placed = [walk(child) for child in node]
@@ -692,11 +700,22 @@ class Trainer:
                     if hasattr(node, "_fields")
                     else tuple(placed)
                 )
+            if isinstance(node, list):
+                return [walk(child) for child in node]
+            if isinstance(node, dict):
+                return {k: walk(v) for k, v in node.items()}
             if fallback is not None and hasattr(node, "shape"):
                 return fallback(node)
             return node
 
-        return walk(opt_state)
+        out = walk(opt_state)
+        if require is not None and hits == 0:
+            raise ValueError(
+                f"no params-structured subtree found in the optimizer "
+                f"state while {require}: the moment trees were not "
+                f"located, so their sharding would silently not apply"
+            )
+        return out
 
     def _place_state(self, state: TrainState) -> TrainState:
         """Place the TrainState on the mesh: params with tensor-parallel
@@ -721,6 +740,7 @@ class Trainer:
             state.params,
             lambda node: place(node, moment_specs),
             fallback=lambda v: jax.device_put(v, NamedSharding(mesh, P())),
+            require="placing optimizer moments on the mesh",
         )
         state = state.replace(
             params=place(state.params, param_specs),
@@ -735,6 +755,32 @@ class Trainer:
                 ema_params=place(state.ema_params, moment_specs)
             )
         return state
+
+    def ema_state(self, state: TrainState) -> TrainState:
+        """``state.as_ema()`` with the swapped-in tree re-placed to the
+        PARAM shardings when ZeRO-1 sharded it over the data axis.
+        Without the re-placement, every encode/serve dispatch that jits
+        the EMA tree as its params argument compiles an all-gather of the
+        whole tower that runs per call; one ``device_put`` here pays the
+        gather once.  Use this (not ``state.as_ema()`` directly) wherever
+        a Trainer is in hand."""
+        out = state.as_ema()
+        if (
+            self.mesh is not None
+            and self.cfg.zero1
+            and self.mesh.shape[DATA_AXIS] > 1
+        ):
+            param_specs, _ = self._state_specs(out.params)
+            out = out.replace(
+                params=jax.tree.map(
+                    lambda v, s: jax.device_put(
+                        v, NamedSharding(self.mesh, s)
+                    ),
+                    out.params,
+                    param_specs,
+                )
+            )
+        return out
 
     # -- the step -----------------------------------------------------------
 
@@ -951,10 +997,16 @@ class Trainer:
         def constrain_zero1(new_state):
             """Pin the updated moments/EMA to their ZeRO-1 shardings so
             GSPMD keeps them data-sharded across steps (and scan
-            iterations) instead of electing to replicate them."""
+            iterations) instead of electing to replicate them — and pin
+            the updated PARAMS back to the param specs, or GSPMD
+            propagates the sharded optimizer update into the params
+            output (data-sharded params after step 1 → a full recompile
+            on the second dispatch, defeated donation, and a layout that
+            violates the replicated-params contract encode/serve and
+            checkpoints rely on)."""
             if not zero1_on:
                 return new_state
-            _, moment_specs = self._state_specs(new_state.params)
+            param_specs, moment_specs = self._state_specs(new_state.params)
 
             def cons(tree, specs):
                 return jax.tree.map(
@@ -966,11 +1018,13 @@ class Trainer:
                 )
 
             new_state = new_state.replace(
+                params=cons(new_state.params, param_specs),
                 opt_state=self._map_param_structured(
                     new_state.opt_state,
                     new_state.params,
                     lambda node: cons(node, moment_specs),
-                )
+                    require="pinning ZeRO-1 moment shardings",
+                ),
             )
             if new_state.ema_params is not None:
                 new_state = new_state.replace(

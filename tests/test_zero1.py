@@ -102,13 +102,16 @@ def _assert_params_close(a, b, rtol=2e-6, atol=2e-6):
 @pytest.mark.parametrize(
     "cfg_kw",
     [
-        dict(loss="crossclr_intra"),  # plain dp under GSPMD
+        # global_negatives defaults to True, so turning it OFF is what
+        # exercises the non-shard_map plain-GSPMD dp path
+        dict(loss="crossclr_intra", global_negatives=False),  # plain dp
         dict(loss="crossclr_intra", global_negatives=True),  # shard_map
         dict(loss="crossclr_intra", optimizer="lamb"),
         dict(loss="crossclr_intra", ema_decay=0.9),
         dict(loss="crossclr_intra", global_negatives=True,
              embedding_chunk=8),  # GradCache inside the shard_map
-        dict(loss="crossclr", prune_percent=0.25),  # full loss, dp
+        dict(loss="crossclr", prune_percent=0.25,
+             global_negatives=False),  # full loss, plain dp
     ],
 )
 def test_zero1_matches_replicated(cfg_kw):
@@ -256,3 +259,72 @@ def test_zero1_noop_without_mesh_or_single_data():
     assert np.isfinite(losses).all()
     for leaf in _moment_leaves(st):
         assert tuple(leaf.sharding.spec) in ((), (None,) * leaf.ndim)
+
+
+def test_ema_state_replaces_to_param_shardings():
+    """trainer.ema_state() must hand back EMA params with the PARAM
+    shardings (replicated here), not the ZeRO-1 data-sharded layout —
+    otherwise every encode/serve dispatch compiles a per-call all-gather
+    of the whole tower."""
+    mesh = make_mesh(n_data=8, n_model=1)
+    trainer, st, _ = _run(
+        mesh, dict(loss="crossclr_intra", zero1=True, ema_decay=0.9),
+        steps=2,
+    )
+    # precondition: the stored EMA tree IS data-sharded under zero1
+    assert any(
+        "data" in jax.tree.leaves(tuple(leaf.sharding.spec))
+        for leaf in jax.tree.leaves(st.ema_params)
+    )
+    ema = trainer.ema_state(st)
+    for path, leaf in jax.tree_util.tree_flatten_with_path(ema.params)[0]:
+        assert "data" not in jax.tree.leaves(tuple(leaf.sharding.spec)), (
+            f"{path} still data-sharded after ema_state()"
+        )
+    _assert_params_close(ema.params, st.ema_params, rtol=0, atol=0)
+
+
+def test_map_param_structured_recurses_dicts_and_lists():
+    """Optax states wrapped in dict/list-bearing containers (e.g.
+    inject_hyperparams) must still have their moment trees found — a
+    silent miss would turn zero1 into a no-op."""
+    params = {"w": jnp.ones((4,)), "b": jnp.zeros((2,))}
+    moments = {"w": jnp.full((4,), 2.0), "b": jnp.full((2,), 3.0)}
+    wrapped = {"hyperparams": {"lr": jnp.float32(0.1)},
+               "inner": [({"mu": moments, "count": jnp.int32(0)},)]}
+    # dict node carrying a params-structured subtree under a list+tuple
+    out = Trainer._map_param_structured(
+        wrapped["inner"], params,
+        lambda node: jax.tree.map(lambda v: v * 10, node),
+        require="test",
+    )
+    np.testing.assert_allclose(np.asarray(out[0][0]["mu"]["w"]), 20.0)
+    np.testing.assert_allclose(np.asarray(out[0][0]["mu"]["b"]), 30.0)
+    assert int(out[0][0]["count"]) == 0
+
+    with pytest.raises(ValueError, match="no params-structured"):
+        Trainer._map_param_structured(
+            {"nothing": jnp.zeros(3)}, params, lambda n: n, require="test"
+        )
+
+
+def test_zero1_params_stay_replicated_across_steps():
+    """constrain_zero1 must pin the UPDATED params back to the param
+    specs: without it, GSPMD propagates the data-sharded optimizer
+    update into the params output after step 1 — a silently changed
+    layout that forces a full recompile on the second dispatch and
+    defeats donation."""
+    mesh = make_mesh(n_data=8, n_model=1)
+    for gn in (False, True):
+        _, st, _ = _run(
+            mesh,
+            dict(loss="crossclr_intra", global_negatives=gn, zero1=True,
+                 ema_decay=0.9),
+            steps=3,
+        )
+        for path, leaf in jax.tree_util.tree_flatten_with_path(
+            st.params
+        )[0]:
+            assert "data" not in jax.tree.leaves(
+                tuple(leaf.sharding.spec)
+            ), f"params leaf {path} data-sharded after the step (gn={gn})"
