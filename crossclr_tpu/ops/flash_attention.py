@@ -126,21 +126,28 @@ def _adapt_nomask(kernel, mask_pos: int):
 def _hash_keep(q_idx, k_idx, bh_term, seed, rate: float):
     """Stateless dropout keep-mask from GLOBAL (query, key) index grids.
 
-    A murmur3-finalizer-style integer mix of the indices (plus a per-
-    (batch·head) term and the traced step seed) → uniform [0, 1) →
-    ``keep = u ≥ rate``.  Orientation-independent by construction: the
-    transposed dk/dv kernel computes the same element mask from its own
-    [bk, bq] index grids.  Not cryptographic — dropout needs decorrelated
-    bits, not unpredictability; the finalizer's avalanche is ample (and
-    the mask is regenerated bit-identically by all three kernels, which
-    the exactness tests pin against a jnp oracle using this same
-    function)."""
-    u = (
-        q_idx.astype(jnp.uint32) * jnp.uint32(0x9E3779B1)
-        + k_idx.astype(jnp.uint32) * jnp.uint32(0x85EBCA77)
-        + bh_term
-        + seed
-    )
+    Each index is mixed NONLINEARLY on its own (xorshift-multiply) before
+    the words are combined with the per-(batch·head) term and the traced
+    step seed, then passed through a murmur3-style finalizer → uniform
+    [0, 1) → ``keep = u ≥ rate``.  The per-index nonlinearity matters: a
+    linear pre-mix ``q·C1 + k·C2`` makes every index pair offset by a
+    lattice vector (Δq, Δk) with ``Δq·C1 + Δk·C2 ≡ 0 (mod 2³²)`` collide
+    for EVERY seed — deterministic perfectly-correlated drop decisions
+    along a lattice direction on long sequences.  With both indices mixed
+    nonlinearly, residual collisions are the generic ~S²/2³² birthday
+    ones.  Orientation-independent by construction: the transposed dk/dv
+    kernel computes the same element mask from its own [bk, bq] index
+    grids.  Not cryptographic — dropout needs decorrelated bits, not
+    unpredictability (the mask is regenerated bit-identically by all
+    three kernels, which the exactness tests pin against a jnp oracle
+    using this same function)."""
+    hq = q_idx.astype(jnp.uint32) * jnp.uint32(0x9E3779B1)
+    hq = hq ^ (hq >> 15)
+    hq = hq * jnp.uint32(0x735A2D97)
+    hk = k_idx.astype(jnp.uint32) * jnp.uint32(0x85EBCA77)
+    hk = hk ^ (hk >> 13)
+    hk = hk * jnp.uint32(0xC2B2AE3D)
+    u = hq + hk + bh_term + seed
     u = u ^ (u >> 16)
     u = u * jnp.uint32(0x85EBCA6B)
     u = u ^ (u >> 13)
@@ -163,17 +170,20 @@ _BH_PRIME = 0x27D4EB2F  # per-(batch·head) decorrelation term for _hash_keep
 def _tile_keep(seed_ref, bq: int, bk: int, dropout: float):
     """Dropout keep-mask for THIS grid tile from global indices — shared
     by the forward and dq kernels (query rows × key cols orientation).
-    ``seed_ref`` is the (1, 3) SMEM operand ``[seed, q_offset, k_offset]``
-    (offsets are 0 except under ring attention, where they place this
-    call's tiles inside the full logical sequence)."""
+    ``seed_ref`` is the (1, 4) SMEM operand ``[seed, q_offset, k_offset,
+    bh_offset]`` (offsets are 0 except under ring attention, where they
+    place this call's tiles inside the full logical sequence and — under
+    a dp×sp layout — this shard's rows inside the GLOBAL folded
+    batch·head range, so data-parallel shards draw decorrelated masks)."""
     b = pl.program_id(0)
     i = pl.program_id(1)
     j = pl.program_id(2)
     q_off = seed_ref[0, 1].astype(jnp.int32)
     k_off = seed_ref[0, 2].astype(jnp.int32)
+    bh_off = seed_ref[0, 3].astype(jnp.int32)
     q_idx = q_off + i * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
     k_idx = k_off + j * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
-    bh_term = (b + 1).astype(jnp.uint32) * jnp.uint32(_BH_PRIME)
+    bh_term = (b + bh_off + 1).astype(jnp.uint32) * jnp.uint32(_BH_PRIME)
     seed = seed_ref[0, 0].astype(jnp.int32).astype(jnp.uint32)
     return _hash_keep(q_idx, k_idx, bh_term, seed, dropout)
 
@@ -230,21 +240,43 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref,
 
 
 def _seed_spec():
-    # (1, 3) SMEM row: [seed, q_offset, k_offset] — see _tile_keep
-    return pl.BlockSpec((1, 3), lambda *_: (0, 0), memory_space=pltpu.SMEM)
+    # (1, 4) SMEM row: [seed, q_offset, k_offset, bh_offset] — _tile_keep
+    return pl.BlockSpec((1, 4), lambda *_: (0, 0), memory_space=pltpu.SMEM)
 
 
-def seed_operand(seed, q_offset=0, k_offset=0):
-    """Build the kernels' (1, 3) fp32 SMEM dropout operand.  fp32 is
+_SEED_MOD = float(1 << 23)
+
+
+def fold_seed(seed):
+    """Canonicalize a dropout seed to [0, 2^23) THROUGH an fp32 carrier.
+
+    Every consumer — `seed_operand` (the kernels' SMEM word) and
+    `dropout_keep_mask` (the jnp fallback/oracle) — folds through this
+    one function, so the pallas and jnp paths drop identical entries for
+    ANY input seed, including values ≥ 2^24 that fp32 would otherwise
+    round differently from an exact integer path.  The fp32 cast rounds
+    first (to nearest) exactly like the SMEM carrier does; the fmod is
+    then exact in fp32 and lands in [0, 2^23), where fp32 is integral."""
+    s = jnp.asarray(seed, jnp.float32)
+    s = jnp.mod(s, jnp.float32(_SEED_MOD))
+    return s
+
+
+def seed_operand(seed, q_offset=0, k_offset=0, bh_offset=0):
+    """Build the kernels' (1, 4) fp32 SMEM dropout operand.  fp32 is
     exact for values < 2^24 and keeps the custom_vjp tangent story
-    trivial (int operands would need float0 cotangents); seeds use only
-    the low 23 bits, offsets are sequence positions."""
+    trivial (int operands would need float0 cotangents); the seed is
+    folded to its low 23 bits via `fold_seed` (identically on the jnp
+    path), offsets are sequence positions, and ``bh_offset`` is this
+    shard's base in the GLOBAL folded batch·head range (0 except under
+    a dp-sharded ring call; exact below 2^24 rows·heads)."""
     row = jnp.stack([
-        jnp.asarray(seed, jnp.float32).reshape(()),
+        fold_seed(seed).reshape(()),
         jnp.asarray(q_offset, jnp.float32).reshape(()),
         jnp.asarray(k_offset, jnp.float32).reshape(()),
+        jnp.asarray(bh_offset, jnp.float32).reshape(()),
     ])
-    return row.reshape(1, 3)
+    return row.reshape(1, 4)
 
 
 def _flash_fwd(q, k, v, mask_row, seed_arr, scale, bq, bk, interpret,
@@ -381,11 +413,12 @@ def _dkv_kernel(seed_ref, k_ref, v_ref, q_ref, do_ref, lseT_ref, deltaT_ref,
         jk = pl.program_id(1)  # key-block position
         q_off = seed_ref[0, 1].astype(jnp.int32)
         k_off = seed_ref[0, 2].astype(jnp.int32)
+        bh_off = seed_ref[0, 3].astype(jnp.int32)
         k_idx = (k_off + jk * bk_
                  + jax.lax.broadcasted_iota(jnp.int32, (bk_, bq_), 0))
         q_idx = (q_off + jq * bq_
                  + jax.lax.broadcasted_iota(jnp.int32, (bk_, bq_), 1))
-        bh_term = (b + 1).astype(jnp.uint32) * jnp.uint32(_BH_PRIME)
+        bh_term = (b + bh_off + 1).astype(jnp.uint32) * jnp.uint32(_BH_PRIME)
         seed = seed_ref[0, 0].astype(jnp.int32).astype(jnp.uint32)
         keepT = _hash_keep(q_idx, k_idx, bh_term, seed, dropout)
         inv = 1.0 / (1.0 - dropout)
@@ -559,13 +592,17 @@ def _flash_vjp_bwd(scale, bq, bk, interpret, precision, dropout, residuals,
 _flash.defvjp(_flash_vjp_fwd, _flash_vjp_bwd)
 
 
-def dropout_keep_mask(b, h, s, seed, rate, sk=None, q_offset=0, k_offset=0):
+def dropout_keep_mask(b, h, s, seed, rate, sk=None, q_offset=0, k_offset=0,
+                      bh_offset=0):
     """The flash kernels' exact attention-dropout mask, materialized in
     jnp as ``[B, H, S, Sk]`` — the oracle/fallback companion of the
     in-kernel `_hash_keep` (identical bits, so the jnp path and the
-    kernels compute the SAME dropped attention).  ``q_offset``/
-    ``k_offset`` place a rectangular window inside a longer logical
-    sequence (the ring path's per-block view)."""
+    kernels compute the SAME dropped attention; the seed rides the same
+    `fold_seed` fp32 fold the SMEM operand does, so agreement holds for
+    any seed value).  ``q_offset``/``k_offset`` place a rectangular
+    window inside a longer logical sequence and ``bh_offset`` places
+    these rows inside the global folded batch·head range (the ring
+    path's per-block / per-dp-shard view)."""
     sk = s if sk is None else sk
     q_idx = (q_offset + jnp.arange(s, dtype=jnp.int32))[:, None] * jnp.ones(
         (1, sk), jnp.int32
@@ -573,9 +610,11 @@ def dropout_keep_mask(b, h, s, seed, rate, sk=None, q_offset=0, k_offset=0):
     k_idx = (k_offset + jnp.arange(sk, dtype=jnp.int32))[None, :] * jnp.ones(
         (s, 1), jnp.int32
     )
-    bh = jnp.arange(b * h, dtype=jnp.int32) + 1
+    bh = jnp.arange(b * h, dtype=jnp.int32) + 1 + jnp.asarray(
+        bh_offset, jnp.float32
+    ).astype(jnp.int32)
     bh_term = (bh.astype(jnp.uint32) * jnp.uint32(_BH_PRIME))[:, None, None]
-    seed_u = jnp.asarray(seed, jnp.int32).astype(jnp.uint32)
+    seed_u = fold_seed(seed).astype(jnp.int32).astype(jnp.uint32)
     keep = _hash_keep(
         q_idx[None], k_idx[None], bh_term, seed_u, rate
     )  # [BH, S, Sk]
@@ -663,8 +702,10 @@ def flash_attention(
     normalized probabilities zeroed, survivors scaled 1/(1−rate)); the
     mask is a stateless hash of the global (bh, query, key) indices and
     ``dropout_seed`` (traced — may be a fresh per-step scalar without
-    recompiling; only the low 23 bits are used).  The jnp fallback applies
-    the bit-identical mask, so both paths drop the same entries.
+    recompiling; the seed is canonicalized by `fold_seed` — an fp32
+    round followed by mod 2^23 — so distinct seeds should live in
+    [0, 2^23)).  The jnp fallback applies the bit-identical mask through
+    the same fold, so both paths drop the same entries for any seed.
     """
     b, h, s, dh = q.shape
     if not 0.0 <= dropout_rate < 1.0:

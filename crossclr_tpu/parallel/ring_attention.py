@@ -56,9 +56,13 @@ normalized probabilities without renormalizing (torch semantics), which
 is precisely why it composes with the ring: the softmax DENOMINATOR
 keeps every term, so the (out, lse) merge across disjoint key blocks is
 unchanged, and ``delta = rowsum(do∘out)`` stays exact because ``out``
-already carries the mask.  NOTE the mask keys on the LOCAL batch index:
-under a data-sharded batch each dp shard draws its own (still iid)
-mask — sequence sharding is what's bit-reproducible here.
+already carries the mask.  Under a data-sharded batch the
+``sequence_parallel_attention`` wrapper additionally passes each dp
+shard's GLOBAL folded batch·head offset (``dropout_bh_offset``), so the
+mask keys on global row identity — dp×sp runs drop exactly what the
+single-chip run would (with a replicated seed and no offset, every dp
+shard would draw the identical mask, i.e. perfectly correlated — not
+iid — noise across shards).
 """
 
 from __future__ import annotations
@@ -95,6 +99,7 @@ def _rotate(arrs, axis, perm):
 def _block_keep(qf, seed, dropout, q_off, k_off, sk):
     """[B,H,sq,sk] keep mask for one ring block — the kernels' exact hash
     mask (ops.flash_attention) windowed at this block's global offsets.
+    ``seed`` is the ring core's (2,) fp32 carrier ``[seed, bh_offset]``.
     None when dropout is off."""
     if dropout <= 0.0:
         return None
@@ -102,7 +107,8 @@ def _block_keep(qf, seed, dropout, q_off, k_off, sk):
 
     b, h, sq, _ = qf.shape
     return dropout_keep_mask(
-        b, h, sq, seed, dropout, sk=sk, q_offset=q_off, k_offset=k_off
+        b, h, sq, seed[0], dropout, sk=sk, q_offset=q_off, k_offset=k_off,
+        bh_offset=seed[1],
     )
 
 
@@ -182,7 +188,7 @@ def _ring_fwd_flash(q, k, v, mask, seed, axis, scale, interpret, precision,
         if dropout <= 0.0:
             return None
         k_off = ((me - t) % n_dev) * s_loc
-        return seed_operand(seed, me * s_loc, k_off)
+        return seed_operand(seed[0], me * s_loc, k_off, seed[1])
 
     o_blk, lse = _flash_fwd(qf, kf, vf, mrow, seed_arr(0), scale, bq, bk,
                             interpret, precision, dropout)
@@ -222,7 +228,7 @@ def _ring_bwd_flash(q, k, v, mask, o_fold, lse, dout, seed, axis, scale,
         if dropout <= 0.0:
             return None
         k_off = ((me - t) % n_dev) * s
-        return seed_operand(seed, me * s, k_off)
+        return seed_operand(seed[0], me * s, k_off, seed[1])
 
     # with the GLOBAL (out, lse) the flash backward's p = exp(s − lse) is
     # the globally-normalized probability restricted to this block, so
@@ -424,6 +430,7 @@ def ring_attention(
     precision: str | None = None,
     dropout_rate: float = 0.0,
     dropout_seed=0,
+    dropout_bh_offset=0,
 ) -> jax.Array:
     """Attention with sequence sharded over ``axis`` — call inside shard_map.
 
@@ -442,7 +449,12 @@ def ring_attention(
     ``dropout_rate`` > 0 applies attention-probability dropout with the
     flash kernels' global-index hash mask — the sharded result equals the
     single-chip run with the same ``dropout_seed`` (a python int or a
-    traced scalar; fresh per step for training).
+    traced scalar; fresh per step for training).  When the BATCH is also
+    sharded (dp×sp), pass ``dropout_bh_offset`` = this shard's base row
+    in the global folded batch·head range (``data_index · B_local · H``)
+    so data-parallel shards draw the same decorrelated masks the
+    single-chip run would — with a replicated seed and offset 0, every
+    dp shard would drop identical entries.
     """
     if not 0.0 <= dropout_rate < 1.0:
         raise ValueError(f"dropout_rate must be in [0, 1), got {dropout_rate}")
@@ -458,7 +470,12 @@ def ring_attention(
                 f"tile (multiples of 8); got s_local={q.shape[2]}. Use "
                 f"block_impl='jnp' or 'auto'."
             )
-    seed = jnp.asarray(dropout_seed, jnp.float32)
+    from ..ops.flash_attention import fold_seed
+
+    seed = jnp.stack([
+        fold_seed(dropout_seed).reshape(()),
+        jnp.asarray(dropout_bh_offset, jnp.float32).reshape(()),
+    ])
     out = _ring_core(q, k, v, mask, seed, axis, float(scale), impl,
                      interpret, precision, float(dropout_rate))
     return out.astype(q.dtype)
@@ -534,10 +551,19 @@ def sequence_parallel_attention(
     )
     def _sharded(*local):
         m = local[4] if len(local) > 4 else None
+        bh_off = 0
+        if bspec is not None and dropout_rate > 0.0:
+            # batch sharded over `data`: place this shard's rows in the
+            # GLOBAL folded batch·head range so dp shards draw the same
+            # decorrelated dropout the single-chip run would (seed is
+            # replicated; local row indices alias across shards)
+            b_loc, h_loc = local[0].shape[0], local[0].shape[1]
+            bh_off = jax.lax.axis_index(DATA_AXIS) * (b_loc * h_loc)
         return ring_attention(
             local[0], local[1], local[2], m, axis=axis, scale=scale,
             block_impl=impl, interpret=interpret, precision=precision,
             dropout_rate=dropout_rate, dropout_seed=local[3],
+            dropout_bh_offset=bh_off,
         )
 
     return _sharded(*args)

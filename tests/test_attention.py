@@ -571,3 +571,108 @@ def test_tower_ring_dropout_matches_flash_tower(rng):
     np.testing.assert_allclose(np.asarray(e_ring), np.asarray(e_flash),
                                rtol=1e-5, atol=1e-5)
     assert not np.array_equal(np.asarray(t_ring), np.asarray(e_ring))
+
+
+def test_dropout_bh_offset_is_global_row_slice():
+    """``bh_offset`` places a shard's rows in the GLOBAL folded batch·head
+    range: a (b_loc, h) mask at offset b_loc·h must equal the tail slice
+    of the (2·b_loc, h) full mask — the exactness property the dp×sp
+    wrapper relies on so data-parallel shards reproduce the single-chip
+    drop pattern instead of each re-drawing rows 0..b_loc·h."""
+    from crossclr_tpu.ops.flash_attention import dropout_keep_mask
+
+    b, h, s = 4, 3, 32
+    full = np.asarray(dropout_keep_mask(b, h, s, 13, 0.4))
+    lo = np.asarray(dropout_keep_mask(2, h, s, 13, 0.4))
+    hi = np.asarray(dropout_keep_mask(2, h, s, 13, 0.4, bh_offset=2 * h))
+    np.testing.assert_array_equal(lo, full[:2])
+    np.testing.assert_array_equal(hi, full[2:])
+    # the two shards draw genuinely different bits (offset 0 on both
+    # would alias them — the correlated-noise failure mode)
+    assert not np.array_equal(hi, lo)
+
+
+def test_dropout_seed_fold_large_seed_kernel_matches_oracle(rng):
+    """Seeds at/above 2^24 round in the kernels' fp32 SMEM carrier; both
+    paths canonicalize through ``fold_seed`` (fp32 round, then mod 2^23)
+    so the pallas kernels and the jnp oracle still drop IDENTICAL
+    entries for any seed value."""
+    from crossclr_tpu.ops.flash_attention import fold_seed
+
+    big = 2**25 + 3  # not fp32-representable: rounds before the fold
+    f = float(fold_seed(big))
+    assert 0.0 <= f < 2**23 and f == int(f)
+
+    q, k, v = _qkv(rng)
+    want = mha_reference(q, k, v, None, dropout_rate=0.3, dropout_seed=big)
+    got = flash_attention(q, k, v, use_pallas=True, interpret=INTERPRET,
+                          precision="highest", dropout_rate=0.3,
+                          dropout_seed=big)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_hash_keep_no_lattice_collisions():
+    """The per-index nonlinear pre-mix kills the linear scheme's lattice
+    collisions.  Under plain ``q·C1 + k·C2`` mixing, every index pair
+    offset by a lattice vector (Δq, Δk) with Δq·C1 + Δk·C2 ≡ 0 (mod 2^32)
+    produced the SAME hash word for every seed — perfectly correlated
+    drop decisions along that direction on long sequences.  Find the
+    shortest such vector and check the keep bits at (q, k) and
+    (q+Δq, k+Δk) now agree only at the independent-Bernoulli rate."""
+    from crossclr_tpu.ops.flash_attention import _hash_keep
+
+    C1, C2, M = 0x9E3779B1, 0x85EBCA77, 1 << 32
+    inv_c1 = pow(C1, -1, M)
+    best = None
+    for dk in range(1, 1 << 17):
+        dq = (-dk * C2 * inv_c1) % M
+        if dq > M // 2:
+            dq -= M
+        cand = max(abs(dq), dk)
+        if best is None or cand < best[0]:
+            best = (cand, dq, dk)
+    norm, dq, dk = best
+    # determinant-2^32 lattice: shortest max-norm vector is ~2^16, i.e.
+    # inside a realistic long-context index range
+    assert norm < 1 << 18
+    assert (dq * C1 + dk * C2) % M == 0
+
+    n = 4096
+    g = np.random.default_rng(0)
+    base = 1 << 19  # keep q+dq positive for any sign of dq
+    qs = g.integers(base, base + (1 << 20), size=n)
+    ks = g.integers(0, 1 << 20, size=n)
+
+    def keeps(qi, ki):
+        return np.asarray(
+            _hash_keep(jnp.asarray(qi, jnp.int32), jnp.asarray(ki, jnp.int32),
+                       jnp.uint32(12345), jnp.uint32(7), 0.5)
+        )
+
+    agree = float(np.mean(keeps(qs, ks) == keeps(qs + dq, ks + dk)))
+    # independent fair bits agree w.p. 0.5; the linear scheme agreed
+    # with probability 1.0 along exactly this direction
+    assert 0.45 < agree < 0.55
+
+
+@needs_multidevice
+@pytest.mark.parametrize("impl", ["jnp", "flash"])
+def test_dp_sp_dropout_matches_single_chip(rng, impl):
+    """dp×sp composition: with the batch sharded over ``data`` AND the
+    sequence ring-sharded over ``model``, probability dropout must drop
+    exactly what the single-chip run would — the wrapper passes each dp
+    shard's global batch·head offset so shards neither alias each other
+    nor diverge from the dense oracle."""
+    from crossclr_tpu.parallel import make_mesh, sequence_parallel_attention
+
+    mesh = make_mesh(n_data=2, n_model=4)
+    q, k, v = _qkv(rng, b=4, h=2, s=64, dh=16)
+    mask = jnp.asarray(rng.random((4, 64)) > 0.2, jnp.float32)
+    want = mha_reference(q, k, v, mask, dropout_rate=0.3, dropout_seed=7)
+    got = sequence_parallel_attention(
+        q, k, v, mask, mesh=mesh, axis="model", block_impl=impl,
+        interpret=INTERPRET, dropout_rate=0.3, dropout_seed=7,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
