@@ -73,12 +73,16 @@ def dataset_from_config(data_cfg):
             text_mask_path=data_cfg.text_mask_path or None,
             dtype=getattr(data_cfg, "features_dtype", None) or None,
         )
-        if dataset.video.dtype == np.float32:
+        import jax as _jax
+
+        if dataset.video.dtype == np.float32 and _jax.process_index() == 0:
             import sys as _sys
 
             # measured on the 1-core host: fp32 assembly 723k pairs/s vs
             # a ~2M pairs/s device rate — the store dtype alone can starve
-            # the chip (BASELINE.md, host input pipeline)
+            # the chip (BASELINE.md, host input pipeline).  Rank-gated
+            # like the trainer's warnings: every host process loads the
+            # store, one should speak
             print(
                 "NOTE: fp32 feature store — host batch assembly moves 2x "
                 "the bytes of a bfloat16 store and can starve the device "

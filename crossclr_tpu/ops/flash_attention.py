@@ -167,25 +167,35 @@ def _hash_keep(q_idx, k_idx, bh_term, seed, rate: float):
 _BH_PRIME = 0x27D4EB2F  # per-(batch·head) decorrelation term for _hash_keep
 
 
-def _tile_keep(seed_ref, bq: int, bk: int, dropout: float):
-    """Dropout keep-mask for THIS grid tile from global indices — shared
-    by the forward and dq kernels (query rows × key cols orientation).
-    ``seed_ref`` is the (1, 4) SMEM operand ``[seed, q_offset, k_offset,
-    bh_offset]`` (offsets are 0 except under ring attention, where they
-    place this call's tiles inside the full logical sequence and — under
-    a dp×sp layout — this shard's rows inside the GLOBAL folded
-    batch·head range, so data-parallel shards draw decorrelated masks)."""
-    b = pl.program_id(0)
-    i = pl.program_id(1)
-    j = pl.program_id(2)
+def _keep_from_grids(seed_ref, b, q_idx_local, k_idx_local, dropout: float):
+    """Shared mask-regeneration core for ALL THREE kernels: unpack the
+    (1, 4) SMEM operand ``[seed, q_offset, k_offset, bh_offset]``, lift
+    the caller's LOCAL index grids to global, and hash.  Offsets are 0
+    except under ring attention, where they place this call's tiles
+    inside the full logical sequence and — under a dp×sp layout — this
+    shard's rows inside the GLOBAL folded batch·head range, so
+    data-parallel shards draw decorrelated masks.  One source of truth:
+    the fwd/dq (rows × cols) and transposed dk/dv kernels must stay
+    bit-identical, which the exactness tests pin against the jnp
+    oracle."""
     q_off = seed_ref[0, 1].astype(jnp.int32)
     k_off = seed_ref[0, 2].astype(jnp.int32)
     bh_off = seed_ref[0, 3].astype(jnp.int32)
-    q_idx = q_off + i * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
-    k_idx = k_off + j * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
     bh_term = (b + bh_off + 1).astype(jnp.uint32) * jnp.uint32(_BH_PRIME)
     seed = seed_ref[0, 0].astype(jnp.int32).astype(jnp.uint32)
-    return _hash_keep(q_idx, k_idx, bh_term, seed, dropout)
+    return _hash_keep(q_off + q_idx_local, k_off + k_idx_local, bh_term,
+                      seed, dropout)
+
+
+def _tile_keep(seed_ref, bq: int, bk: int, dropout: float):
+    """Dropout keep-mask for THIS grid tile — the forward and dq kernels'
+    orientation (query rows × key cols)."""
+    q_idx = (pl.program_id(1) * bq
+             + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0))
+    k_idx = (pl.program_id(2) * bk
+             + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1))
+    return _keep_from_grids(seed_ref, pl.program_id(0), q_idx, k_idx,
+                            dropout)
 
 
 def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref,
@@ -405,22 +415,16 @@ def _dkv_kernel(seed_ref, k_ref, v_ref, q_ref, do_ref, lseT_ref, deltaT_ref,
     pT = jnp.exp(sT - lseT_ref[0])  # lseT: [1, bq]
     if dropout > 0.0:
         # the SAME element mask as the forward, regenerated here in
-        # transposed orientation from this tile's own index grids (the
-        # hash is a pure function of global (query, key) indices)
+        # transposed orientation from this tile's own index grids: grid
+        # dim 1 is the KEY block and dim 2 the QUERY block in this
+        # kernel, and the iota dims swap to the [bk, bq] layout
         bk_, bq_ = pT.shape
-        b = pl.program_id(0)
-        jq = pl.program_id(2)  # query-block position in THIS grid
-        jk = pl.program_id(1)  # key-block position
-        q_off = seed_ref[0, 1].astype(jnp.int32)
-        k_off = seed_ref[0, 2].astype(jnp.int32)
-        bh_off = seed_ref[0, 3].astype(jnp.int32)
-        k_idx = (k_off + jk * bk_
-                 + jax.lax.broadcasted_iota(jnp.int32, (bk_, bq_), 0))
-        q_idx = (q_off + jq * bq_
+        q_idx = (pl.program_id(2) * bq_
                  + jax.lax.broadcasted_iota(jnp.int32, (bk_, bq_), 1))
-        bh_term = (b + bh_off + 1).astype(jnp.uint32) * jnp.uint32(_BH_PRIME)
-        seed = seed_ref[0, 0].astype(jnp.int32).astype(jnp.uint32)
-        keepT = _hash_keep(q_idx, k_idx, bh_term, seed, dropout)
+        k_idx = (pl.program_id(1) * bk_
+                 + jax.lax.broadcasted_iota(jnp.int32, (bk_, bq_), 0))
+        keepT = _keep_from_grids(seed_ref, pl.program_id(0), q_idx, k_idx,
+                                 dropout)
         inv = 1.0 / (1.0 - dropout)
         pT_v = jnp.where(keepT, pT * inv, 0.0)  # P̂ᵀ for dv
         dpT = jax.lax.dot_general(

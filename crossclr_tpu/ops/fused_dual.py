@@ -714,11 +714,15 @@ def dual_lse_pair(
         tiles = _pick_tiles(b, d)
         if tiles is None:
             raise ValueError(f"unsupported shape [{b},{d}] for dual kernel")
-        if pruned:
-            # the pruned backward holds role-A AND role-B masked variants
-            # of all three logit tiles live at once (~6 extra [TB, TC]
-            # fp32 buffers) — (512, 2048) tiles blow the scoped-VMEM
-            # limit at d=512; halve the row tile
+        if pruned and precision != "highest":
+            # re-measured after the r5 backward refactor (masks fold into
+            # the coefficients — the six live [TB, TC] masked-logit tiles
+            # that once blew scoped VMEM at (512, 2048)/d=512 are gone):
+            # both row tiles now compile; 4096×512 traced-τ chained scan
+            # times 256 ≈ 512 at `default` (1.602 vs 1.616 ms/step, keep
+            # the smaller pipeline) while `highest`'s 3-pass dots prefer
+            # the full row tile (6.407 vs 6.664 ms — fewer grid steps
+            # amortize the pass overhead), so only non-highest halves
             tiles = (min(tiles[0], 256), tiles[1])
     tb, tc = tiles
     # symmetric static-max kernels win at HIGHEST (the 15% dot cut is

@@ -540,6 +540,8 @@ class Trainer:
         self._encode_one: dict = {}
         # once-per-fit decision: stacked chunks over budget -> sequential
         self._seq_fallback: bool | None = None
+        # once-per-Trainer: the fit()-startup weighting diagnostic
+        self._weight_diag_done = False
 
     # -- diagnostics ---------------------------------------------------------
 
@@ -1315,10 +1317,18 @@ class Trainer:
         final one to the remaining step count."""
         history = []
         it = iter(batches)
-        if self.cfg.loss in ("crossclr", "crossclr_fused") and steps > 0:
+        if (
+            self.cfg.loss in ("crossclr", "crossclr_fused")
+            and steps > 0
+            and not self._weight_diag_done
+        ):
             # one-time weighting-channel diagnostic on the first batch —
             # a degenerate (near-one-hot) positive-weight softmax should
-            # warn loudly instead of silently training on one pair
+            # warn loudly instead of silently training on one pair.  The
+            # guard is per-Trainer: train.py calls fit() once per eval
+            # chunk, and re-running here would re-print the warning and
+            # pay a blocking device sync every chunk
+            self._weight_diag_done = True
             try:
                 first = next(it)
             except StopIteration:
